@@ -1,0 +1,129 @@
+package graft.context
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV read options mirroring the reference's CSV scan surface
+  * (reference: rust/core/proto/ballista.proto:185-194 — header flag,
+  * delimiter, file-extension filter, optional explicit schema).
+  */
+final case class CsvOptions(
+    schema: Option[StructType] = None,
+    hasHeader: Boolean = true,
+    delimiter: String = ",",
+    fileExtension: String = ".csv")
+
+/** Parquet/CSV writer compression codecs supported by the reference's
+  * benchmark writer (reference: rust/benchmarks/tpch/src/main.rs:233-253:
+  * none/snappy/brotli/gzip/lz4/lzo/zstd). Spark's parquet writer accepts the
+  * same names; availability of brotli/lzo depends on native codec jars, the
+  * rest are built in.
+  */
+object Compression extends Enumeration {
+  val None_, Snappy, Brotli, Gzip, Lz4, Lzo, Zstd = Value
+  def option(c: Value): String = c match {
+    case None_ => "none"
+    case other => other.toString.toLowerCase
+  }
+}
+
+/** The engine's user-facing context — the Spark-native equivalent of the
+  * reference's client context (reference: rust/client/src/context.rs:41-315
+  * `BallistaContext`: read_csv/read_parquet/register_table/sql/collect).
+  *
+  * Everything behind this thin layer is stock Catalyst + Tungsten: the
+  * reference's scheduler/executor/shuffle/serde subsystems (SURVEY.md §3-§4)
+  * collapse into Spark's DAGScheduler and shuffle service, so registration
+  * here is just temp-view creation and queries are ordinary Datasets.
+  */
+class SessionContext(val spark: SparkSession) {
+
+  /** reference: rust/client/src/context.rs:87-97 (`read_csv`). */
+  def readCsv(path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    var r = spark.read
+      .option("header", opts.hasHeader.toString)
+      .option("delimiter", opts.delimiter)
+      // match the reference's extension filter semantics (only files with
+      // the configured extension are scanned)
+      .option("pathGlobFilter", s"*${opts.fileExtension}")
+    opts.schema.foreach(s => r = r.schema(s))
+    if (opts.schema.isEmpty && !opts.hasHeader) r = r.option("inferSchema", "true")
+    r.csv(path)
+  }
+
+  /** reference: rust/client/src/context.rs:99-109 (`read_parquet`). */
+  def readParquet(path: String): DataFrame = spark.read.parquet(path)
+
+  /** NDJSON is declared in the reference's external-table enum
+    * (reference: rust/core/proto/ballista.proto:236-248, FileType::NdJson)
+    * but never wired to a scan; Spark gives it to us natively.
+    */
+  def readJson(path: String): DataFrame = spark.read.json(path)
+
+  /** reference: rust/client/src/context.rs:112-118 (`register_table`). */
+  def registerTable(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  def registerCsv(name: String, path: String, opts: CsvOptions = CsvOptions()): Unit =
+    registerTable(name, readCsv(path, opts))
+
+  def registerParquet(name: String, path: String): Unit =
+    registerTable(name, readParquet(path))
+
+  /** In-memory table over client-provided rows — the reference's
+    * MemoryStream-backed source (reference: rust/core/src/memory_stream.rs:1-93).
+    */
+  def registerMemTable(name: String, rows: Seq[Row], schema: StructType): Unit =
+    registerTable(name, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema))
+
+  /** SQL entry point (reference: rust/client/src/context.rs:131-144). The
+    * reference plans SQL with DataFusion then ships protobuf plans to a
+    * scheduler; here `spark.sql` runs the whole lifecycle in Catalyst.
+    */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  def table(name: String): DataFrame = spark.table(name)
+
+  /** reference: rust/client/src/context.rs:161-239 (`collect`). */
+  def collect(df: DataFrame): Array[Row] = df.collect()
+
+  /** reference: rust/client/src/context.rs:309-315 (`explain`). */
+  def explain(df: DataFrame, verbose: Boolean = false): Unit = df.explain(verbose)
+
+  /** CSV sink (reference: rust/benchmarks/tpch/src/main.rs:232 `write_csv`). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               delimiter: String = ","): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString).option("delimiter", delimiter)
+      .csv(path)
+
+  /** Parquet sink with codec selection
+    * (reference: rust/benchmarks/tpch/src/main.rs:233-253).
+    */
+  def writeParquet(df: DataFrame, path: String,
+                   compression: Compression.Value = Compression.Snappy): Unit =
+    df.write.mode("overwrite")
+      .option("compression", Compression.option(compression))
+      .parquet(path)
+}
+
+object SessionContext {
+  /** Build a context with the engine's recommended large-scale defaults:
+    * AQE on (runtime shuffle-partition coalescing + skew-join handling —
+    * the adaptive re-planning the reference lacks, SURVEY.md §4.2), UTC
+    * session time, shuffle partitions sized for the local[32] test rig.
+    */
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SessionContext = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new SessionContext(spark)
+  }
+}

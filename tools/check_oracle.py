@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle (oracle_sql.json) on the same sf dir.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; normalize floats/None."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(v)
+        return repr(v)
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            want = con.execute(sql)
+            wcols = [d[0] for d in want.description]
+            wrows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = duckdb.connect().execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        wc, wr = canon(wrows, wcols)
+        gc, gr = canon(grows, gcols)
+        if wc != gc:
+            print(f"FAIL {name}: columns differ: spark={gc} oracle={wc}")
+            n_fail += 1
+        elif wr != gr:
+            diffs = [i for i, (a, b) in enumerate(zip(wr, gr)) if a != b]
+            print(f"FAIL {name}: rows differ (spark={len(gr)}, oracle={len(wr)},"
+                  f" first diffs {diffs[:3]})")
+            for i in diffs[:2]:
+                print(f"   oracle[{i}]={wr[i]}")
+                print(f"   spark [{i}]={gr[i]}")
+            if len(wr) != len(gr):
+                print(f"   oracle head: {wr[:2]}  spark head: {gr[:2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
