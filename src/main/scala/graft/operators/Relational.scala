@@ -1,0 +1,734 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.context.{Compression, CsvOptions, SessionContext}
+
+/** Per-operator coverage of SURVEY.md §2, expressed through the DataFrame
+  * API (the reference's DataFrame entry point,
+  * rust/client/src/context.rs:241-315) rather than SQL — the SQL path is
+  * exercised by [[Tpch]]. Every query here is paired with a DuckDB oracle
+  * in [[Relational.oracles]]; column names are aliased identically on both
+  * sides (the driver's compare is name-keyed).
+  *
+  * Determinism conventions are the same as [[Tpch]] (decimal-in-aggregate
+  * for doubles, total ORDER BY before any LIMIT).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+
+  /** Decimal-exact money aggregate: SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def scratch(sub: String) = s"/root/repo/target/scratch/$sub"
+
+  // ---------------------------------------------------------------------
+  // §2.1 scans / sources / sinks
+  // ---------------------------------------------------------------------
+
+  /** Parquet scan with projection + filter — both must reach the scan node
+    * (reference: ballista.proto:196-202; Catalyst pushes automatically).
+    */
+  private def scanParquet(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_quantity") >= 45)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** CSV sink → CSV scan round-trip (reference CSV options surface:
+    * ballista.proto:185-194 header/delimiter/extension; sink
+    * rust/benchmarks/tpch/src/main.rs:232). Writes lineitem to `|`-delimited
+    * CSV (the reference's .tbl shape), reads it back with an explicit
+    * schema, and aggregates; the oracle runs on the original parquet, so a
+    * lossless round-trip is part of what's checked.
+    */
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val ctx = new SessionContext(s)
+    val src = li(s, d)
+    val path = scratch("lineitem_csv")
+    ctx.writeCsv(src, path, header = false, delimiter = "|")
+    ctx.readCsv(path, CsvOptions(schema = Some(src.schema), hasHeader = false,
+                                 delimiter = "|"))
+      .groupBy(col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Parquet sink with codec selection → scan round-trip
+    * (reference: rust/benchmarks/tpch/src/main.rs:233-253).
+    */
+  private def parquetSinkCodecs(s: SparkSession, d: String): DataFrame = {
+    val ctx = new SessionContext(s)
+    val src = ord(s, d)
+    for (c <- Seq(Compression.None_, Compression.Gzip, Compression.Zstd))
+      ctx.writeParquet(src.filter(col("o_orderstatus") === "F"),
+                       scratch(s"orders_${Compression.option(c)}"), c)
+    ctx.readParquet(scratch("orders_zstd"))
+      .unionByName(ctx.readParquet(scratch("orders_gzip")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** 1-row empty-relation (`SELECT 1`) —
+    * reference: ballista.proto:232-234, serde from_proto.rs:183-187.
+    */
+  private def emptyRelation(s: SparkSession, d: String): DataFrame =
+    s.range(1).select(lit(1).as("one"))
+
+  /** Client-provided in-memory table
+    * (reference: rust/core/src/memory_stream.rs:1-93).
+    */
+  private def memTable(s: SparkSession, d: String): DataFrame = {
+    val ctx = new SessionContext(s)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    ctx.registerMemTable("mem_t", Seq(
+      org.apache.spark.sql.Row(1, "a"),
+      org.apache.spark.sql.Row(2, "b"),
+      org.apache.spark.sql.Row(3, null)), schema)
+    ctx.table("mem_t").orderBy(col("id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.2 projection / filter
+  // ---------------------------------------------------------------------
+
+  /** Named-expression projection (reference: ballista.proto:204-207,
+    * client `select`/`select_columns` rust/client/src/context.rs:241-255).
+    */
+  private def projection(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .select(col("o_orderkey"),
+              (col("o_totalprice") * 2).cast(DecimalType(18, 2)).cast(DoubleType)
+                .as("double_price"),
+              upper(col("o_orderstatus")).as("status_uc"))
+      .orderBy(col("o_orderkey"))
+      .limit(50)
+
+  /** Predicate surface: BETWEEN, IN, LIKE, IS NULL / IS NOT NULL, NOT, AND/OR
+    * (reference expression nodes: ballista.proto:14-45; SURVEY §2.7).
+    */
+  private def filterPredicates(s: SparkSession, d: String): DataFrame = {
+    val withNulls = li(s, d)
+      .withColumn("tax_or_null", when(col("l_tax") === 0.0, lit(null))
+        .otherwise(col("l_tax")))
+    withNulls
+      .filter(col("l_quantity").between(10, 20)
+        && col("l_returnflag").isin("A", "R")
+        && col("l_linestatus").like("%F%")
+        && !(col("l_discount") < 0.02))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           count(when(col("tax_or_null").isNull, 1)).as("null_tax"),
+           count(when(col("tax_or_null").isNotNull, 1)).as("nonnull_tax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.3 joins — INNER/LEFT/RIGHT are the reference surface
+  // (ballista.proto:266-278); FULL/SEMI/ANTI/CROSS exceed it (SURVEY §2.8).
+  // ---------------------------------------------------------------------
+
+  private def joinInner(s: SparkSession, d: String): DataFrame = {
+    val c = cust(s, d); val o = ord(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val c = cust(s, d)
+    val recent = ord(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+    c.join(recent, c("c_custkey") === recent("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(when(col("o_orderkey").isNull, 1)).as("n_no_order"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def joinRight(s: SparkSession, d: String): DataFrame = {
+    val recent = ord(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+    recent.join(cust(s, d), recent("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(when(col("o_orderkey").isNull, 1)).as("n_no_order"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def joinFull(s: SparkSession, d: String): DataFrame = {
+    // customers with nationkey<5 vs orders of customers with nationkey>2:
+    // both sides have unmatched rows.
+    val c = cust(s, d).filter(col("c_nationkey") < 5)
+    val o = ord(s, d).join(cust(s, d).filter(col("c_nationkey") > 2)
+        .select(col("c_custkey").as("ck")), col("o_custkey") === col("ck"))
+      .drop("ck")
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .select(count(lit(1)).as("n_rows"),
+              count(when(col("c_custkey").isNull, 1)).as("n_left_null"),
+              count(when(col("o_orderkey").isNull, 1)).as("n_right_null"))
+  }
+
+  private def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val big = li(s, d).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey").as("k"))
+    ord(s, d).join(big, col("o_orderkey") === col("k"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).orderBy(col("o_orderstatus"))
+  }
+
+  private def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val big = li(s, d).filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("k"))
+    ord(s, d).join(big, col("o_orderkey") === col("k"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).orderBy(col("o_orderstatus"))
+  }
+
+  private def joinCross(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "region")
+      .crossJoin(Tables.load(s, d, "nation"))
+      .select(count(lit(1)).as("n_pairs"),
+              countDistinct(col("r_regionkey")).as("n_regions"),
+              countDistinct(col("n_nationkey")).as("n_nations"))
+
+  // ---------------------------------------------------------------------
+  // §2.4 aggregation — MIN/MAX/SUM/AVG/COUNT two-phase hash agg
+  // (ballista.proto:121-132, 260-264); COUNT DISTINCT exceeds the
+  // reference (its wire format drops the distinct flag — SURVEY §2.4).
+  // ---------------------------------------------------------------------
+
+  private def aggBasic(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_linestatus"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+
+  /** HAVING = Filter over Aggregate (reference models it exactly so —
+    * SURVEY §2.4 "HAVING as a node" absent).
+    */
+  private def aggHaving(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .filter(col("sum_qty") > 200)
+      .orderBy(col("sum_qty").desc, col("l_partkey"))
+      .limit(100)
+
+  /** ROLLUP grouping sets — beyond the reference (SURVEY §2.8). */
+  private def aggRollup(s: SparkSession, d: String): DataFrame =
+    li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  private def aggCube(s: SparkSession, d: String): DataFrame =
+    ord(s, d).cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  // ---------------------------------------------------------------------
+  // §2.5 sort / limit / repartition / merge
+  // ---------------------------------------------------------------------
+
+  /** Multi-key sort with per-key direction + nulls ordering
+    * (reference: ballista.proto:157-161, sort serde from_proto.rs:140-151).
+    */
+  private def sortMultiKey(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .withColumn("bal_or_null",
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .orderBy(col("c_mktsegment").asc,
+               col("bal_or_null").desc_nulls_first,
+               col("c_custkey").asc)
+      .select(col("c_mktsegment"), col("bal_or_null"), col("c_custkey"))
+      .limit(100)
+
+  /** LocalLimit/GlobalLimit pair (reference: ballista.proto:391-399). */
+  private def limitQ(s: SparkSession, d: String): DataFrame =
+    ord(s, d).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice")).limit(25)
+
+  /** Hash repartition (reference: ballista.proto:219-230 RoundRobin/Hash).
+    * The result is partitioning-invariant; the point is that the plan
+    * carries a hash Exchange on the requested keys (plan-shape test).
+    */
+  private def repartitionHash(s: SparkSession, d: String): DataFrame =
+    li(s, d).repartition(16, col("l_suppkey"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_suppkey")).limit(50)
+
+  private def repartitionRoundRobin(s: SparkSession, d: String): DataFrame =
+    li(s, d).repartition(16)
+      .select(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** MergeExec N→1 (reference: ballista.proto:411-413) = coalesce(1). */
+  private def mergeCoalesce(s: SparkSession, d: String): DataFrame =
+    li(s, d).filter(col("l_returnflag") === "R").coalesce(1)
+      .select(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  // ---------------------------------------------------------------------
+  // §2.7 expression & scalar-function surface
+  // ---------------------------------------------------------------------
+
+  /** Math functions on the 50 distinct p_size values (small integer domain
+    * keeps cross-engine libm agreement testable; results rounded to 9
+    * decimals to absorb last-ulp divergence).
+    */
+  private def exprMath(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "part").select(col("p_size")).distinct()
+      .select(
+        col("p_size"),
+        round(sqrt(col("p_size")), 9).as("f_sqrt"),
+        round(sin(col("p_size")), 9).as("f_sin"),
+        round(cos(col("p_size")), 9).as("f_cos"),
+        round(tan(col("p_size")), 9).as("f_tan"),
+        round(atan(col("p_size")), 9).as("f_atan"),
+        round(asin(lit(1.0) / col("p_size")), 9).as("f_asin"),
+        round(acos(lit(1.0) / col("p_size")), 9).as("f_acos"),
+        round(exp(col("p_size") / lit(10.0)), 9).as("f_exp"),
+        round(log2(col("p_size")), 9).as("f_log2"),
+        round(log10(col("p_size")), 9).as("f_log10"),
+        round(log(col("p_size")), 9).as("f_ln"),
+        floor(col("p_size") * 1.5).as("f_floor"),
+        ceil(col("p_size") * 1.5).as("f_ceil"),
+        abs(col("p_size") - 25).as("f_abs"),
+        signum(col("p_size") - 25).cast(IntegerType).as("f_sign"))
+      .orderBy(col("p_size"))
+
+  /** String functions (reference wired set: lower/upper/trim/ltrim/rtrim/
+    * octet_length — from_proto.rs:888-927; concat dead-on-wire, Spark-native).
+    */
+  private def exprString(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("f_lower"),
+        upper(col("c_name")).as("f_upper"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("f_trim"),
+        ltrim(concat(lit("  "), col("c_name"))).as("f_ltrim"),
+        rtrim(concat(col("c_name"), lit("  "))).as("f_rtrim"),
+        octet_length(col("c_name")).as("f_octet_len"),
+        length(col("c_name")).as("f_len"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("f_concat"),
+        substring(col("c_name"), 1, 8).as("f_substr"))
+      .orderBy(col("c_custkey")).limit(100)
+
+  /** Hash functions with a DuckDB oracle (md5 / sha256). */
+  private def exprHash(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .select(col("c_custkey"),
+              md5(col("c_name").cast(BinaryType)).as("f_md5"),
+              sha2(col("c_name").cast(BinaryType), 256).as("f_sha256"))
+      .orderBy(col("c_custkey")).limit(100)
+
+  /** sha224/384/512 (reference wires sha224-512: from_proto.rs:905-912) —
+    * DuckDB 1.0 lacks them, so this query is rows-only checked.
+    */
+  private def exprHashExt(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .select(col("c_custkey"),
+              sha2(col("c_name").cast(BinaryType), 224).as("f_sha224"),
+              sha2(col("c_name").cast(BinaryType), 384).as("f_sha384"),
+              sha2(col("c_name").cast(BinaryType), 512).as("f_sha512"))
+      .orderBy(col("c_custkey")).limit(100)
+
+  /** CASE (both forms), CAST, BETWEEN, IN list, unary negative
+    * (reference expression nodes: ballista.proto:14-45).
+    */
+  private def exprCaseCast(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .select(
+        col("o_orderkey"),
+        // CASE WHEN <predicate> form
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("size_class"),
+        // CASE <expr> WHEN <value> form
+        when(col("o_orderstatus") === "F", 1)
+          .when(col("o_orderstatus") === "O", 2).otherwise(0).as("status_code"),
+        col("o_orderkey").cast(StringType).as("key_str"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+        col("o_custkey").cast(DoubleType).as("cust_dbl"),
+        (-col("o_totalprice")).cast(DecimalType(18, 2)).cast(DoubleType)
+          .as("neg_price"),
+        col("o_totalprice").between(100000, 200000).as("in_band"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hot"))
+      .orderBy(col("o_orderkey")).limit(200)
+
+  /** Date/time surface: extract fields, date_trunc, string→timestamp cast
+    * (reference declares date_trunc/to_timestamp but they are dead on the
+    * wire — from_proto.rs:919-922; Spark-native here).
+    */
+  private def exprDatetime(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast(IntegerType).as("y"),
+        quarter(col("o_orderdate")).cast(IntegerType).as("q"))
+      .agg(count(lit(1)).as("n"),
+           min(date_trunc("month", col("o_orderdate"))).as("first_month"),
+           max(col("o_orderdate")).as("max_date"))
+      .orderBy(col("y"), col("q"))
+
+  /** NULL handling: coalesce / nullif / null-safe equality. */
+  private def exprNull(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .withColumn("maybe", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .select(
+        count(lit(1)).as("n"),
+        count(col("maybe")).as("n_nonnull"),
+        count(when(col("maybe").isNull, 1)).as("n_null"),
+        count(when(coalesce(col("maybe"), lit("X")) === "X", 1)).as("n_coalesced"))
+
+  // ---------------------------------------------------------------------
+  // §2.6 set operations + windows — absent from the reference
+  // (SURVEY §2.6: "None exist"); Spark-native, part of exceeding parity.
+  // ---------------------------------------------------------------------
+
+  private def setUnionAll(s: SparkSession, d: String): DataFrame = {
+    val a = cust(s, d).filter(col("c_nationkey") < 5).select(col("c_custkey"))
+    val b = cust(s, d).filter(col("c_nationkey") < 10).select(col("c_custkey"))
+    a.union(b).select(count(lit(1)).as("n"),
+                      countDistinct(col("c_custkey")).as("n_distinct"))
+  }
+
+  private def setUnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val a = cust(s, d).filter(col("c_nationkey") < 5).select(col("c_custkey"))
+    val b = cust(s, d).filter(col("c_nationkey") < 10).select(col("c_custkey"))
+    a.union(b).distinct().select(count(lit(1)).as("n"))
+  }
+
+  private def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val a = cust(s, d).filter(col("c_nationkey") < 8).select(col("c_custkey"))
+    val b = cust(s, d).filter(col("c_nationkey") > 3).select(col("c_custkey"))
+    a.intersect(b).select(count(lit(1)).as("n"))
+  }
+
+  private def setExcept(s: SparkSession, d: String): DataFrame = {
+    val a = cust(s, d).filter(col("c_nationkey") < 8).select(col("c_custkey"))
+    val b = cust(s, d).filter(col("c_nationkey") > 3).select(col("c_custkey"))
+    a.except(b).select(count(lit(1)).as("n"))
+  }
+
+  /** Window functions: ranking + running aggregate over frames. */
+  private def windowFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    li(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+      .withColumn("order_total",
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .over(Window.partitionBy(col("l_orderkey"))).cast(DoubleType))
+      .filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"),
+              col("running_qty"), col("order_total"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc,
+                                                            col("c_custkey"))
+    cust(s, d)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("rnk"), col("drnk"), col("c_custkey"),
+              col("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet _,
+    "scan_csv_roundtrip" -> csvRoundtrip _,
+    "sink_parquet_codecs" -> parquetSinkCodecs _,
+    "empty_relation" -> emptyRelation _,
+    "mem_table" -> memTable _,
+    "projection" -> projection _,
+    "filter_predicates" -> filterPredicates _,
+    "join_inner" -> joinInner _,
+    "join_left" -> joinLeft _,
+    "join_right" -> joinRight _,
+    "join_full" -> joinFull _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "join_cross" -> joinCross _,
+    "agg_basic" -> aggBasic _,
+    "agg_count_distinct" -> aggCountDistinct _,
+    "agg_having" -> aggHaving _,
+    "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
+    "sort_multi_key" -> sortMultiKey _,
+    "limit" -> limitQ _,
+    "repartition_hash" -> repartitionHash _,
+    "repartition_round_robin" -> repartitionRoundRobin _,
+    "merge_coalesce" -> mergeCoalesce _,
+    "expr_math" -> exprMath _,
+    "expr_string" -> exprString _,
+    "expr_hash" -> exprHash _,
+    "expr_hash_ext" -> exprHashExt _,
+    "expr_case_cast" -> exprCaseCast _,
+    "expr_datetime" -> exprDatetime _,
+    "expr_null" -> exprNull _,
+    "set_union_all" -> setUnionAll _,
+    "set_union_distinct" -> setUnionDistinct _,
+    "set_intersect" -> setIntersect _,
+    "set_except" -> setExcept _,
+    "window_funcs" -> windowFuncs _,
+    "window_rank" -> windowRank _
+  )
+
+  private val D = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+  private def ds(e: String) = D.format(e)
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" -> s"""
+      SELECT l_returnflag, ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n
+      FROM lineitem WHERE l_quantity >= 45
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "scan_csv_roundtrip" -> s"""
+      SELECT l_linestatus, ${ds("l_quantity")} AS sum_qty,
+             ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "sink_parquet_codecs" -> s"""
+      SELECT o_orderpriority, 2*COUNT(*) AS n,
+             CAST(2*SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "empty_relation" -> "SELECT 1 AS one",
+    "mem_table" -> """
+      SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,NULL)) AS t(id, name)
+      ORDER BY id""",
+    "projection" -> """
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice*2 AS DECIMAL(18,2)) AS DOUBLE) AS double_price,
+             upper(o_orderstatus) AS status_uc
+      FROM orders ORDER BY o_orderkey LIMIT 50""",
+    "filter_predicates" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+             COUNT(CASE WHEN nullif(l_tax, 0.0) IS NULL THEN 1 END) AS null_tax,
+             COUNT(CASE WHEN nullif(l_tax, 0.0) IS NOT NULL THEN 1 END) AS nonnull_tax
+      FROM lineitem
+      WHERE l_quantity BETWEEN 10 AND 20
+        AND l_returnflag IN ('A','R')
+        AND l_linestatus LIKE '%F%'
+        AND NOT (l_discount < 0.02)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "join_inner" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders, ${ds("o_totalprice")} AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_left" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_rows,
+             COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_no_order
+      FROM customer LEFT JOIN
+        (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+        ON c_custkey = o.o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_right" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_rows,
+             COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_no_order
+      FROM (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+        RIGHT JOIN customer ON o.o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_full" -> """
+      SELECT COUNT(*) AS n_rows,
+             COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_left_null,
+             COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_right_null
+      FROM (SELECT * FROM customer WHERE c_nationkey < 5) c
+      FULL JOIN (SELECT o.* FROM orders o
+                 JOIN customer c2 ON o.o_custkey = c2.c_custkey
+                 WHERE c2.c_nationkey > 2) o
+        ON c.c_custkey = o.o_custkey""",
+    "join_semi" -> """
+      SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_anti" -> """
+      SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_quantity >= 30)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_cross" -> """
+      SELECT COUNT(*) AS n_pairs,
+             COUNT(DISTINCT r_regionkey) AS n_regions,
+             COUNT(DISTINCT n_nationkey) AS n_nations
+      FROM region CROSS JOIN nation""",
+    "agg_basic" -> s"""
+      SELECT l_returnflag,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             ${ds("l_quantity")} AS sum_qty,
+             ${ds("l_extendedprice")}/COUNT(*) AS avg_price,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_count_distinct" -> """
+      SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "agg_having" -> s"""
+      SELECT l_partkey, ${ds("l_quantity")} AS sum_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+      HAVING ${ds("l_quantity")} > 200
+      ORDER BY sum_qty DESC, l_partkey LIMIT 100""",
+    "agg_rollup" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${ds("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "agg_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "sort_multi_key" -> """
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null,
+             c_custkey
+      FROM customer
+      ORDER BY c_mktsegment ASC,
+               bal_or_null DESC NULLS FIRST,
+               c_custkey ASC
+      LIMIT 100""",
+    "limit" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "repartition_hash" -> """
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+      GROUP BY l_suppkey ORDER BY l_suppkey LIMIT 50""",
+    "repartition_round_robin" -> """
+      SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem""",
+    "merge_coalesce" -> s"""
+      SELECT COUNT(*) AS n, ${ds("l_extendedprice")} AS sum_price
+      FROM lineitem WHERE l_returnflag = 'R'""",
+    "expr_math" -> """
+      SELECT p_size,
+             round(sqrt(p_size), 9) AS f_sqrt,
+             round(sin(p_size), 9) AS f_sin,
+             round(cos(p_size), 9) AS f_cos,
+             round(tan(p_size), 9) AS f_tan,
+             round(atan(p_size), 9) AS f_atan,
+             round(asin(1.0/p_size), 9) AS f_asin,
+             round(acos(1.0/p_size), 9) AS f_acos,
+             round(exp(p_size/10.0), 9) AS f_exp,
+             round(log2(p_size), 9) AS f_log2,
+             round(log10(p_size), 9) AS f_log10,
+             round(ln(p_size), 9) AS f_ln,
+             CAST(floor(p_size*1.5) AS BIGINT) AS f_floor,
+             CAST(ceil(p_size*1.5) AS BIGINT) AS f_ceil,
+             abs(p_size-25) AS f_abs,
+             CAST(sign(p_size-25) AS INT) AS f_sign
+      FROM (SELECT DISTINCT p_size FROM part) ORDER BY p_size""",
+    "expr_string" -> """
+      SELECT c_custkey,
+             lower(c_name) AS f_lower, upper(c_name) AS f_upper,
+             trim('  ' || c_name || '  ') AS f_trim,
+             ltrim('  ' || c_name) AS f_ltrim,
+             rtrim(c_name || '  ') AS f_rtrim,
+             CAST(octet_length(CAST(c_name AS BLOB)) AS INT) AS f_octet_len,
+             CAST(length(c_name) AS INT) AS f_len,
+             c_name || '#' || c_mktsegment AS f_concat,
+             substr(c_name, 1, 8) AS f_substr
+      FROM customer ORDER BY c_custkey LIMIT 100""",
+    "expr_hash" -> """
+      SELECT c_custkey, md5(c_name) AS f_md5, sha256(c_name) AS f_sha256
+      FROM customer ORDER BY c_custkey LIMIT 100""",
+    "expr_case_cast" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 300000 THEN 'big'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'small' END AS size_class,
+             CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END AS status_code,
+             CAST(o_orderkey AS VARCHAR) AS key_str,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             CAST(o_custkey AS DOUBLE) AS cust_dbl,
+             CAST(CAST(-o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS neg_price,
+             o_totalprice BETWEEN 100000 AND 200000 AS in_band,
+             o_orderpriority IN ('1-URGENT','2-HIGH') AS is_hot
+      FROM orders ORDER BY o_orderkey LIMIT 200""",
+    "expr_datetime" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             COUNT(*) AS n,
+             MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS first_month,
+             MAX(o_orderdate) AS max_date
+      FROM orders GROUP BY 1, 2 ORDER BY y, q""",
+    "expr_null" -> """
+      SELECT COUNT(*) AS n,
+             COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull,
+             COUNT(CASE WHEN nullif(c_mktsegment,'BUILDING') IS NULL THEN 1 END) AS n_null,
+             COUNT(CASE WHEN coalesce(nullif(c_mktsegment,'BUILDING'),'X') = 'X'
+                        THEN 1 END) AS n_coalesced
+      FROM customer""",
+    "set_union_all" -> """
+      SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_distinct FROM (
+        SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        UNION ALL
+        SELECT c_custkey FROM customer WHERE c_nationkey < 10)""",
+    "set_union_distinct" -> """
+      SELECT COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        UNION
+        SELECT c_custkey FROM customer WHERE c_nationkey < 10)""",
+    "set_intersect" -> """
+      SELECT COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_nationkey < 8
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_nationkey > 3)""",
+    "set_except" -> """
+      SELECT COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_nationkey < 8
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_nationkey > 3)""",
+    "window_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY l_orderkey) AS DOUBLE) AS order_total
+      FROM lineitem
+      WHERE l_orderkey <= 200
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      ORDER BY l_orderkey, l_linenumber""",
+    "window_rank" -> """
+      SELECT * FROM (
+        SELECT c_mktsegment,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               c_custkey, c_acctbal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+      WHERE rnk <= 5
+      ORDER BY c_mktsegment, rnk, c_custkey"""
+  ).map { case (k, v) => k -> v.stripMargin.trim }
+}
