@@ -16,10 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Tpch.queries ++ operators.Relational.queries
+    operators.Tpch.queries ++ operators.Relational.queries ++
+      operators.TextAnalysis.queries ++ operators.Dedup.queries ++
+      operators.Similarity.queries ++ operators.Multimodal.queries ++
+      streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Tpch.oracles ++ operators.Relational.oracles
+    operators.Tpch.oracles ++ operators.Relational.oracles ++
+      operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
+      operators.Similarity.oracles ++ operators.Multimodal.oracles ++
+      streaming.Streaming.oracles
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.{GraftFunctions, TextFunctions => TF}
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline at 100 TB (beyond the reference surface;
+  * SURVEY.md §7.1 M7).
+  *
+  * Scale notes (the designs, not just the numbers):
+  *  - Exact dedup is a hash groupBy — one shuffle on the normalized-text
+  *    hash, map-side partial aggregation.
+  *  - Exact n-gram Jaccard uses an *inverted index* (explode shingles →
+  *    self-join on shingle → count common per pair): cost is Σ df(s)² over
+  *    shingles, not n² over documents. Hot shingles are pruned by document
+  *    frequency, the standard guard against quadratic blowup on stop-shingles.
+  *  - MinHash+LSH is the 100 TB path: constant-size signatures (64 hashes),
+  *    band-bucket join (b=32, r=2 → P[miss | J=0.8] = (1-0.64)^32 ≈ 1e-14)
+  *    produces candidates, which are exactly verified. Output therefore
+  *    equals the exact-Jaccard operator's (same oracle) with near-certainty,
+  *    while scaling as candidates instead of pairs.
+  *  - SimHash near-dup uses 4×16-bit band blocking: by pigeonhole, hamming
+  *    distance ≤ 3 on 64 bits guarantees one intact quarter, so blocking is
+  *    *exact* for the ≤3 threshold — no candidate loss.
+  *  - Embedding near-dup is brute-force top-k here (the oracle-able
+  *    baseline); the LSH/IVF scale path lives in [[Similarity]].
+  */
+object Dedup {
+
+  private val JaccardThreshold = 0.8
+  private val ShingleN = 3
+  /** Shingles appearing in more document sets than this are pruned from the
+    * inverted index (they cannot decide near-duplicates but dominate join
+    * cost). Must exceed any plausible duplicate-cluster size.
+    */
+  private val MaxShingleDf = 1000
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** doc_id → distinct 3-word shingle set. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      TF.wordShingles(col("text"), ShingleN).as("sh"))
+
+  // -- exact -------------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on normalized text; reports corpus stats
+    * (survivors = one doc per distinct normalized text).
+    */
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(TF.normText(col("text")).as("norm"), col("doc_id"))
+      .groupBy(col("norm")).agg(min(col("doc_id")).as("keeper"),
+                                count(lit(1)).as("grp"))
+      .select(count(lit(1)).as("n_unique"),
+              sum(col("grp")).cast("long").as("n_docs"),
+              (sum(col("grp")) - count(lit(1))).cast("long").as("n_dupes"))
+
+  // -- exact n-gram Jaccard via inverted index ---------------------------
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d).cache()
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // df-prune hot shingles before the self-join
+    val pruned = inv.join(
+      inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf).select(col("s")), Seq("s"))
+    val common = pruned.select(col("doc_id").as("doc_a"), col("s"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        lit(1.0) * col("common") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- MinHash + LSH -----------------------------------------------------
+
+  private val MinhashK = 64
+  private val Bands = 32 // r = 2 rows per band
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
+    val sig = sh.select(col("doc_id"),
+      GraftFunctions.minhash64(col("sh"), MinhashK).as("mh"))
+    // band-bucket keys: (band index, the band's r signature values)
+    val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)), j =>
+          struct(j.as("band"),
+                 element_at(col("mh"), j * 2 + 1).as("h1"),
+                 element_at(col("mh"), j * 2 + 2).as("h2")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+    val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("h1"), col("h2"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("h1"),
+        col("h2")), Seq("band", "h1", "h2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification of candidates (array_intersect on shingle sets)
+    val verified = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", lit(1.0) * col("common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+    verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- SimHash near-dup (hamming ≤ 3 via exact quarter blocking) ---------
+
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sims = docs(s, d).select(col("doc_id"),
+      GraftFunctions.simhash64(TF.words(col("text"))).as("sim"))
+    val quarters = sims.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("q"),
+            shiftrightunsigned(col("sim"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("qv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("sim"), col("blk.q"), col("blk.qv"))
+    quarters.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+        col("q"), col("qv"))
+      .join(quarters.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+        col("q"), col("qv")), Seq("q", "qv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -- embedding cosine near-dup (brute-force baseline) ------------------
+
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(GraftFunctions.cosine_sim(col("va"), col("vb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> jaccardPairs _,
+    "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_simhash" -> simhashPairs _,
+    "dedup_embedding_cos" -> embeddingPairs _
+  )
+
+  /** DuckDB exact-Jaccard pair set (list-algebra form — fine at oracle SF,
+    * while the Spark side uses the scalable inverted index / LSH).
+    */
+  private val JaccardOracle = s"""
+    WITH w AS (
+      SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        for i in range(1, len(w)-1) ]) AS sh
+      FROM w WHERE len(w) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           1.0*len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND 1.0*len(list_intersect(a.sh, b.sh))
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ORDER BY doc_a, doc_b"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> s"""
+      SELECT COUNT(*) AS n_unique,
+             CAST(SUM(grp) AS BIGINT) AS n_docs,
+             CAST(SUM(grp) - COUNT(*) AS BIGINT) AS n_dupes
+      FROM (SELECT ${TextAnalysis.NormSql} AS norm, COUNT(*) AS grp
+            FROM documents GROUP BY 1)""",
+    "dedup_ngram_jaccard" -> JaccardOracle,
+    "dedup_minhash_lsh" -> JaccardOracle,
+    "dedup_embedding_cos" -> """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+      ORDER BY cos DESC, vec_a, vec_b
+      LIMIT 20"""
+  ).map { case (k, v) => k -> v.stripMargin.trim }
+}

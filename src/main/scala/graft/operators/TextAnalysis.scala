@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GraftFunctions, TextFunctions => TF}
+
+/** Text-analysis operators over the `documents` table — the
+  * language-ID / quality-score / token-count / fingerprint layer of a
+  * training-data pipeline (beyond the reference surface; SURVEY.md §7.1 M7).
+  * All are single-pass, shuffle-free per-row projections: at 100 TB they
+  * scale linearly with input splits and stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Token counting: whitespace tokens + BPE-ish pre-tokenization count. */
+  private def textTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      TF.tokenCountWs(col("text")).as("tok_ws"),
+      TF.tokenCountBpe(col("text")).cast("int").as("tok_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length / punctuation / stopword / word-shape ratios. */
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      TF.punctRatio(col("text")).as("punct_ratio"),
+      TF.stopwordRatio(col("text")).as("stopword_ratio"),
+      TF.avgWordLen(col("text")).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID via stopword-marker heuristic, compared to the label. */
+  private def textLangId(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      TF.langIdHeuristic(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic document fingerprint (md5 of normalized text) —
+    * the oracle-checkable half of fingerprinting.
+    */
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      md5(TF.normText(col("text")).cast("binary")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Native-Expression fingerprints (rolling hash + simhash) — rows-only
+    * checked (DuckDB has no equivalent); cross-validated in ScalaTest.
+    */
+  private def textFingerprintNative(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    docs(s, d).select(
+      col("doc_id"),
+      GraftFunctions.rolling_hash(TF.normText(col("text"))).as("fp_rolling"),
+      GraftFunctions.simhash64(TF.words(col("text"))).as("fp_simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens _,
+    "text_quality" -> textQuality _,
+    "text_langid" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _,
+    "text_fingerprint_native" -> textFingerprintNative _
+  )
+
+  /** Shared DuckDB-side normalization (mirrors TextFunctions.normText). */
+  val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> """
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS tok_bpe
+      FROM documents ORDER BY doc_id""",
+    "text_quality" -> s"""
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars_calc,
+             CASE WHEN length(text) > 0
+                  THEN 1.0*len(regexp_extract_all(text, '[^\\w\\s]'))/length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(string_split($NormSql, ' ')) > 0
+                  THEN 1.0*len(list_filter(string_split($NormSql, ' '),
+                       x -> list_contains(['the','a','an','and','of','to','in','is','on','for','with'], x)))
+                       / len(string_split($NormSql, ' '))
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN len(string_split($NormSql, ' ')) > 0
+                  THEN 1.0*length(replace($NormSql, ' ', ''))
+                       / len(string_split($NormSql, ' '))
+                  ELSE 0.0 END AS avg_word_len
+      FROM documents ORDER BY doc_id""",
+    "text_langid" -> s"""
+      SELECT doc_id, lang,
+             CASE
+               WHEN len(list_filter(string_split($NormSql, ' '),
+                      x -> list_contains(['the','a','is','and','of'], x))) >=
+                    len(list_filter(string_split($NormSql, ' '),
+                      x -> list_contains(['el','la','es','los','una'], x)))
+                AND len(list_filter(string_split($NormSql, ' '),
+                      x -> list_contains(['the','a','is','and','of'], x))) > 0
+               THEN 'en'
+               WHEN len(list_filter(string_split($NormSql, ' '),
+                      x -> list_contains(['el','la','es','los','una'], x))) >
+                    len(list_filter(string_split($NormSql, ' '),
+                      x -> list_contains(['the','a','is','and','of'], x)))
+               THEN 'es'
+               ELSE 'und' END AS lang_pred
+      FROM documents ORDER BY doc_id""",
+    "text_fingerprint" -> s"""
+      SELECT doc_id, md5($NormSql) AS fp_md5
+      FROM documents ORDER BY doc_id"""
+  ).map { case (k, v) => k -> v.stripMargin.trim }
+}
