@@ -125,6 +125,28 @@ object HashImpls {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+
+  /** Distinct n-gram shingles ("w1 w2 w3") over a word array, one pass. */
+  def wordShingles(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Dot product, strict left-to-right accumulation. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -227,6 +249,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash64",
       es => MinHash64(es.head,
         if (es.length > 1) intArg(es(1), "minhash64") else 64), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0),
+        if (es.length > 1) intArg(es(1), "word_shingles") else 3), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
@@ -238,6 +263,25 @@ object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhash64(c: Column, k: Int): Column =
     call_function("minhash64", c, org.apache.spark.sql.functions.lit(k))
+  def word_shingles(c: Column, n: Int): Column =
+    call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
+}
+
+/** Distinct space-joined n-gram shingles of an ARRAY<STRING> of words →
+  * ARRAY<STRING>. Native one-pass kernel: the equivalent
+  * transform/slice/concat_ws composition evaluates higher-order lambdas
+  * interpreted per element, which dominates dedup runtime at scale.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0 && n <= 16, s"shingle width out of range: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(v: Any): Any =
+    HashImpls.wordShingles(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }

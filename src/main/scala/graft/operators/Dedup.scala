@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -13,10 +14,12 @@ import graft.functions.{GraftFunctions, TextFunctions => TF}
   * Scale notes (the designs, not just the numbers):
   *  - Exact dedup is a hash groupBy — one shuffle on the normalized-text
   *    hash, map-side partial aggregation.
-  *  - Exact n-gram Jaccard uses an *inverted index* (explode shingles →
-  *    self-join on shingle → count common per pair): cost is Σ df(s)² over
-  *    shingles, not n² over documents. Hot shingles are pruned by document
-  *    frequency, the standard guard against quadratic blowup on stop-shingles.
+  *  - Exact n-gram Jaccard uses a *prefix-filtered inverted index*: under a
+  *    rarest-first global shingle order, a pair with J ≥ t shares one of
+  *    each side's first floor((1-t)·|sh|)+1 shingles, so only prefixes are
+  *    indexed and joined; candidates are verified exactly. A plain inverted
+  *    join is Σ df(s)² — quadratic on hot shingles; prefix filtering keeps
+  *    it near-linear.
   *  - MinHash+LSH is the 100 TB path: constant-size signatures (64 hashes),
   *    band-bucket join (b=32, r=2 → P[miss | J=0.8] = (1-0.64)^32 ≈ 1e-14)
   *    produces candidates, which are exactly verified. Output therefore
@@ -32,18 +35,17 @@ object Dedup {
 
   private val JaccardThreshold = 0.8
   private val ShingleN = 3
-  /** Shingles appearing in more document sets than this are pruned from the
-    * inverted index (they cannot decide near-duplicates but dominate join
-    * cost). Must exceed any plausible duplicate-cluster size.
-    */
-  private val MaxShingleDf = 1000
-
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** doc_id → distinct 3-word shingle set. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  /** doc_id → distinct 3-word shingle set (native codegen'd expression;
+    * the pure-built-in composition [[TF.wordShingles]] is the portable
+    * fallback but evaluates higher-order lambdas interpreted).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     docs(s, d).select(col("doc_id"),
-      TF.wordShingles(col("text"), ShingleN).as("sh"))
+      GraftFunctions.word_shingles(TF.words(col("text")), ShingleN).as("sh"))
+  }
 
   // -- exact -------------------------------------------------------------
 
@@ -62,21 +64,32 @@ object Dedup {
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d).cache()
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    // df-prune hot shingles before the self-join
-    val pruned = inv.join(
-      inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf).select(col("s")), Seq("s"))
-    val common = pruned.select(col("doc_id").as("doc_a"), col("s"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+    // Prefix filtering (Chaudhuri et al., ICDE 2006 / ppjoin): under a
+    // global shingle order (rarest first), any pair with J ≥ t must share
+    // one of each member's first floor((1-t)·|sh|)+1 shingles. Indexing
+    // only those prefixes keeps the self-join linear-ish in corpus size
+    // even when common shingles have huge document frequency (a plain
+    // inverted-index join is Σ df(s)² — quadratic blowup on hot shingles).
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s"))
+    val prefix = inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        floor((lit(1.0) - JaccardThreshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("s"))
+    val candidates = prefix.select(col("doc_id").as("doc_a"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        lit(1.0) * col("common") / (col("sz_a") + col("sz_b") - col("common")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification on the (cached) shingle sets
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", lit(1.0) * col("common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
