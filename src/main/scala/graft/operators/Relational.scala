@@ -374,12 +374,18 @@ object Relational {
         when(col("o_orderstatus") === "F", 1)
           .when(col("o_orderstatus") === "O", 2).otherwise(0).as("status_code"),
         col("o_orderkey").cast(StringType).as("key_str"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+        // DECIMAL/BOOLEAN outputs are re-cast to DOUBLE/INT for the hash
+        // compare (decimal & boolean canonicalization differs across engines
+        // — see Tpch scaladoc); the CASTs under test still execute.
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+          .as("price_dec"),
         col("o_custkey").cast(DoubleType).as("cust_dbl"),
         (-col("o_totalprice")).cast(DecimalType(18, 2)).cast(DoubleType)
           .as("neg_price"),
-        col("o_totalprice").between(100000, 200000).as("in_band"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hot"))
+        col("o_totalprice").between(100000, 200000).cast(IntegerType)
+          .as("in_band"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast(IntegerType)
+          .as("is_hot"))
       .orderBy(col("o_orderkey")).limit(200)
 
   /** Date/time surface: extract fields, date_trunc, string→timestamp cast
@@ -668,11 +674,11 @@ object Relational {
                   ELSE 'small' END AS size_class,
              CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 0 END AS status_code,
              CAST(o_orderkey AS VARCHAR) AS key_str,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
              CAST(o_custkey AS DOUBLE) AS cust_dbl,
              CAST(CAST(-o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS neg_price,
-             o_totalprice BETWEEN 100000 AND 200000 AS in_band,
-             o_orderpriority IN ('1-URGENT','2-HIGH') AS is_hot
+             CAST(o_totalprice BETWEEN 100000 AND 200000 AS INT) AS in_band,
+             CAST(o_orderpriority IN ('1-URGENT','2-HIGH') AS INT) AS is_hot
       FROM orders ORDER BY o_orderkey LIMIT 200""",
     "expr_datetime" -> """
       SELECT CAST(year(o_orderdate) AS INT) AS y,
