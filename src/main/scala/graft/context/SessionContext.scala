@@ -47,7 +47,9 @@ class SessionContext(val spark: SparkSession) {
       // the configured extension are scanned)
       .option("pathGlobFilter", s"*${opts.fileExtension}")
     opts.schema.foreach(s => r = r.schema(s))
-    if (opts.schema.isEmpty && !opts.hasHeader) r = r.option("inferSchema", "true")
+    // schema-less reads always infer types — with OR without a header row;
+    // previously the header path silently read every column as string.
+    if (opts.schema.isEmpty) r = r.option("inferSchema", "true")
     r.csv(path)
   }
 

@@ -82,12 +82,37 @@ object HashImpls {
     out
   }
 
+  /** Per-k permutation coefficients a_i = splitmix64(2i+1)|1 (odd),
+    * b_i = splitmix64(2i+2), computed once and cached — recomputing them
+    * per shingle costs 2·k redundant hashes on the dedup hot path.
+    */
+  private[this] val minhashCoeffs =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffsFor(k: Int): (Array[Long], Array[Long]) = {
+    var c = minhashCoeffs.get(k)
+    if (c == null) {
+      val a = new Array[Long](k)
+      val b = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        a(j) = splitmix64(2L * j + 1) | 1L
+        b(j) = splitmix64(2L * j + 2)
+        j += 1
+      }
+      c = (a, b)
+      minhashCoeffs.putIfAbsent(k, c)
+    }
+    c
+  }
+
   /** k-permutation MinHash signature (Broder, "On the resemblance and
     * containment of documents", 1997) of a string set: base-hash each
     * element with FNV-1a, then k affine permutations h_i(x) = a_i*x + b_i
     * (odd a_i, 64-bit wrap) tracking the minimum of each.
     */
   def minhash64(shingles: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffsFor(k)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = shingles.numElements()
@@ -97,9 +122,7 @@ object HashImpls {
         val x = fnv1a(shingles.getUTF8String(i))
         var j = 0
         while (j < k) {
-          val a = splitmix64(2L * j + 1) | 1L
-          val b = splitmix64(2L * j + 2)
-          val v = a * x + b
+          val v = as(j) * x + bs(j)
           if (v < mins(j)) mins(j) = v
           j += 1
         }

@@ -94,7 +94,7 @@ object Multimodal {
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS INT) AS byte_len,
              md5(text) AS content_md5,
-             lower(hex(encode(text)[1:8])) AS head8_hex
+             lower(substr(hex(encode(text)), 1, 16)) AS head8_hex
       FROM documents ORDER BY doc_id""",
     "mm_decode_pipeline" -> """
       SELECT source, COUNT(*) AS n_images,

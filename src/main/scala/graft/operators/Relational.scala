@@ -66,19 +66,76 @@ object Relational {
   }
 
   /** Parquet sink with codec selection → scan round-trip
-    * (reference: rust/benchmarks/tpch/src/main.rs:233-253).
+    * (reference: rust/benchmarks/tpch/src/main.rs:233-253). Exercises the
+    * 5 codecs whose implementations ship with Spark (none/snappy/gzip/lz4/
+    * zstd); brotli and lzo need native codec jars absent from this
+    * environment, so they stay API-only ([[Compression]]).
     */
   private def parquetSinkCodecs(s: SparkSession, d: String): DataFrame = {
     val ctx = new SessionContext(s)
     val src = ord(s, d)
-    for (c <- Seq(Compression.None_, Compression.Gzip, Compression.Zstd))
+    val codecs = Seq(Compression.None_, Compression.Snappy, Compression.Gzip,
+                     Compression.Lz4, Compression.Zstd)
+    for (c <- codecs)
       ctx.writeParquet(src.filter(col("o_orderstatus") === "F"),
                        scratch(s"orders_${Compression.option(c)}"), c)
-    ctx.readParquet(scratch("orders_zstd"))
-      .unionByName(ctx.readParquet(scratch("orders_gzip")))
+    Seq("snappy", "gzip", "lz4", "zstd")
+      .map(c => ctx.readParquet(scratch(s"orders_$c")))
+      .reduce(_ unionByName _)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** SQL DDL external-table registration — the reference's
+    * CREATE EXTERNAL TABLE plan node (reference: ballista.proto:236-248;
+    * serde rust/core/src/serde/logical_plan/from_proto.rs:188-204).
+    * Spark's equivalent DDL for a path-backed source is
+    * `CREATE TEMPORARY VIEW … USING <format> OPTIONS (path …)`; the view is
+    * then queried through the ordinary SQL path.
+    */
+  private def ddlExternalTable(s: SparkSession, d: String): DataFrame = {
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW ddl_orders
+              USING parquet OPTIONS (path '$d/orders.parquet')""")
+    s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      AS sum_price
+             FROM ddl_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  /** NDJSON sink → scan round-trip — NdJson is declared in the reference's
+    * FileType enum (reference: ballista.proto:236-248) but never wired to a
+    * scan there; Spark reads it natively (json source = NDJSON by default).
+    */
+  private def scanNdjson(s: SparkSession, d: String): DataFrame = {
+    val ctx = new SessionContext(s)
+    val path = scratch("documents_ndjson")
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").json(path)
+    ctx.readJson(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_chars")).cast(LongType).as("sum_chars"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Header-CSV round-trip with schema inference: the header path must
+    * produce typed columns (long/double), not all-string — the sum below
+    * fails loudly if inference regresses.
+    */
+  private def csvHeaderRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val ctx = new SessionContext(s)
+    val path = scratch("orders_csv_hdr")
+    ctx.writeCsv(ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice")), path, header = true)
+    ctx.readCsv(path) // no explicit schema: header + inferSchema
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("sum_price"),
+           max(col("o_orderkey")).cast(LongType).as("max_key"))
+      .orderBy(col("o_orderstatus"))
   }
 
   /** 1-row empty-relation (`SELECT 1`) —
@@ -319,7 +376,13 @@ object Relational {
         floor(col("p_size") * 1.5).as("f_floor"),
         ceil(col("p_size") * 1.5).as("f_ceil"),
         abs(col("p_size") - 25).as("f_abs"),
-        signum(col("p_size") - 25).cast(IntegerType).as("f_sign"))
+        signum(col("p_size") - 25).cast(IntegerType).as("f_sign"),
+        // trunc toward zero (reference wires `trunc`: from_proto.rs:888-927;
+        // Spark has no numeric trunc builtin, so compose sign·floor·abs —
+        // (25-p)*1.5 spans ±37.5 to exercise toward-zero vs floor)
+        (signum((lit(25) - col("p_size")) * 1.5) *
+          floor(abs((lit(25) - col("p_size")) * 1.5))).cast(LongType)
+          .as("f_trunc"))
       .orderBy(col("p_size"))
 
   /** String functions (reference wired set: lower/upper/trim/ltrim/rtrim/
@@ -477,6 +540,9 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> scanParquet _,
     "scan_csv_roundtrip" -> csvRoundtrip _,
+    "scan_csv_header" -> csvHeaderRoundtrip _,
+    "scan_ndjson" -> scanNdjson _,
+    "ddl_external_table" -> ddlExternalTable _,
     "sink_parquet_codecs" -> parquetSinkCodecs _,
     "empty_relation" -> emptyRelation _,
     "mem_table" -> memTable _,
@@ -526,9 +592,22 @@ object Relational {
       SELECT l_linestatus, ${ds("l_quantity")} AS sum_qty,
              ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "scan_csv_header" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${ds("o_totalprice")} AS sum_price,
+             CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "scan_ndjson" -> """
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "ddl_external_table" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sink_parquet_codecs" -> s"""
-      SELECT o_orderpriority, 2*COUNT(*) AS n,
-             CAST(2*SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      SELECT o_orderpriority, 4*COUNT(*) AS n,
+             CAST(4*SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "empty_relation" -> "SELECT 1 AS one",
@@ -651,7 +730,8 @@ object Relational {
              CAST(floor(p_size*1.5) AS BIGINT) AS f_floor,
              CAST(ceil(p_size*1.5) AS BIGINT) AS f_ceil,
              abs(p_size-25) AS f_abs,
-             CAST(sign(p_size-25) AS INT) AS f_sign
+             CAST(sign(p_size-25) AS INT) AS f_sign,
+             CAST(trunc((25-p_size)*1.5) AS BIGINT) AS f_trunc
       FROM (SELECT DISTINCT p_size FROM part) ORDER BY p_size""",
     "expr_string" -> """
       SELECT c_custkey,

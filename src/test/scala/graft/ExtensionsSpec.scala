@@ -52,6 +52,40 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 16)
   }
 
+  test("sha224/384/512 match published NIST test vectors") {
+    // DuckDB 1.0 lacks sha224/384/512, so the oracle can't check
+    // expr_hash_ext — verify the engine's sha2 against the FIPS 180-2
+    // "abc" vectors (+ the empty-string sha256) instead.
+    val r = spark.sql(
+      "SELECT sha2(cast('abc' as binary), 224) a, " +
+      "sha2(cast('abc' as binary), 384) b, " +
+      "sha2(cast('abc' as binary), 512) c, " +
+      "sha2(cast('' as binary), 256) d").collect()(0)
+    assert(r.getString(0) ==
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(r.getString(1) ==
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed" +
+      "8086072ba1e7cc2358baeca134c825a7")
+    assert(r.getString(2) ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+      "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+    assert(r.getString(3) ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+  }
+
+  test("rolling_hash and simhash64 match golden values") {
+    // golden constants computed independently (python, same published
+    // algorithms) — pins the wire format of text_fingerprint_native, which
+    // has no DuckDB oracle
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('hello world') a, rolling_hash('graft') b, " +
+      "simhash64(array('the','quick','brown','fox')) c").collect()(0)
+    assert(r.getLong(0) == -4149311003207586236L)
+    assert(r.getLong(1) == 6867895959594030892L)
+    assert(r.getLong(2) == 5363936793200807308L)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = Tables.load(spark, sfDir, "documents")
@@ -75,16 +109,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
   }
 
-  test("simhash blocking finds the strong near-dup pairs") {
-    val sim = operators.Dedup.queries("dedup_simhash")(spark, sfDir)
+  test("simhash quarter blocking equals brute-force hamming<=3 exactly") {
+    // pigeonhole blocking is provably exact for hamming<=3 on 4 quarters —
+    // assert set equality against an all-pairs scan of the signatures
+    GraftFunctions.register(spark)
+    val sims = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.simhash64(TF.words(col("text"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sims
+      (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val op = operators.Dedup.queries("dedup_simhash")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = operators.Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // simhash(hamming≤3) is a different similarity; require strong overlap
-    // with jaccard≥0.8 pairs rather than equality
-    val hit = exact.count(sim.contains)
-    assert(exact.isEmpty || hit.toDouble / exact.size >= 0.5,
-      s"simhash recall ${hit}/${exact.size}")
+    assert(op == brute, s"blocking=${op.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
   }
 
   test("dedup_exact stats are consistent") {
@@ -109,7 +150,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("ivf probes nearest cells and ranks within them") {
+  test("ivf probing ALL cells equals brute force exactly (recall = 1)") {
+    val ivf = operators.Similarity
+      .ivfTopKWithProbes(spark, sfDir, operators.Similarity.NCells)
+      .select("qid", "rnk", "vec_id", "cos")
+      .collect().map(_.toSeq.toList).toSet
+    val brute = operators.Similarity.queries("ann_brute_topk")(spark, sfDir)
+      .collect().map(_.toSeq.toList).toSet
+    assert(ivf == brute, s"ivf=${ivf.size} brute=${brute.size}")
+  }
+
+  test("ivf at the default probe width keeps a recall floor") {
     val ivf = operators.Similarity.queries("ann_ivf_topk")(spark, sfDir).collect()
     val brute = operators.Similarity.queries("ann_brute_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -119,10 +170,13 @@ class SimilaritySpec extends AnyFunSuite {
       val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
-    // report recall for visibility (not asserted — single-probe IVF on
-    // weakly-clustered data is allowed to be lossy)
     val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
-    info(s"IVF recall@5 vs brute force: $hits/${brute.size}")
+    val recall = hits.toDouble / brute.size
+    info(s"IVF recall@5, nprobe=2/${operators.Similarity.NCells}: $recall")
+    // deterministic on the fixture (decimal-summed k-means); the floor is
+    // intentionally conservative for a 2-of-16-cell probe on weakly
+    // clustered vectors
+    assert(recall >= 0.2, s"recall $recall below floor")
   }
 }
 

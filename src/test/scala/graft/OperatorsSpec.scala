@@ -71,6 +71,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(l_suppkey"), p)
   }
 
+  test("embedding top-k pairs is a block equi-join, not a cartesian") {
+    val p = planOf("dedup_embedding_cos")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$p")
+    // the trailing top-20 must collapse to per-partition top-k
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+  }
+
+  test("ivf probed-cell scan is partition-pruned") {
+    val p = planOf("ann_ivf_topk")
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probed-cell filter not pushed to partition pruning:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregate") {
     val df = SparkEntry.queries("tpch_q1")(spark, sfDir)
     df.collect() // finalize the adaptive plan
