@@ -7,20 +7,35 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.GraftFunctions
 
-/** Approximate-nearest-neighbor search over the `embeddings` table
-  * (Array[Float] column) — beyond the reference surface (SURVEY.md §7.1 M7).
+/** Approximate-nearest-neighbor search and sub-quadratic similarity joins
+  * over the `embeddings` table (Array[Float] column) — beyond the reference
+  * surface (SURVEY.md §7.1 M7).
   *
-  * Two tiers:
+  * Three tiers:
   *  - [[bruteTopK]]: exact cosine top-k, query-batch × corpus join. The
   *    correctness baseline (oracle-checked). At scale this is the pattern
   *    for a *small* query batch against a broadcast-friendly corpus slice;
   *    cost is |Q|·|C|.
-  *  - [[ivfTopK]]: real IVF — coarse cells learned by spherical k-means
-  *    (Lloyd's, DataFrame-only), the corpus stored PARTITIONED BY cell id,
-  *    queries probe only their `nprobe` nearest cells, and the probed-cell
-  *    filter reaches the scan as a partition filter (partition pruning,
-  *    asserted in PlanSpec). Cuts the scanned corpus by ~cells/nprobe; the
-  *    100 TB path.
+  *  - [[ivfTopKWithProbes]]: real IVF with a **build/query split** — the
+  *    index (spherical-k-means centroids + the corpus stored PARTITIONED BY
+  *    cell id) is materialized ONCE by [[buildIvfIndex]] and cached on disk;
+  *    queries only read it, probe their `nprobe` nearest cells, and the
+  *    probed-cell filter reaches the scan as a partition filter (partition
+  *    pruning, asserted in PlanSpec). Cuts the scanned corpus by
+  *    ~cells/nprobe; the 100 TB path.
+  *  - [[embeddingThresholdPairs]]: EXACT cosine-threshold self-join ("all
+  *    pairs with cos ≥ t") that prunes whole cell pairs with a spherical-cap
+  *    bound before doing any pairwise work — the embedding analog of the
+  *    text tier's MinHash-LSH, but with recall 1 by construction (see the
+  *    method doc for why LSH banding cannot meet an exact-oracle contract).
+  *
+  * Index lifecycle: the index directory is keyed by (dataset dir, cell
+  * count, layout version) under a scratch root taken from
+  * `spark.graft.scratch` / `SPARK_GRAFT_SCRATCH` (default `target/scratch`),
+  * and guarded by a `_BUILT` marker — first use builds, every later use
+  * (any query, any probe width, the threshold join) reads the same layout.
+  * At cluster scale this is the "index once, query many" contract of any
+  * vector store; locally the spec asserts the query path never rewrites it.
   *
   * K-means design notes:
   *  - Assignment is SHUFFLE-FREE: centroids are k×dim (driver-sized by
@@ -32,6 +47,8 @@ import graft.functions.GraftFunctions
   *    dimension sums are accumulated in DECIMAL so centroid values (and
   *    therefore cell assignments, recall, and test results) are exactly
   *    deterministic across runs and partitionings.
+  *  - A cell that loses all members during an iteration keeps its previous
+  *    centroid (carry-forward), so the cell count never silently shrinks.
   *  - Init is deterministic: the k lowest vec_ids.
   */
 object Similarity {
@@ -42,7 +59,35 @@ object Similarity {
   val NCells = 16
   private val LloydIters = 4
 
-  private def scratch(sub: String) = s"/root/repo/target/scratch/$sub"
+  /** Fixture-scaled threshold for the oracle-checked threshold join. The
+    * real near-dup setting is ~0.9; this synthetic corpus is unstructured
+    * (best pair cos ≈ 0.51, nearest pair-cos to 0.4 is 1.2e-4 away — no
+    * engine-boundary ambiguity), so 0.4 is the smallest round threshold
+    * that yields a non-trivial verified pair set.
+    */
+  val CosThreshold = 0.4
+
+  /** Scratch root for materialized indexes — configurable so the operator
+    * is not tied to one checkout layout: `spark.graft.scratch` conf, then
+    * `SPARK_GRAFT_SCRATCH` env, then ./target/scratch.
+    */
+  def scratchRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.scratch")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .getOrElse("target/scratch")
+
+  /** On-disk IVF index location for a dataset dir (layout-versioned). */
+  def indexDir(s: SparkSession, d: String): String =
+    s"${scratchRoot(s)}/ivf_v1_${NCells}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  /** centroids = (cell id, centroid vector, angular radius in radians —
+    * max angle of any member to its centroid, the exact cap bound used by
+    * [[prunedCellPairs]]); corpusPath = parquet partitioned by `cell`.
+    */
+  final case class IvfIndex(
+      centroids: Seq[(Int, Seq[Double], Double)], corpusPath: String)
+
+  private val buildLock = new Object
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
@@ -81,6 +126,8 @@ object Similarity {
   /** Spherical k-means centroids via Lloyd's iterations, distributed:
     * map-only assignment (see [[assignExpr]]) + one aggregation per
     * iteration. Only the k×dim centroid table ever reaches the driver.
+    * Cells that end an iteration empty keep their previous centroid, so
+    * the result always has exactly k entries.
     */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
@@ -95,31 +142,66 @@ object Similarity {
         .agg((sum(col("x").cast(DecimalType(30, 16))) / count(lit(1)))
           .cast(DoubleType).as("cx"))
         .collect()
-      cents = next.groupBy(_.getInt(0)).map { case (cell, rows) =>
+      val byCell = next.groupBy(_.getInt(0)).map { case (cell, rows) =>
         (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      }.toSeq.sortBy(_._1)
+      }
+      cents = cents.map { case (cell, prev) => (cell, byCell.getOrElse(cell, prev)) }
     }
     cents
   }
 
+  /** Build (or reuse) the on-disk IVF index for a dataset: learn centroids,
+    * write the corpus partitioned by cell, measure per-cell angular radii,
+    * persist centroids+radii, drop a `_BUILT` marker. Idempotent and cached:
+    * if the marker exists the build is skipped entirely and only the small
+    * centroid table is read back. JVM-locked so concurrent suites can't
+    * race the build.
+    */
+  def buildIvfIndex(s: SparkSession, d: String): IvfIndex = buildLock.synchronized {
+    GraftFunctions.register(s)
+    val dir = indexDir(s, d)
+    val corpusPath = s"$dir/corpus"
+    val centsPath = s"$dir/centroids"
+    val marker = new java.io.File(s"$dir/_BUILT")
+    if (!marker.exists()) {
+      val e = emb(s, d).cache()
+      val cents = kmeansCentroids(e, NCells, LloydIters)
+      e.withColumn("cell", assignExpr(cents, col("v")))
+        .write.mode("overwrite").partitionBy("cell").parquet(corpusPath)
+      // exact per-cell cap radius: max angle(member, own centroid) — one
+      // map-only pass over the just-written corpus + a k-sized aggregate
+      val centArr = typedLit(cents.map(_._2))
+      val radii = s.read.parquet(corpusPath)
+        .select(col("cell"),
+          acos(least(lit(1.0), greatest(lit(-1.0),
+            GraftFunctions.cosine_sim(col("v"), element_at(centArr, col("cell") + 1)))))
+            .as("ang"))
+        .groupBy(col("cell")).agg(max(col("ang")).as("radius"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      e.unpersist()
+      val withR = cents.map { case (c, cv) => (c, cv, radii.getOrElse(c, 0.0)) }
+      s.createDataFrame(withR).toDF("cell", "cv", "radius")
+        .coalesce(1).write.mode("overwrite").parquet(centsPath)
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    val cents = s.read.parquet(centsPath)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    IvfIndex(cents, corpusPath)
+  }
+
   /** IVF top-k with a configurable probe width (public so the spec can
-    * verify recall == 1 at nprobe = NCells and a floor at the default).
+    * verify recall == 1 at nprobe = NCells and monotonicity below it).
+    * Pure QUERY path: reads the prebuilt index, never writes.
     */
   def ivfTopKWithProbes(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     GraftFunctions.register(s)
-    val e = emb(s, d).cache()
-    val cents = kmeansCentroids(e, NCells, LloydIters)
-
-    // cell-bucketed storage: the corpus laid out PARTITIONED BY cell, so a
-    // probe reads only its cells' files (at cluster scale: partition-pruned
-    // column chunks; here: pruned directories, visible in the plan)
-    val bucketPath = scratch("embeddings_ivf")
-    e.withColumn("cell", assignExpr(cents, col("v")))
-      .write.mode("overwrite").partitionBy("cell").parquet(bucketPath)
+    val idx = buildIvfIndex(s, d)
 
     // coarse quantization: nprobe nearest cells per query
-    val centsDf = s.createDataFrame(cents).toDF("cell", "cv")
-    val q = e.filter(col("vec_id") < NQueries)
+    val centsDf = s.createDataFrame(idx.centroids.map(c => (c._1, c._2)))
+      .toDF("cell", "cv")
+    val q = emb(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centsDf))
@@ -129,12 +211,12 @@ object Similarity {
       .filter(col("crnk") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
 
-    // partition pruning: restrict the bucketed scan to the union of probed
+    // partition pruning: restrict the indexed scan to the union of probed
     // cells (driver-side metadata decision, k-sized) — the isin predicate
     // lands in the scan's PartitionFilters
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpus = s.read.parquet(bucketPath)
+    val corpus = s.read.parquet(idx.corpusPath)
       .filter(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
 
     // fine ranking inside probed cells only
@@ -152,9 +234,84 @@ object Similarity {
   private def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKWithProbes(s, d, NProbe)
 
+  // -- exact cosine-threshold self-join with cell-pair cap pruning ---------
+
+  /** Cell pairs that can possibly contain a pair with cos ≥ t, by the
+    * spherical-cap bound: for a ∈ cell i, b ∈ cell j,
+    *   angle(a,b) ≥ angle(c_i,c_j) − r_i − r_j
+    * (spherical triangle inequality), so if that lower bound exceeds
+    * acos(t) the whole cell pair is provably empty and is dropped before
+    * any pairwise work. Driver-side on k² metadata; returns (kept pairs
+    * with i ≤ j, total pair count).
+    */
+  def prunedCellPairs(cents: Seq[(Int, Seq[Double], Double)], t: Double)
+      : (Seq[(Int, Int)], Int) = {
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val norms = cents.map { case (i, cv, _) => i -> math.sqrt(dot(cv, cv)) }.toMap
+    val maxAngle = math.acos(t)
+    val judged = for {
+      (i, ci, ri) <- cents
+      (j, cj, rj) <- cents if i <= j
+    } yield {
+      val cosij = math.max(-1.0, math.min(1.0,
+        dot(ci, cj) / (norms(i) * norms(j))))
+      val lower = math.max(0.0, math.acos(cosij) - ri - rj)
+      ((i, j), lower <= maxAngle)
+    }
+    (judged.collect { case (p, true) => p }, judged.size)
+  }
+
+  /** EXACT "all pairs with cos ≥ t" over the corpus — the embedding
+    * dedup/near-dup threshold operator, recall 1 by construction.
+    *
+    * Why cap pruning instead of random-hyperplane LSH banding: an LSH band
+    * scheme has recall < 1 for any finite signature (P[miss] > 0 for every
+    * true pair), and at thresholds far below ~0.9 the sign-bit collision
+    * gap (p = 1 − θ/π: 0.63 at t=0.4 vs 0.5 for orthogonal pairs) is so
+    * small that band parameters yielding recall ≈ 1 admit ~all n² pairs as
+    * candidates anyway. The cap bound is exact at every threshold, costs
+    * one k² driver-side matrix, and prunes in proportion to how clustered
+    * the corpus actually is — on planted clusters most cell pairs drop
+    * (spec-asserted); on this deliberately unstructured fixture radii are
+    * wide and few pairs prune, which is the correct answer, because exact
+    * threshold join on unstructured vectors is Θ(n²) for ANY algorithm.
+    *
+    * Execution shape (same scale story as [[Dedup]]'s block join): the
+    * surviving (bi, bj) cell-pair keys are broadcast, each corpus cell is
+    * replicated once per surviving pair it participates in, and the join is
+    * a composite equi-join — no CartesianProduct, no skew, work spread over
+    * |kept pairs| evenly-sized tasks. Each unordered vector pair is owned
+    * by exactly one cell pair, so no distinct is needed.
+    */
+  def embeddingThresholdPairs(s: SparkSession, d: String, t: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = buildIvfIndex(s, d)
+    val (kept, _) = prunedCellPairs(idx.centroids, t)
+    val pairsDf = broadcast(s.createDataFrame(kept).toDF("bi", "bj"))
+    val corpus = s.read.parquet(idx.corpusPath) // vec_id, v, cell
+    val left = corpus.join(pairsDf, col("cell") === col("bi"))
+      .select(col("bi"), col("bj"), col("vec_id").as("ida"), col("v").as("va"))
+    val right = corpus.join(pairsDf, col("cell") === col("bj"))
+      .select(col("bi").as("ri"), col("bj").as("rj"),
+              col("vec_id").as("idb"), col("v").as("vb"))
+    left.join(right, col("bi") === col("ri") && col("bj") === col("rj"))
+      // diagonal cell pairs see both orderings of a vector pair
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= t)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+              greatest(col("ida"), col("idb")).as("vec_b"),
+              round(GraftFunctions.cosine_sim(col("va"), col("vb")), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private def embeddingThreshold(s: SparkSession, d: String): DataFrame =
+    embeddingThresholdPairs(s, d, CosThreshold)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
-    "ann_ivf_topk" -> ivfTopK _
+    "ann_ivf_topk" -> ivfTopK _,
+    "dedup_embedding_threshold" -> embeddingThreshold _
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,6 +327,15 @@ object Similarity {
         FROM embeddings q, embeddings e
         WHERE q.vec_id < $NQueries AND q.vec_id <> e.vec_id)
       WHERE rnk <= $TopK
-      ORDER BY qid, rnk"""
+      ORDER BY qid, rnk""",
+    "dedup_embedding_threshold" -> s"""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= $CosThreshold
+      ORDER BY vec_a, vec_b"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

@@ -160,23 +160,100 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == brute, s"ivf=${ivf.size} brute=${brute.size}")
   }
 
-  test("ivf at the default probe width keeps a recall floor") {
-    val ivf = operators.Similarity.queries("ann_ivf_topk")(spark, sfDir).collect()
+  test("ivf recall is monotonically non-decreasing in nprobe") {
     val brute = operators.Similarity.queries("ann_brute_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(ivf.nonEmpty)
-    // mechanism: per query ranks are 1..k and descending scores
-    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
-      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
-      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    val probes = Seq(2, 4, 8, operators.Similarity.NCells)
+    val recalls = probes.map { np =>
+      val ivf = operators.Similarity.ivfTopKWithProbes(spark, sfDir, np).collect()
+      // mechanism: per query ranks are 1..k and descending scores
+      ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+        val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      }
+      val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
+      hits.toDouble / brute.size
     }
-    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
-    val recall = hits.toDouble / brute.size
-    info(s"IVF recall@5, nprobe=2/${operators.Similarity.NCells}: $recall")
-    // deterministic on the fixture (decimal-summed k-means); the floor is
-    // intentionally conservative for a 2-of-16-cell probe on weakly
-    // clustered vectors
-    assert(recall >= 0.2, s"recall $recall below floor")
+    info(s"IVF recall@5 over nprobe=$probes: $recalls")
+    recalls.zip(recalls.tail).foreach { case (lo, hi) =>
+      assert(hi >= lo, s"recall not monotonic: $recalls")
+    }
+    assert(recalls.last == 1.0, s"full probe must be exact: $recalls")
+    // floor for the default width, set from the deterministic fixture value
+    // (decimal-summed k-means makes this exactly reproducible: 0.84)
+    assert(recalls.head >= 0.8, s"nprobe=2 recall ${recalls.head} below floor")
+  }
+
+  test("ivf query path reads the prebuilt index without rewriting it") {
+    // build (or reuse) the index, then snapshot every file under it
+    operators.Similarity.queries("ann_ivf_topk")(spark, sfDir).collect()
+    val dir = new java.io.File(operators.Similarity.indexDir(spark, sfDir))
+    def snapshot: Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val before = snapshot
+    assert(before.nonEmpty, "index was not materialized")
+    operators.Similarity.queries("ann_ivf_topk")(spark, sfDir).collect()
+    operators.Similarity.queries("dedup_embedding_threshold")(spark, sfDir).collect()
+    assert(snapshot == before, "query path rewrote the index")
+  }
+
+  test("threshold join equals in-memory brute force on the fixture") {
+    val got = operators.Similarity.queries("dedup_embedding_threshold")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs
+      if i < j && cos(vi, vj) >= operators.Similarity.CosThreshold
+    } yield (i, j)).toSet
+    assert(want.nonEmpty, "fixture should have pairs above the threshold")
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
+  test("threshold join on planted clusters: exact result, real cap pruning") {
+    // deterministic clustered corpus: 8 gaussian centers, tight points ⇒
+    // intra-cluster cos ≈ 0.99, inter ≲ 0.5 — the regime the operator is
+    // built for; cap bounds must prune most of the k(k+1)/2 cell pairs
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val t = 0.9
+    val got = operators.Similarity.embeddingThresholdPairs(spark, dir, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val arr = vecs.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      (i, vi) <- arr; (j, vj) <- arr if i < j && cos(vi, vj) >= t
+    } yield (i, j)).toSet
+    assert(want.size > 1000, s"planted clusters too loose: ${want.size} pairs")
+    assert(got == want, s"got=${got.size} want=${want.size}")
+
+    val idx = operators.Similarity.buildIvfIndex(spark, dir)
+    val (keptPairs, total) = operators.Similarity.prunedCellPairs(idx.centroids, t)
+    info(s"cap pruning kept ${keptPairs.size}/$total cell pairs")
+    assert(keptPairs.size < total / 2,
+      s"pruning ineffective on clustered data: ${keptPairs.size}/$total")
   }
 }
 
