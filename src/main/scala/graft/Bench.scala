@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line {"metric","value","unit","queries","sf"}.
@@ -15,10 +16,54 @@ import org.apache.spark.sql.SparkSession
   *    round-over-round comparison;
   *  - a failing query is reported in "failed" and nulls the headline total
   *    (a broken query must never make the total look better);
-  *  - queries run in sorted name order for run-to-run comparability.
+  *  - queries run in sorted name order for run-to-run comparability;
+  *  - `SPARK_GRAFT_BENCH_ONLY=q1,q2` restricts the run to named queries
+  *    (dev iteration aid; the driver runs the full set);
+  *  - "sf1_q1" is TPC-H q1 at SF≈1: the input lineitem deterministically
+  *    replicated ×10 with per-replica l_orderkey offsets (so key
+  *    distributions scale like real SF=1 data, not 10 identical copies),
+  *    built once under the scratch root — the apples-to-apples point
+  *    against the reference's published 1956 ms SF=1 q1 (BASELINE.md).
   */
 object Bench {
   private val Iters = 3
+  private val Sf1Reps = 10
+
+  /** JSON string escape: backslash, quote, and ALL control chars — Spark
+    * exception messages often contain newlines, which would otherwise make
+    * the emitted bench line invalid JSON.
+    */
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Build (once, cached) an SF≈1-equivalent TPC-H dir: lineitem ×Sf1Reps
+    * with offset order keys; the six small tables copied as-is.
+    */
+  private def ensureSf1Dir(spark: SparkSession, sfDir: String): String = {
+    val root = operators.Similarity.scratchRoot(spark)
+    val dir = s"$root/sf1eq_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val marker = new java.io.File(s"$dir/_BUILT")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val step = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      li.crossJoin(broadcast(spark.range(Sf1Reps).select(col("id").as("rep"))))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * step)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      for (t <- Tables.tpch if t != "lineitem")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+          java.nio.file.Paths.get(s"$dir/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    dir
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,14 +73,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Either[String, Double] = {
+    def runOnce(name: String, dir: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
@@ -49,29 +95,46 @@ object Bench {
       s(s.length / 2)
     }
 
-    // untimed warm-up: session, codegen, parquet footers
-    runOnce("tpch_q6")
-
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val results: Seq[(String, Either[String, Double])] = names.map { n =>
-      val runs = (1 to Iters).map(_ => runOnce(n))
+    def medianOf(name: String, dir: String): Either[String, Double] = {
+      val runs = (1 to Iters).map(_ => runOnce(name, dir))
       val times = runs.collect { case Right(t) => t }
-      n -> (if (times.size == Iters) Right(median(times))
-            else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown")))
+      if (times.size == Iters) Right(median(times))
+      else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown"))
     }
+
+    // untimed warm-up: session, codegen, parquet footers
+    runOnce("tpch_q6", sfDir)
+
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results: Seq[(String, Either[String, Double])] =
+      names.map(n => n -> medianOf(n, sfDir))
     val qs = results.map {
       case (k, Right(t)) => s""""$k":$t"""
       case (k, Left(_)) => s""""$k":null"""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, Left(e)) =>
-      s""""$k":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}""""
-    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(e)) => s""""$k":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
     val anyFailed = results.exists(_._2.isLeft)
     val total =
       if (anyFailed) "null"
       else results.collect { case (_, Right(t)) => t }.sum.toString
+
+    // same-scale baseline point (untimed build; timed like any query)
+    val sf1 =
+      if (only.isDefined) "null" // dev-filtered runs skip the SF1 build
+      else
+        (try medianOf("tpch_q1", ensureSf1Dir(spark, sfDir))
+         catch { case e: Throwable => Left(s"sf1 build: ${e.getClass.getSimpleName}") })
+        match {
+          case Right(t) => t.toString
+          case Left(_) => "null"
+        }
+
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,""" +
-      s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s""""queries":$qs,"failed":$failed,"sf1_q1":$sf1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

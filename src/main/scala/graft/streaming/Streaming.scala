@@ -19,9 +19,20 @@ object Streaming {
   /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read nanos as long and truncate to Spark's native µs
     * precision (same truncation DuckDB applies casting ns→µs).
+    *
+    * The conf belongs in session construction (graft's own entry points —
+    * Bench, Verify, the test session — all set it there); [[ensureNanosConf]]
+    * is a defensive, idempotent guard for externally-constructed sessions
+    * (e.g. the driver calling SparkEntry.entry with its own SparkSession) —
+    * it only ever writes when the key is unset, so repeated queries never
+    * mutate session state.
     */
+  private def ensureNanosConf(s: SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(s)
     val raw = Tables.load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -74,7 +85,7 @@ object Streaming {
     * running the transforms above under `readStream` — used by the specs.
     */
   def readEventStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosConf(s)
     val rawSchema = Tables.load(s, d, "events").schema // ts arrives as LONG ns
     val st = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)

@@ -85,6 +85,50 @@ class PlanSpec extends AnyFunSuite {
       s"probed-cell filter not pushed to partition pruning:\n$p")
   }
 
+  test("AQE splits a deliberately skewed sort-merge join (skew=true)") {
+    // At 100× scale, skew — not average throughput — is what kills the join
+    // tier; prove the runtime mitigation actually engages: ~98% of lineitem
+    // rows mapped to one hot key, broadcast disabled to force a shuffle
+    // join, AQE skew thresholds scaled to the fixture. The finalized plan
+    // must show the skewed partition split (skew=true on the join).
+    import org.apache.spark.sql.functions._
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // many map tasks matter: AQE splits a skewed reduce partition at
+      // map-output-block granularity, so a single-mapper input (one small
+      // parquet file) can never be split — at real scale the scan has
+      // thousands of mappers; emulate that here
+      val hot = Tables.load(spark, sfDir, "lineitem")
+        .repartition(16)
+        .select(
+          when(col("l_linenumber") % 50 === 0, col("l_orderkey") % 50)
+            .otherwise(lit(0L)).as("k"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      val dim = spark.range(50).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // aggregate the payload columns too, so column pruning can't strip
+      // them before the shuffle and shrink the hot partition under the
+      // skew threshold
+      val joined = hot.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("l_quantity")).as("sq"), sum(col("l_extendedprice")).as("se"),
+          sum(col("l_partkey")).as("sp"), sum(col("l_suppkey")).as("ss"))
+      joined.collect() // finalize the adaptive plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the q1 aggregate") {
     val df = SparkEntry.queries("tpch_q1")(spark, sfDir)
     df.collect() // finalize the adaptive plan
