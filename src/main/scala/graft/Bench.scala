@@ -43,27 +43,23 @@ object Bench {
   /** Build (once, cached) an SF≈1-equivalent TPC-H dir: lineitem ×Sf1Reps
     * with offset order keys; the six small tables copied as-is.
     */
-  private def ensureSf1Dir(spark: SparkSession, sfDir: String): String = {
-    val root = operators.Similarity.scratchRoot(spark)
-    val dir = s"$root/sf1eq_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
-    val marker = new java.io.File(s"$dir/_BUILT")
-    if (!marker.exists()) {
-      new java.io.File(dir).mkdirs()
+  private def ensureSf1Dir(spark: SparkSession, sfDir: String): String =
+    Scratch.ensure(spark, s"sf1eq_${Scratch.sanitize(sfDir)}") { dir =>
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val step = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
       li.crossJoin(broadcast(spark.range(Sf1Reps).select(col("id").as("rep"))))
         .withColumn("l_orderkey", col("l_orderkey") + col("rep") * step)
         .drop("rep")
+        // a real SF1 table is many files/row-groups; one 6M-row row group
+        // would serialize the scan onto a single core
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       for (t <- Tables.tpch if t != "lineitem")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
           java.nio.file.Paths.get(s"$dir/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.writeString(marker.toPath, "ok")
     }
-    dir
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once, read-many scratch layouts (materialized indexes, bucketed
+  * copies, partitioned layouts, scale-up fixtures). The root is
+  * configurable so operators are not tied to one checkout:
+  * `spark.graft.scratch` conf, then `SPARK_GRAFT_SCRATCH` env, then
+  * `./target/scratch`. Layouts are guarded by a `_BUILT` marker and a JVM
+  * lock, so concurrent suites in one JVM can't race a build and later
+  * sessions reuse the artifact instead of rebuilding (the "index once,
+  * query many" contract — at cluster scale these are table-format
+  * maintenance jobs, not per-query work).
+  */
+object Scratch {
+
+  /** Always absolute: table DDL (LOCATION) resolves relative paths against
+    * the warehouse dir while file reads resolve against the process cwd —
+    * an absolute root keeps every consumer pointing at the same files.
+    */
+  def root(s: SparkSession): String =
+    java.nio.file.Paths.get(
+      s.conf.getOption("spark.graft.scratch")
+        .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+        .getOrElse("target/scratch")
+    ).toAbsolutePath.normalize.toString
+
+  def sanitize(p: String): String = p.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private val lock = new Object
+
+  /** Returns `<root>/<key>`, running `build(dir)` first unless the marker
+    * from a previous build is present.
+    */
+  def ensure(s: SparkSession, key: String)(build: String => Unit): String =
+    lock.synchronized {
+      val dir = s"${root(s)}/$key"
+      val marker = new java.io.File(s"$dir/_BUILT")
+      if (!marker.exists()) {
+        new java.io.File(dir).mkdirs()
+        build(dir)
+        java.nio.file.Files.writeString(marker.toPath, "ok")
+      }
+      dir
+    }
+}

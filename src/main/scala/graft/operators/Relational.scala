@@ -178,6 +178,76 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // storage-layout tier (beyond-reference): bucketed co-located join,
+  // partitioned sink + pruned read-back — the two layout techniques that
+  // convert recurring 100 TB query cost into one-time write cost
+  // ---------------------------------------------------------------------
+
+  private val BucketSpec = Seq("orders" -> "o_custkey", "customer" -> "c_custkey")
+  private val NBuckets = 8
+
+  /** Bucketed layout for orders⋈customer: both sides pre-hashed on the
+    * join key into the same bucket count at write time, so the join needs
+    * NO shuffle of either side. Files are built once under [[graft.Scratch]];
+    * bucket specs live in the catalog (not the files), so every session
+    * re-attaches the layout with a metadata-only external CREATE TABLE.
+    */
+  private def ensureBucketedTables(s: SparkSession, d: String): Unit = {
+    val dir = graft.Scratch.ensure(s, s"bucketed_${graft.Scratch.sanitize(d)}") { dir =>
+      BucketSpec.foreach { case (t, key) =>
+        s.sql(s"DROP TABLE IF EXISTS graft_build_$t")
+        Tables.load(s, d, t)
+          .write.bucketBy(NBuckets, key).sortBy(key)
+          .option("path", s"$dir/$t")
+          .mode("overwrite")
+          .saveAsTable(s"graft_build_$t")
+        s.sql(s"DROP TABLE IF EXISTS graft_build_$t") // external: files survive
+      }
+    }
+    BucketSpec.foreach { case (t, key) =>
+      val schemaDdl = s.read.parquet(s"$dir/$t").schema.toDDL
+      s.sql(s"DROP TABLE IF EXISTS ${t}_bkt")
+      s.sql(s"""CREATE TABLE ${t}_bkt ($schemaDdl) USING parquet
+                CLUSTERED BY ($key) SORTED BY ($key) INTO $NBuckets BUCKETS
+                LOCATION '$dir/$t'""")
+    }
+  }
+
+  /** Co-located join on the bucketed layout (PlanSpec asserts no
+    * hashpartitioning Exchange on the join keys and a bucketed scan).
+    */
+  private def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    ensureBucketedTables(s, d)
+    s.table("orders_bkt")
+      .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Hive-style partitioned sink + pruned read-back: data laid out by the
+    * slice column at write time; the read scans only the selected
+    * partition directory (PartitionFilters, asserted in PlanSpec) — the
+    * layout for a 100 TB table whose queries are status/date-sliced.
+    */
+  private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s, s"part_orders_${graft.Scratch.sanitize(d)}") { dir =>
+      Tables.load(s, d, "orders")
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(s"$dir/orders_by_status")
+    }
+    s.read.parquet(s"$dir/orders_by_status")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---------------------------------------------------------------------
   // §2.2 projection / filter
   // ---------------------------------------------------------------------
 
@@ -574,6 +644,8 @@ object Relational {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_cross" -> joinCross _,
+    "join_bucketed" -> joinBucketed _,
+    "sink_partitioned" -> sinkPartitioned _,
     "agg_basic" -> aggBasic _,
     "agg_count_distinct" -> aggCountDistinct _,
     "agg_having" -> aggHaving _,
@@ -692,6 +764,14 @@ object Relational {
              COUNT(DISTINCT r_regionkey) AS n_regions,
              COUNT(DISTINCT n_nationkey) AS n_nations
       FROM region CROSS JOIN nation""",
+    "join_bucketed" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "sink_partitioned" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_basic" -> s"""
       SELECT l_returnflag,
              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,

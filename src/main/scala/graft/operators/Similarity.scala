@@ -67,18 +67,14 @@ object Similarity {
     */
   val CosThreshold = 0.4
 
-  /** Scratch root for materialized indexes — configurable so the operator
-    * is not tied to one checkout layout: `spark.graft.scratch` conf, then
-    * `SPARK_GRAFT_SCRATCH` env, then ./target/scratch.
-    */
-  def scratchRoot(s: SparkSession): String =
-    s.conf.getOption("spark.graft.scratch")
-      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
-      .getOrElse("target/scratch")
+  private def indexKey(d: String): String =
+    s"ivf_v1_${NCells}_${graft.Scratch.sanitize(d)}"
 
-  /** On-disk IVF index location for a dataset dir (layout-versioned). */
+  /** On-disk IVF index location for a dataset dir (layout-versioned,
+    * under the [[graft.Scratch]] root).
+    */
   def indexDir(s: SparkSession, d: String): String =
-    s"${scratchRoot(s)}/ivf_v1_${NCells}_${d.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    s"${graft.Scratch.root(s)}/${indexKey(d)}"
 
   /** centroids = (cell id, centroid vector, angular radius in radians —
     * max angle of any member to its centroid, the exact cap bound used by
@@ -86,8 +82,6 @@ object Similarity {
     */
   final case class IvfIndex(
       centroids: Seq[(Int, Seq[Double], Double)], corpusPath: String)
-
-  private val buildLock = new Object
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
@@ -152,18 +146,14 @@ object Similarity {
 
   /** Build (or reuse) the on-disk IVF index for a dataset: learn centroids,
     * write the corpus partitioned by cell, measure per-cell angular radii,
-    * persist centroids+radii, drop a `_BUILT` marker. Idempotent and cached:
-    * if the marker exists the build is skipped entirely and only the small
-    * centroid table is read back. JVM-locked so concurrent suites can't
-    * race the build.
+    * persist centroids+radii. Idempotent and cached via [[graft.Scratch]]:
+    * on a hit the build is skipped entirely and only the small centroid
+    * table is read back.
     */
-  def buildIvfIndex(s: SparkSession, d: String): IvfIndex = buildLock.synchronized {
+  def buildIvfIndex(s: SparkSession, d: String): IvfIndex = {
     GraftFunctions.register(s)
-    val dir = indexDir(s, d)
-    val corpusPath = s"$dir/corpus"
-    val centsPath = s"$dir/centroids"
-    val marker = new java.io.File(s"$dir/_BUILT")
-    if (!marker.exists()) {
+    val dir = graft.Scratch.ensure(s, indexKey(d)) { dir =>
+      val corpusPath = s"$dir/corpus"
       val e = emb(s, d).cache()
       val cents = kmeansCentroids(e, NCells, LloydIters)
       e.withColumn("cell", assignExpr(cents, col("v")))
@@ -181,9 +171,10 @@ object Similarity {
       e.unpersist()
       val withR = cents.map { case (c, cv) => (c, cv, radii.getOrElse(c, 0.0)) }
       s.createDataFrame(withR).toDF("cell", "cv", "radius")
-        .coalesce(1).write.mode("overwrite").parquet(centsPath)
-      java.nio.file.Files.writeString(marker.toPath, "ok")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     }
+    val corpusPath = s"$dir/corpus"
+    val centsPath = s"$dir/centroids"
     val cents = s.read.parquet(centsPath)
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toSeq

@@ -85,6 +85,35 @@ class PlanSpec extends AnyFunSuite {
       s"probed-cell filter not pushed to partition pruning:\n$p")
   }
 
+  test("bucketed join is co-located: no exchange on the join keys") {
+    // broadcast disabled so the plan can't sidestep the question: both
+    // sides must come out of the bucketed layout with no hashpartitioning
+    // exchange on the join keys
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a shuffle-free SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+             !p.contains("Exchange hashpartitioning(c_custkey"),
+        s"join keys were shuffled — bucketed layout unused:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scan not bucketed:\n$p")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("partitioned sink read-back is partition-pruned") {
+    val df = SparkEntry.queries("sink_partitioned")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus.*"),
+      s"status filter not pushed to partition pruning:\n$p")
+  }
+
   test("AQE splits a deliberately skewed sort-merge join (skew=true)") {
     // At 100× scale, skew — not average throughput — is what kills the join
     // tier; prove the runtime mitigation actually engages: ~98% of lineitem
