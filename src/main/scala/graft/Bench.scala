@@ -118,9 +118,10 @@ object Bench {
       if (anyFailed) "null"
       else results.collect { case (_, Right(t)) => t }.sum.toString
 
-    // same-scale baseline point (untimed build; timed like any query)
+    // same-scale baseline point (untimed build; timed like any query);
+    // dev-filtered runs skip it unless "sf1_q1" is named in the filter
     val sf1 =
-      if (only.isDefined) "null" // dev-filtered runs skip the SF1 build
+      if (only.exists(!_.contains("sf1_q1"))) "null"
       else
         (try medianOf("tpch_q1", ensureSf1Dir(spark, sfDir))
          catch { case e: Throwable => Left(s"sf1 build: ${e.getClass.getSimpleName}") })
