@@ -178,6 +178,73 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // time-series joins (beyond-reference): as-of — the brief's canonical
+  // "operator Spark lacks", built by composition (preference (a) of the
+  // custom-operator ladder) rather than a theta-join
+  // ---------------------------------------------------------------------
+
+  /** As-of join: for each left event (clicks), the most recent right event
+    * (purchases) of the same user with ts ≤ left.ts. MERGE-style
+    * composition: tag both sides, union, one per-key time-ordered window
+    * with a running last(..., ignoreNulls) — ONE shuffle on the key and a
+    * sort, independent of time-gap width. The naive formulation
+    * (`l ⋈ r ON key AND r.ts <= l.ts` + max) explodes quadratically per
+    * key and cannot survive 100 TB; this one is linear in rows per key.
+    * Right rows order before left rows at equal ts (`side` tiebreak), so
+    * an equal-timestamp right event matches, same as the oracle's
+    * `l.ts >= r.ts`.
+    */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("l_event"),
+        lit(null).cast(LongType).as("r_event"),
+        lit(null).cast(DoubleType).as("r_value"), lit(1).as("side"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("l_event"),
+        col("event_id").as("r_event"), col("value").as("r_value"),
+        lit(0).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_event", last(col("r_event"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("l_event").as("event_id"), col("user_id"),
+        col("asof_event"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range (interval-containment) join: clicks matched to every purchase
+    * window [p_ts, p_ts + 30 min] of the same user. The naive predicate
+    * `c.ts BETWEEN p.ts AND p.ts + W` is a non-equi join — Spark would plan
+    * a per-key nested loop. Scalable formulation: quantize time into
+    * buckets of the window width, explode each interval into the ≤2
+    * buckets it covers, equi-join on (user, bucket), then apply the exact
+    * containment filter — bounded ×2 replication instead of a quadratic
+    * theta-join, and PlanSpec asserts no nested-loop/cartesian appears.
+    */
+  private def joinRange(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val bucketUs = 30L * 60 * 1000000 // bucket width == window width
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event"),
+        floor(unix_micros(col("ts")) / bucketUs).as("bk"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_event"))
+      .withColumn("p_end", col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .withColumn("bk", explode(sequence(
+        floor(unix_micros(col("p_ts")) / bucketUs),
+        floor(unix_micros(col("p_end")) / bucketUs))))
+    clicks.join(windows, Seq("user_id", "bk"))
+      .filter(col("ts") >= col("p_ts") && col("ts") <= col("p_end"))
+      .select(col("click_event"), col("purchase_event"), col("user_id"))
+      .orderBy(col("click_event"), col("purchase_event"))
+  }
+
+  // ---------------------------------------------------------------------
   // storage-layout tier (beyond-reference): bucketed co-located join,
   // partitioned sink + pruned read-back — the two layout techniques that
   // convert recurring 100 TB query cost into one-time write cost
@@ -644,6 +711,8 @@ object Relational {
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
     "join_cross" -> joinCross _,
+    "join_asof" -> joinAsof _,
+    "join_range" -> joinRange _,
     "join_bucketed" -> joinBucketed _,
     "sink_partitioned" -> sinkPartitioned _,
     "agg_basic" -> aggBasic _,
@@ -764,6 +833,25 @@ object Relational {
              COUNT(DISTINCT r_regionkey) AS n_regions,
              COUNT(DISTINCT n_nationkey) AS n_nations
       FROM region CROSS JOIN nation""",
+    "join_asof" -> """
+      WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click'),
+           r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id AS event_id, l.user_id AS user_id,
+             r.event_id AS asof_event, r.value AS asof_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY event_id""",
+    "join_range" -> """
+      SELECT c.event_id AS click_event, p.event_id AS purchase_event,
+             c.user_id AS user_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+      JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND c.ts BETWEEN p.ts AND p.ts + INTERVAL 30 MINUTE
+      ORDER BY click_event, purchase_event""",
     "join_bucketed" -> s"""
       SELECT c_mktsegment, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey

@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite {
       s"probed-cell filter not pushed to partition pruning:\n$p")
   }
 
+  test("as-of and range joins avoid nested-loop/cartesian plans") {
+    // both are non-equi joins by semantics; the implementations must
+    // reformulate them (union+window / bucket-explode equi-join) so no
+    // per-key nested loop appears — the difference between linear and
+    // quadratic at 100 TB
+    for (q <- Seq("join_asof", "join_range")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested loop:\n$p")
+    }
+    assert(planOf("join_asof").contains("Window"), "as-of lost its window form")
+    assert(planOf("join_range").contains("SortMergeJoin") ||
+           planOf("join_range").contains("ShuffledHashJoin") ||
+           planOf("join_range").contains("BroadcastHashJoin"),
+      "range join is not an equi-join")
+  }
+
   test("bucketed join is co-located: no exchange on the join keys") {
     // broadcast disabled so the plan can't sidestep the question: both
     // sides must come out of the bucketed layout with no hashpartitioning
