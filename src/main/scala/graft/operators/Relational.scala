@@ -183,6 +183,51 @@ object Relational {
   // custom-operator ladder) rather than a theta-join
   // ---------------------------------------------------------------------
 
+  /** Aggregates the reference explicitly lacks (SURVEY.md §2.8 names
+    * median/percentile/stddev/variance as absent): exact interpolated
+    * percentiles, and stddev/variance computed from DECIMAL power sums
+    * (s1 = Σx as DECIMAL(18,2), s2 = Σx² as DECIMAL(30,4)) so Spark's
+    * parallel aggregation and DuckDB's sequential one evaluate the SAME
+    * double formula on bit-identical inputs — the Tpch money convention
+    * extended to second moments. No cancellation hazard: the subtracted
+    * terms differ by n·var, far above double epsilon at fixture scales.
+    */
+  private def aggStats(s: SparkSession, d: String): DataFrame = {
+    val s1d = col("s1").cast(DoubleType)
+    val s2d = col("s2").cast(DoubleType)
+    val varE = (s2d - s1d * s1d / col("n")) / (col("n") - 1)
+    Tables.load(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s1"),
+        sum((col("o_totalprice") * col("o_totalprice")).cast(DecimalType(30, 4)))
+          .as("s2"))
+      .select(col("o_orderstatus"), col("median_price"), col("p90_price"),
+        col("n"), round(varE, 2).as("var_price"),
+        round(sqrt(varE), 4).as("stddev_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Explicit GROUPING SETS (reference has no grouping-set nodes at all,
+    * SURVEY.md §2.6/§2.8; rollup/cube are covered by agg_rollup/agg_cube).
+    */
+  private def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(s"""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""")
+  }
+
   /** As-of join: for each left event (clicks), the most recent right event
     * (purchases) of the same user with ts ≤ left.ts. MERGE-style
     * composition: tag both sides, union, one per-key time-ordered window
@@ -720,6 +765,8 @@ object Relational {
     "agg_having" -> aggHaving _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
+    "agg_stats" -> aggStats _,
+    "agg_grouping_sets" -> aggGroupingSets _,
     "sort_multi_key" -> sortMultiKey _,
     "limit" -> limitQ _,
     "repartition_hash" -> repartitionHash _,
@@ -833,6 +880,29 @@ object Relational {
              COUNT(DISTINCT r_regionkey) AS n_regions,
              COUNT(DISTINCT n_nationkey) AS n_nations
       FROM region CROSS JOIN nation""",
+    "agg_stats" -> """
+      SELECT o_orderstatus, median_price, p90_price, n,
+             round((s2d - s1d*s1d/n)/(n-1), 2) AS var_price,
+             round(sqrt((s2d - s1d*s1d/n)/(n-1)), 4) AS stddev_price
+      FROM (
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1d,
+               CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS s2d
+        FROM orders GROUP BY o_orderstatus)
+      ORDER BY o_orderstatus""",
+    "agg_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())
+      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""",
     "join_asof" -> """
       WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'click'),
