@@ -70,8 +70,14 @@ object Dedup {
     // only those prefixes keeps the self-join linear-ish in corpus size
     // even when common shingles have huge document frequency (a plain
     // inverted-index join is Σ df(s)² — quadratic blowup on hot shingles).
+    // shingles travel as xxhash64 longs through the index machinery: the
+    // inverted-index shuffles move 8 bytes per entry instead of ~25-char
+    // strings. A hash collision can only ADD a candidate pair, and every
+    // candidate is exactly verified on the string shingle sets below, so
+    // the result set is unchanged.
     val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
+        explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s"))
     val prefix = inv.join(dfreq, Seq("s"))

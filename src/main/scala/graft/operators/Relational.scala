@@ -665,6 +665,20 @@ object Relational {
            max(col("o_orderdate")).as("max_date"))
       .orderBy(col("y"), col("q"))
 
+  /** Regex surface — absent from the reference (SURVEY.md §2.8 lists regex
+    * functions as a capability boundary); Spark-native extract/replace/
+    * match. Patterns stay in the ASCII subset where Java regex (Spark) and
+    * RE2-style engines (DuckDB) agree; DuckDB's regexp_replace needs the
+    * 'g' flag to match Spark's replace-all semantics (noted in the oracle).
+    */
+  private def exprRegex(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("novowel_len"),
+        col("text").rlike("the").cast(IntegerType).as("has_the"))
+      .orderBy(col("doc_id"))
+
   /** NULL handling: coalesce / nullif / null-safe equality. */
   private def exprNull(s: SparkSession, d: String): DataFrame =
     cust(s, d)
@@ -776,6 +790,7 @@ object Relational {
     "expr_string" -> exprString _,
     "expr_hash" -> exprHash _,
     "expr_hash_ext" -> exprHashExt _,
+    "expr_regex" -> exprRegex _,
     "expr_case_cast" -> exprCaseCast _,
     "expr_datetime" -> exprDatetime _,
     "expr_null" -> exprNull _,
@@ -880,6 +895,12 @@ object Relational {
              COUNT(DISTINCT r_regionkey) AS n_regions,
              COUNT(DISTINCT n_nationkey) AS n_nations
       FROM region CROSS JOIN nation""",
+    "expr_regex" -> """
+      SELECT doc_id,
+             regexp_extract(text, '^(\w+)', 1) AS first_word,
+             length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+             CAST(regexp_matches(text, 'the') AS INT) AS has_the
+      FROM documents ORDER BY doc_id""",
     "agg_stats" -> """
       SELECT o_orderstatus, median_price, p90_price, n,
              round((s2d - s1d*s1d/n)/(n-1), 2) AS var_price,

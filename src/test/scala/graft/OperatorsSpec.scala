@@ -16,6 +16,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct (HLL++ sketch) lands within 5% of exact") {
+    // the reference has no sketches at all (SURVEY §2.4/§2.8 list HLL as
+    // absent); Spark's HLL++ is the 100 TB path for distinct counts —
+    // bound it against the exact expand-based count
+    import org.apache.spark.sql.functions._
+    val r = Tables.load(spark, sfDir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+           approx_count_distinct(col("l_partkey")).as("approx"))
+      .collect()(0)
+    val exact = r.getLong(0).toDouble
+    assert(exact > 0)
+    assert(math.abs(r.getLong(1) - exact) / exact <= 0.05,
+      s"HLL estimate ${r.getLong(1)} too far from exact ${r.getLong(0)}")
+  }
+
   test("left and right join agree mirrored") {
     val l = operators.Relational.queries("join_left")(spark, sfDir).collect()
     val r = operators.Relational.queries("join_right")(spark, sfDir).collect()
