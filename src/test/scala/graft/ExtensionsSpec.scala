@@ -276,6 +276,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toList == batch.toList)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    // the watermarked stream-stream form of join_range: same interval
+    // semantics, state-bounded by the watermarks — proves the engine's
+    // range join has a streaming execution path, not just a batch one
+    val ev = streaming.Streaming.readEventStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_event"))
+      .withWatermark("c_ts", "1 hour")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_event"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purch,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_event"), col("purchase_event"),
+        col("c_user").as("user_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val batch = SparkEntry.queries("join_range")(spark, sfDir)
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toList == batch.toList)
+  }
+
+  test("streaming dedup (dropDuplicatesWithinWatermark) matches batch distinct") {
+    val ev = streaming.Streaming.readEventStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val dd = ev.dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = dd.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // which representative row survives is arrival-dependent; the KEY SET
+    // must equal batch distinct exactly, with no duplicate emissions
+    assert(streamed.length == streamed.toSet.size, "duplicate keys emitted")
+    val batch = streaming.Streaming.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed.toSet == batch)
+  }
+
   test("stateful sessionization with flatMapGroupsWithState matches session_window") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
