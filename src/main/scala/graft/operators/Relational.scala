@@ -665,6 +665,41 @@ object Relational {
            max(col("o_orderdate")).as("max_date"))
       .orderBy(col("y"), col("q"))
 
+  /** PIVOT: long→wide conditional aggregation (no analog anywhere in the
+    * reference). The oracle expresses the identical semantics as CASE
+    * aggregation, which also documents exactly what pivot computes.
+    */
+  private def aggPivot(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  /** Generator/UDTF surface (SURVEY.md §2.7: the reference has no UDTFs;
+    * Spark's `explode` over an array column is the built-in generator):
+    * word-exploded documents → top terms. The lateral explosion is the
+    * same row-multiplying shape every tokenizer pipeline uses at 100 TB —
+    * map-side, no shuffle until the count aggregate.
+    */
+  private def exprExplode(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 4)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(25)
+
+  /** Fixed-bin histogram via integer bucketing — deterministic (integer
+    * bin arithmetic on 2-decimal money values), unlike engine-specific
+    * histogram/sampling sketches which cannot oracle-match.
+    */
+  private def aggHistogram(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .select((floor(col("o_totalprice") / 50000).cast(IntegerType)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+
   /** Regex surface — absent from the reference (SURVEY.md §2.8 lists regex
     * functions as a capability boundary); Spark-native extract/replace/
     * match. Patterns stay in the ASCII subset where Java regex (Spark) and
@@ -781,6 +816,9 @@ object Relational {
     "agg_cube" -> aggCube _,
     "agg_stats" -> aggStats _,
     "agg_grouping_sets" -> aggGroupingSets _,
+    "agg_pivot" -> aggPivot _,
+    "agg_histogram" -> aggHistogram _,
+    "expr_explode" -> exprExplode _,
     "sort_multi_key" -> sortMultiKey _,
     "limit" -> limitQ _,
     "repartition_hash" -> repartitionHash _,
@@ -895,6 +933,21 @@ object Relational {
              COUNT(DISTINCT r_regionkey) AS n_regions,
              COUNT(DISTINCT n_nationkey) AS n_nations
       FROM region CROSS JOIN nation""",
+    "agg_pivot" -> """
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_histogram" -> """
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bin, COUNT(*) AS n
+      FROM orders GROUP BY bin ORDER BY bin""",
+    "expr_explode" -> """
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents)
+      WHERE length(word) >= 4
+      GROUP BY word ORDER BY n DESC, word LIMIT 25""",
     "expr_regex" -> """
       SELECT doc_id,
              regexp_extract(text, '^(\w+)', 1) AS first_word,
