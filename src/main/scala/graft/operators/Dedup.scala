@@ -112,7 +112,10 @@ object Dedup {
   private val MinhashK = 64
   private val Bands = 32 // r = 2 rows per band
 
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** Verified near-dup pairs via MinHash banding + exact Jaccard check —
+    * shared by [[minhashLsh]] (the pair query) and [[dedupClusters]].
+    */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val sh = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
     val sig = sh.select(col("doc_id"),
@@ -139,7 +142,48 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
     verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  // -- duplicate-cluster extraction (connected components) ----------------
+
+  /** Near-dup CLUSTERS from the verified pair graph — the step that turns
+    * pairwise similarity into a drop decision (keep one doc per component).
+    * Min-label propagation to a fixpoint: each round joins current labels
+    * across edges and takes the per-node min. Rounds needed = component
+    * diameter — near-dup components are dense (similarity is almost
+    * transitive at J ≥ 0.8), so this converges in 2-3 rounds; the loop is
+    * driver-controlled but each convergence probe reads ONE count, and all
+    * data stays distributed (the standard large-scale connected-components
+    * shape, e.g. GraphX's label propagation). Output: component id (min
+    * doc_id) and member count.
+    */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v").cache()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      iter += 1
+      val prop = edges.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+      val changed = prop.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count() // metadata-sized probe
+      labels.unpersist()
+      labels = prop
+      converged = changed == 0
+    }
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
   }
 
   // -- SimHash near-dup (hamming ≤ 3 via exact quarter blocking) ---------
@@ -219,6 +263,7 @@ object Dedup {
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_clusters" -> dedupClusters _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_embedding_cos" -> embeddingPairs _
   )
@@ -252,6 +297,24 @@ object Dedup {
             FROM documents GROUP BY 1)""",
     "dedup_ngram_jaccard" -> JaccardOracle,
     "dedup_minhash_lsh" -> JaccardOracle,
+    // connected components of the pair graph via recursive transitive
+    // closure (tiny at oracle SF; the Spark side is the distributed form)
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE pairs AS ($JaccardOracle),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+      labels AS (
+        SELECT node, MIN(r) AS cluster FROM (
+          SELECT node, r FROM reach
+          UNION ALL
+          SELECT DISTINCT u, u FROM edges) t
+        GROUP BY node)
+      SELECT cluster, COUNT(*) AS n_members
+      FROM labels GROUP BY cluster ORDER BY cluster""",
     "dedup_embedding_cos" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
