@@ -665,6 +665,24 @@ object Relational {
            max(col("o_orderdate")).as("max_date"))
       .orderBy(col("y"), col("q"))
 
+  /** Custom typed UDAF ([[graft.functions.TopKDoubles]]): top-10 order
+    * values per status through a k-bounded Aggregator — partial buffers of
+    * ≤k values per map partition, no per-group sort/shuffle of all rows.
+    * The reference cannot ship UDAFs at all (SURVEY.md §2.7: AggregateUDF
+    * is unimplemented at its wire boundary).
+    */
+  private def aggTopk(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKDoubles(10))
+    ord(s, d).groupBy(col("o_orderstatus"))
+      .agg(topk(col("o_totalprice")).as("tk"))
+      .select(col("o_orderstatus"),
+        element_at(col("tk"), 1).as("top1"),
+        element_at(col("tk"), 10).as("top10th"),
+        round(aggregate(col("tk"), lit(0.0d), (acc, x) => acc + x), 2)
+          .as("sum_top10"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** PIVOT: long→wide conditional aggregation (no analog anywhere in the
     * reference). The oracle expresses the identical semantics as CASE
     * aggregation, which also documents exactly what pivot computes.
@@ -818,6 +836,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_pivot" -> aggPivot _,
     "agg_histogram" -> aggHistogram _,
+    "agg_topk" -> aggTopk _,
     "expr_explode" -> exprExplode _,
     "sort_multi_key" -> sortMultiKey _,
     "limit" -> limitQ _,
@@ -933,6 +952,17 @@ object Relational {
              COUNT(DISTINCT r_regionkey) AS n_regions,
              COUNT(DISTINCT n_nationkey) AS n_nations
       FROM region CROSS JOIN nation""",
+    "agg_topk" -> """
+      WITH r AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC) AS rn
+        FROM orders)
+      SELECT o_orderstatus,
+             MAX(CASE WHEN rn = 1 THEN o_totalprice END) AS top1,
+             MAX(CASE WHEN rn = 10 THEN o_totalprice END) AS top10th,
+             round(SUM(CASE WHEN rn <= 10 THEN o_totalprice END), 2) AS sum_top10
+      FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_pivot" -> """
       SELECT o_orderpriority,
              COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,

@@ -97,6 +97,25 @@ class HashExpressionsSpec extends AnyFunSuite {
   }
 }
 
+class AggregatorSpec extends AnyFunSuite {
+  test("TopKDoubles: reduce/merge equal a full sort, buffers stay k-bounded") {
+    val agg = new graft.functions.TopKDoubles(10)
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(1000)(rnd.nextDouble() * 1e6)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(whole.length == 10)
+    val (l, r) = xs.splitAt(333)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+                           r.foldLeft(agg.zero)(agg.reduce))
+    val want = xs.sorted.reverse.take(10).toSeq
+    assert(agg.finish(whole).toSeq == want)
+    assert(agg.finish(merged).toSeq == want, "merge disagrees with reduce")
+    // under-filled group
+    val small = Array(3.0, 1.0, 2.0).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(small).toSeq == Seq(3.0, 2.0, 1.0))
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
