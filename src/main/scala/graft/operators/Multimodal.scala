@@ -84,9 +84,36 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  private val FrameBytes = 256
+  private val FrameStride = 4
+
+  /** Frame sampling over the binary payload: treat the payload as
+    * fixed-size frames, slice every FrameStride-th frame with substring
+    * (seek + slice, no full decode — the batch shape of video
+    * frame-sampling), digest each sampled frame. Stays entirely in
+    * whole-stage codegen; the row-multiplying explode is map-side.
+    * The oracle slices the source VARCHAR (DuckDB 1.0 has no BLOB
+    * substring), which equals byte slicing because the fixture text is
+    * verified all-ASCII — a non-ASCII fixture would fail the hash gate
+    * loudly, not silently.
+    */
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    media(s, d).toDF()
+      .select(col("doc_id"), col("bytes"),
+        (length(col("bytes")) / FrameBytes).cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("bytes"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(bytes, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+          .as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> mmBinaryFeatures _,
-    "mm_decode_pipeline" -> mmDecodePipeline _
+    "mm_decode_pipeline" -> mmDecodePipeline _,
+    "mm_frame_sample" -> mmFrameSample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,6 +123,15 @@ object Multimodal {
              md5(text) AS content_md5,
              lower(substr(hex(encode(text)), 1, 16)) AS head8_hex
       FROM documents ORDER BY doc_id""",
+    "mm_frame_sample" -> """
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_md5
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(length(text) // 256 AS INT), 4)) AS frame_idx
+        FROM documents
+        WHERE length(text) // 256 > 0)
+      ORDER BY doc_id, frame_idx""",
     "mm_decode_pipeline" -> """
       SELECT source, COUNT(*) AS n_images,
              CAST(SUM((64 + doc_id % 64) * (48 + doc_id % 48)) AS BIGINT) AS sum_pixels,
