@@ -167,6 +167,10 @@ object Dedup {
       .toDF("u", "v").cache()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).cache()
+    // convergence probe: labels only ever decrease (min-propagation), so
+    // the fixpoint is reached exactly when Σlabel stops changing — one
+    // scalar aggregate per round instead of a join+count
+    var prevSum = Long.MinValue
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -175,11 +179,12 @@ object Dedup {
         .select(col("u").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
-      val changed = prop.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count() // metadata-sized probe
+      val curSum = Option(prop.agg(sum(col("label"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels.unpersist()
       labels = prop
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
     }
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
