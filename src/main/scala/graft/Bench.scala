@@ -44,9 +44,9 @@ object Bench {
     * with offset order keys; the six small tables copied as-is.
     */
   private def ensureSf1Dir(spark: SparkSession, sfDir: String): String =
-    Scratch.ensure(spark, s"sf1eq_${Scratch.sanitize(sfDir)}") { dir =>
+    Scratch.ensure(spark, s"sf1eq_v1_${Scratch.sanitize(sfDir)}") { dir =>
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val step = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      val step = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
       li.crossJoin(broadcast(spark.range(Sf1Reps).select(col("id").as("rep"))))
         .withColumn("l_orderkey", col("l_orderkey") + col("rep") * step)
         .drop("rep")

@@ -179,7 +179,7 @@ object Dedup {
         .select(col("u").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
-      val curSum = Option(prop.agg(sum(col("label"))).head.get(0))
+      val curSum = Option(prop.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels.unpersist()
       labels = prop

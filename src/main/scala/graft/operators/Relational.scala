@@ -170,7 +170,7 @@ object Relational {
     Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
     val plan = s.sql(
       """EXPLAIN SELECT l_returnflag, sum(l_quantity) FROM lineitem
-         WHERE l_quantity >= 45 GROUP BY l_returnflag""").head.getString(0)
+         WHERE l_quantity >= 45 GROUP BY l_returnflag""").head().getString(0)
     val vocab = Seq("AdaptiveSparkPlan", "Exchange", "FileScan",
       "Filter", "HashAggregate")
     import s.implicits._
@@ -305,7 +305,7 @@ object Relational {
     * re-attaches the layout with a metadata-only external CREATE TABLE.
     */
   private def ensureBucketedTables(s: SparkSession, d: String): Unit = {
-    val dir = graft.Scratch.ensure(s, s"bucketed_${graft.Scratch.sanitize(d)}") { dir =>
+    val dir = graft.Scratch.ensure(s, s"bucketed_v1_${graft.Scratch.sanitize(d)}") { dir =>
       BucketSpec.foreach { case (t, key) =>
         s.sql(s"DROP TABLE IF EXISTS graft_build_$t")
         Tables.load(s, d, t)
@@ -345,7 +345,7 @@ object Relational {
     * layout for a 100 TB table whose queries are status/date-sliced.
     */
   private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.ensure(s, s"part_orders_${graft.Scratch.sanitize(d)}") { dir =>
+    val dir = graft.Scratch.ensure(s, s"part_orders_v1_${graft.Scratch.sanitize(d)}") { dir =>
       Tables.load(s, d, "orders")
         .write.partitionBy("o_orderstatus").mode("overwrite")
         .parquet(s"$dir/orders_by_status")

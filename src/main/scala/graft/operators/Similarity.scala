@@ -208,7 +208,7 @@ object Similarity {
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val corpus = s.read.parquet(idx.corpusPath)
-      .filter(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
 
     // fine ranking inside probed cells only
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
