@@ -339,6 +339,30 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** ORC source/sink round-trip — a columnar format the reference never
+    * supported (its external tables are CSV/Parquet/NdJson only,
+    * reference: rust/core/proto/ballista.proto:236-248). Fidelity IS the
+    * oracle: the read-back aggregate must hash-match DuckDB's answer on
+    * the ORIGINAL parquet table, so any type or value loss in the ORC
+    * write/read path (timestamps included) fails the gate.
+    */
+  private def sinkOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s, s"orc_orders_v1_${graft.Scratch.sanitize(d)}") {
+      dir =>
+        Tables.load(s, d, "orders")
+          .write.option("compression", "zstd").mode("overwrite")
+          .orc(s"$dir/orders_orc")
+    }
+    s.read.orc(s"$dir/orders_orc")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"),
+        max(col("o_orderdate")).as("max_date"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Hive-style partitioned sink + pruned read-back: data laid out by the
     * slice column at write time; the read scans only the selected
     * partition directory (PartitionFilters, asserted in PlanSpec) — the
@@ -827,6 +851,7 @@ object Relational {
     "join_range" -> joinRange _,
     "join_bucketed" -> joinBucketed _,
     "sink_partitioned" -> sinkPartitioned _,
+    "sink_orc_roundtrip" -> sinkOrcRoundtrip _,
     "agg_basic" -> aggBasic _,
     "agg_count_distinct" -> aggCountDistinct _,
     "agg_having" -> aggHaving _,
@@ -1034,6 +1059,11 @@ object Relational {
       SELECT o_orderpriority, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sink_orc_roundtrip" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price,
+             CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date,
+             MAX(o_orderkey) AS max_key
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_basic" -> s"""
       SELECT l_returnflag,
              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
