@@ -29,22 +29,13 @@ object Bench {
   private val Iters = 3
   private val Sf1Reps = 10
 
-  /** JSON string escape: backslash, quote, and ALL control chars — Spark
-    * exception messages often contain newlines, which would otherwise make
-    * the emitted bench line invalid JSON.
-    */
-  private def esc(s: String): String = s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
   /** Build (once, cached) an SF≈1-equivalent TPC-H dir: lineitem ×Sf1Reps
     * with offset order keys; the six small tables copied as-is.
     */
   private def ensureSf1Dir(spark: SparkSession, sfDir: String): String =
-    Scratch.ensure(spark, s"sf1eq_v1_${Scratch.sanitize(sfDir)}") { dir =>
+    Scratch.ensure(spark,
+      s"sf1eq_v1_${Sf1Reps}_${Scratch.sanitize(sfDir)}_" +
+        Scratch.fingerprint(s"$sfDir/lineitem.parquet")) { dir =>
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val step = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
       li.crossJoin(broadcast(spark.range(Sf1Reps).select(col("id").as("rep"))))
@@ -111,27 +102,36 @@ object Bench {
       case (k, Right(t)) => s""""$k":$t"""
       case (k, Left(_)) => s""""$k":null"""
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, Left(e)) => s""""$k":"${esc(e)}"""" }
-      .mkString("{", ",", "}")
-    val anyFailed = results.exists(_._2.isLeft)
-    val total =
-      if (anyFailed) "null"
-      else results.collect { case (_, Right(t)) => t }.sum.toString
 
     // same-scale baseline point (untimed build; timed like any query);
-    // dev-filtered runs skip it unless "sf1_q1" is named in the filter
-    val sf1 =
-      if (only.exists(!_.contains("sf1_q1"))) "null"
-      else
-        (try medianOf("tpch_q1", ensureSf1Dir(spark, sfDir))
-         catch { case e: Throwable => Left(s"sf1 build: ${e.getClass.getSimpleName}") })
-        match {
-          case Right(t) => t.toString
-          case Left(_) => "null"
-        }
+    // dev-filtered runs skip it unless "sf1_q1" is named in the filter.
+    // None = skipped, Left = failed (reported in "failed", never silent).
+    val sf1: Option[Either[String, Double]] =
+      if (only.exists(!_.contains("sf1_q1"))) None
+      else Some(
+        try medianOf("tpch_q1", ensureSf1Dir(spark, sfDir))
+        catch {
+          case e: Throwable => Left(s"sf1 build: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120))
+        })
+    val sf1Json = sf1 match {
+      case Some(Right(t)) => t.toString
+      case _ => "null"
+    }
+    val failed = (results.collect { case (k, Left(e)) =>
+        s""""$k":"${Json.escape(e)}""""
+      } ++ (sf1 match {
+        case Some(Left(e)) => Seq(s""""sf1_q1":"${Json.escape(e)}"""")
+        case _ => Nil
+      })).mkString("{", ",", "}")
+    val anyFailed = results.exists(_._2.isLeft)
+    // an all-unknown filter must not read as a perfect 0.0-second run
+    val total =
+      if (anyFailed || names.isEmpty) "null"
+      else results.collect { case (_, Right(t)) => t }.sum.toString
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,""" +
-      s""""queries":$qs,"failed":$failed,"sf1_q1":$sf1,"sf":"$sfDir"}""")
+      s""""queries":$qs,"failed":$failed,"sf1_q1":$sf1Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,18 @@ object Scratch {
 
   def sanitize(p: String): String = p.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Short content fingerprint (size + mtime) of the source files behind a
+    * layout, embedded in its key: regenerated inputs get a fresh key and
+    * rebuild instead of silently serving results from a stale artifact.
+    */
+  def fingerprint(paths: String*): String = {
+    val h = paths.map { p =>
+      val f = new java.io.File(p)
+      s"$p:${f.length}:${f.lastModified}"
+    }.mkString("|").hashCode
+    f"${h & 0xffffffffL}%08x"
+  }
+
   private val lock = new Object
 
   /** Returns `<root>/<key>`, running `build(dir)` first unless the marker

@@ -72,9 +72,12 @@ object Dedup {
     // inverted-index join is Σ df(s)² — quadratic blowup on hot shingles).
     // shingles travel as xxhash64 longs through the index machinery: the
     // inverted-index shuffles move 8 bytes per entry instead of ~25-char
-    // strings. A hash collision can only ADD a candidate pair, and every
-    // candidate is exactly verified on the string shingle sets below, so
-    // the result set is unchanged.
+    // strings. A cross-document collision only ADDs a candidate pair
+    // (removed by the exact string-set verification below); an IN-document
+    // collision could in principle shorten a doc's effective prefix and
+    // lose a candidate, but that needs two of one doc's shingles to share
+    // a 64-bit hash (~2^-64 per pair) — negligible against the banding
+    // miss probability already accepted in the MinHash tier.
     val inv = sh.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s0"))
       .select(col("doc_id"), col("sz"), xxhash64(col("s0")).as("s"))
@@ -186,6 +189,12 @@ object Dedup {
       converged = curSum == prevSum
       prevSum = curSum
     }
+    // a silent partial clustering is worse than a loud failure: a
+    // component with diameter > the round cap (template-drift chains)
+    // must surface, not fragment into several reported clusters
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup_clusters: label propagation not converged after $iter rounds")
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster"))

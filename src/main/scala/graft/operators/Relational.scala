@@ -249,8 +249,11 @@ object Relational {
       .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("l_event"),
         col("event_id").as("r_event"), col("value").as("r_value"),
         lit(0).as("side"))
+    // r_event in the sort keeps the pick deterministic if a user ever has
+    // two right events at the same timestamp (ASOF engines pick
+    // arbitrarily there; we at least pick reproducibly)
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"))
+      .orderBy(col("ts"), col("side"), col("r_event"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("asof_event", last(col("r_event"), ignoreNulls = true).over(w))
@@ -305,7 +308,12 @@ object Relational {
     * re-attaches the layout with a metadata-only external CREATE TABLE.
     */
   private def ensureBucketedTables(s: SparkSession, d: String): Unit = {
-    val dir = graft.Scratch.ensure(s, s"bucketed_v1_${graft.Scratch.sanitize(d)}") { dir =>
+    // key embeds the bucket count and a source fingerprint: a changed
+    // NBuckets or regenerated input must rebuild, not reuse files whose
+    // physical bucketing no longer matches the declared spec
+    val dir = graft.Scratch.ensure(s,
+      s"bucketed_v1_${NBuckets}_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(BucketSpec.map(t => Tables.path(d, t._1)): _*)) { dir =>
       BucketSpec.foreach { case (t, key) =>
         s.sql(s"DROP TABLE IF EXISTS graft_build_$t")
         Tables.load(s, d, t)
@@ -347,7 +355,9 @@ object Relational {
     * write/read path (timestamps included) fails the gate.
     */
   private def sinkOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.ensure(s, s"orc_orders_v1_${graft.Scratch.sanitize(d)}") {
+    val dir = graft.Scratch.ensure(s,
+      s"orc_orders_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "orders"))) {
       dir =>
         Tables.load(s, d, "orders")
           .write.option("compression", "zstd").mode("overwrite")
@@ -369,7 +379,9 @@ object Relational {
     * layout for a 100 TB table whose queries are status/date-sliced.
     */
   private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.ensure(s, s"part_orders_v1_${graft.Scratch.sanitize(d)}") { dir =>
+    val dir = graft.Scratch.ensure(s,
+      s"part_orders_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "orders"))) { dir =>
       Tables.load(s, d, "orders")
         .write.partitionBy("o_orderstatus").mode("overwrite")
         .parquet(s"$dir/orders_by_status")
@@ -699,9 +711,12 @@ object Relational {
     val topk = udaf(new graft.functions.TopKDoubles(10))
     ord(s, d).groupBy(col("o_orderstatus"))
       .agg(topk(col("o_totalprice")).as("tk"))
+      // get() (0-based, null on out-of-bounds) rather than element_at:
+      // under ANSI mode element_at throws on a group with <k rows, while
+      // the oracle's row_number form yields NULL
       .select(col("o_orderstatus"),
-        element_at(col("tk"), 1).as("top1"),
-        element_at(col("tk"), 10).as("top10th"),
+        get(col("tk"), lit(0)).as("top1"),
+        get(col("tk"), lit(9)).as("top10th"),
         round(aggregate(col("tk"), lit(0.0d), (acc, x) => acc + x), 2)
           .as("sum_top10"))
       .orderBy(col("o_orderstatus"))

@@ -68,7 +68,8 @@ object Similarity {
   val CosThreshold = 0.4
 
   private def indexKey(d: String): String =
-    s"ivf_v1_${NCells}_${graft.Scratch.sanitize(d)}"
+    s"ivf_v1_${NCells}_${graft.Scratch.sanitize(d)}_" +
+      graft.Scratch.fingerprint(Tables.path(d, "embeddings"))
 
   /** On-disk IVF index location for a dataset dir (layout-versioned,
     * under the [[graft.Scratch]] root).

@@ -22,10 +22,11 @@ object Streaming {
     *
     * The conf belongs in session construction (graft's own entry points —
     * Bench, Verify, the test session — all set it there); [[ensureNanosConf]]
-    * is a defensive, idempotent guard for externally-constructed sessions
-    * (e.g. the driver calling SparkEntry.entry with its own SparkSession) —
-    * it only ever writes when the key is unset, so repeated queries never
-    * mutate session state.
+    * is a defensive guard for externally-constructed sessions (e.g. the
+    * driver calling SparkEntry.entry with its own SparkSession). It forces
+    * the conf to true whenever it isn't already — without it every events
+    * read throws on the NANOS column, so callers of the events operators
+    * have opted into this semantic; after the first call it is a no-op.
     */
   private def ensureNanosConf(s: SparkSession): Unit =
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
