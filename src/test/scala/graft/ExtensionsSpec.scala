@@ -273,6 +273,15 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"cap pruning kept ${keptPairs.size}/$total cell pairs")
     assert(keptPairs.size < total / 2,
       s"pruning ineffective on clustered data: ${keptPairs.size}/$total")
+
+    // on success, drop the per-run temp fixture and its scratch index so
+    // repeated runs don't accumulate dirs (kept on failure for debugging)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(operators.Similarity.indexDir(spark, dir)))
+    rm(new java.io.File(dir))
   }
 }
 

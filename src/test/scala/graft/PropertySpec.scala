@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.functions.HashImpls
+
+/** Property-based layer (the reference has NO property tests — SURVEY.md §5
+  * item 6; this exceeds its test strategy): algebraic invariants of the
+  * hand-written kernels and aggregators over randomized inputs, where
+  * example-based specs can only pin single points.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private def arr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+
+  private val tokens: Gen[List[String]] =
+    Gen.listOfN(30, Gen.choose(0, 400).map(i => s"tok$i"))
+
+  property("simhash is permutation-invariant over token multisets") =
+    forAll(tokens) { ts =>
+      val h = HashImpls.simhash64(arr(ts))
+      h == HashImpls.simhash64(arr(ts.reverse)) &&
+        h == HashImpls.simhash64(arr(ts.sortBy(_.hashCode)))
+    }
+
+  property("minhash entries are elementwise mins: signature of a union <= both parts") =
+    forAll(tokens, tokens) { (xs, ys) =>
+      val k = 32
+      val mu = HashImpls.minhash64(arr((xs ++ ys).distinct), k)
+      val mx = HashImpls.minhash64(arr(xs.distinct), k)
+      val my = HashImpls.minhash64(arr(ys.distinct), k)
+      (0 until k).forall { i =>
+        mu.getLong(i) == math.min(mx.getLong(i), my.getLong(i))
+      }
+    }
+
+  property("rolling hash is prefix-compositional: h(a+b) derivable from h(a)") =
+    forAll(Gen.alphaNumStr.map(_.take(40)), Gen.alphaNumStr.map(_.take(40))) {
+      (a, b) =>
+        val hab = HashImpls.rollingHash(UTF8String.fromString(a + b))
+        var h = HashImpls.rollingHash(UTF8String.fromString(a))
+        b.getBytes("UTF-8").foreach(x => h = h * 1000003L + (x & 0xffL))
+        hab == h
+    }
+
+  property("cosine is symmetric, bounded, and 1 on self") =
+    forAll(Gen.listOfN(16, Gen.choose(-100.0, 100.0)),
+           Gen.listOfN(16, Gen.choose(-100.0, 100.0))) { (a, b) =>
+      val nonZero = a.exists(_ != 0.0) && b.exists(_ != 0.0)
+      !nonZero || {
+        val ga = new GenericArrayData(a.toArray[Any])
+        val gb = new GenericArrayData(b.toArray[Any])
+        val ab = HashImpls.cosine(ga, gb)
+        val ba = HashImpls.cosine(gb, ga)
+        val self = HashImpls.cosine(ga, ga)
+        ab == ba && ab >= -1.0000001 && ab <= 1.0000001 &&
+          math.abs(self - 1.0) < 1e-12
+      }
+    }
+
+  property("TopKDoubles: any split/merge order equals a full sort's top k") =
+    forAll(Gen.listOf(Gen.choose(-1e9, 1e9)), Gen.choose(1, 8),
+           Gen.choose(0, 100)) { (xs, k, splitSeed) =>
+      val agg = new graft.functions.TopKDoubles(k)
+      val whole = agg.finish(xs.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val cut = if (xs.isEmpty) 0 else splitSeed % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))).toSeq
+      val want = xs.sorted(Ordering[Double].reverse).take(k)
+      whole == want && merged == want
+    }
+
+  property("Widening uint semantics match BigInt bit reinterpretation") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { x =>
+      val asUnsigned = BigInt(x) & ((BigInt(1) << 64) - 1)
+      // the column expression is exercised in WideningSpec; here we pin the
+      // reference semantics the expression implements
+      java.lang.Long.toUnsignedString(x) == asUnsigned.toString
+    }
+}
