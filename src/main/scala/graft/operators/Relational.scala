@@ -771,6 +771,34 @@ object Relational {
         col("text").rlike("the").cast(IntegerType).as("has_the"))
       .orderBy(col("doc_id"))
 
+  /** Extended string surface beyond the reference's 6 wired string
+    * functions (SURVEY.md §2.7): padding, translate, reverse, repeat, and
+    * levenshtein — the edit-distance primitive fuzzy text pipelines lean
+    * on. All Spark built-ins with DuckDB twins.
+    */
+  private def exprStringExt(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        lpad(col("lang"), 5, "_").as("lang_pad"),
+        translate(col("source"), "aeiou", "AEIOU").as("src_tr"),
+        reverse(col("lang")).as("lang_rev"),
+        repeat(col("lang"), 2).as("lang2"),
+        levenshtein(col("lang"), col("source")).as("lev"))
+      .orderBy(col("doc_id")).limit(200)
+
+  /** Bitwise expression surface (the reference's binary-operator set has
+    * no bit ops at all, SURVEY.md §2.7's 13-operator list).
+    */
+  private def exprBitwise(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("and_lo"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("or_hi"),
+        col("o_orderkey").bitwiseXOR(lit(1023L)).as("xor_mask"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 3).as("shr3"))
+      .orderBy(col("o_orderkey")).limit(200)
+
   /** NULL handling: coalesce / nullif / null-safe equality. */
   private def exprNull(s: SparkSession, d: String): DataFrame =
     cust(s, d)
@@ -888,6 +916,8 @@ object Relational {
     "expr_hash" -> exprHash _,
     "expr_hash_ext" -> exprHashExt _,
     "expr_regex" -> exprRegex _,
+    "expr_string_ext" -> exprStringExt _,
+    "expr_bitwise" -> exprBitwise _,
     "expr_case_cast" -> exprCaseCast _,
     "expr_datetime" -> exprDatetime _,
     "expr_null" -> exprNull _,
@@ -1024,6 +1054,20 @@ object Relational {
              length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
              CAST(regexp_matches(text, 'the') AS INT) AS has_the
       FROM documents ORDER BY doc_id""",
+    "expr_string_ext" -> """
+      SELECT doc_id, lpad(lang, 5, '_') AS lang_pad,
+             translate(source, 'aeiou', 'AEIOU') AS src_tr,
+             reverse(lang) AS lang_rev, repeat(lang, 2) AS lang2,
+             CAST(levenshtein(lang, source) AS INT) AS lev
+      FROM documents ORDER BY doc_id LIMIT 200""",
+    "expr_bitwise" -> """
+      SELECT o_orderkey,
+             o_orderkey & 255 AS and_lo,
+             o_orderkey | 4096 AS or_hi,
+             xor(o_orderkey, 1023) AS xor_mask,
+             o_orderkey << 2 AS shl2,
+             o_orderkey >> 3 AS shr3
+      FROM orders ORDER BY o_orderkey LIMIT 200""",
     "agg_stats" -> """
       SELECT o_orderstatus, median_price, p90_price, n,
              round((s2d - s1d*s1d/n)/(n-1), 2) AS var_price,
