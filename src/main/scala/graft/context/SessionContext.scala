@@ -62,9 +62,21 @@ class SessionContext(val spark: SparkSession) {
     */
   def readJson(path: String): DataFrame = spark.read.json(path)
 
+  /** ORC — beyond the reference's CSV/Parquet/NdJson enum
+    * (rust/core/proto/ballista.proto:236-248); fidelity is oracle-gated by
+    * the `sink_orc_roundtrip` query row.
+    */
+  def readOrc(path: String): DataFrame = spark.read.orc(path)
+
   /** reference: rust/client/src/context.rs:112-118 (`register_table`). */
   def registerTable(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
+
+  def registerOrc(name: String, path: String): Unit =
+    registerTable(name, readOrc(path))
+
+  def registerJson(name: String, path: String): Unit =
+    registerTable(name, readJson(path))
 
   def registerCsv(name: String, path: String, opts: CsvOptions = CsvOptions()): Unit =
     registerTable(name, readCsv(path, opts))
@@ -108,6 +120,19 @@ class SessionContext(val spark: SparkSession) {
     df.write.mode("overwrite")
       .option("compression", Compression.option(compression))
       .parquet(path)
+
+  /** ORC sink (beyond-reference; see [[readOrc]]). */
+  def writeOrc(df: DataFrame, path: String,
+               compression: Compression.Value = Compression.Snappy): Unit =
+    df.write.mode("overwrite")
+      .option("compression", Compression.option(compression))
+      .orc(path)
+
+  /** NDJSON sink — the write half of the reference's declared-but-unwired
+    * NdJson file type.
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }
 
 object SessionContext {

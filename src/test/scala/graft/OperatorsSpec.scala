@@ -31,6 +31,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"HLL estimate ${r.getLong(1)} too far from exact ${r.getLong(0)}")
   }
 
+  test("SessionContext ORC and JSON sinks round-trip losslessly") {
+    import graft.context.{Compression, SessionContext}
+    val ctx = new SessionContext(spark)
+    val src = Tables.load(spark, sfDir, "nation")
+    val base = java.nio.file.Files.createTempDirectory("graft_ctx_rt").toString
+    ctx.writeOrc(src, s"$base/nation_orc", Compression.Zstd)
+    ctx.writeJson(src, s"$base/nation_json")
+    ctx.registerOrc("nation_orc_rt", s"$base/nation_orc")
+    ctx.registerJson("nation_json_rt", s"$base/nation_json")
+    val want = src.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val orc = ctx.table("nation_orc_rt")
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    // JSON column order is alphabetized on read; realign to source schema
+    val json = ctx.table("nation_json_rt")
+      .select(src.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(orc == want, "ORC round-trip diverged")
+    assert(json == want, "JSON round-trip diverged")
+  }
+
   test("left and right join agree mirrored") {
     val l = operators.Relational.queries("join_left")(spark, sfDir).collect()
     val r = operators.Relational.queries("join_right")(spark, sfDir).collect()
