@@ -163,10 +163,17 @@ object Dedup {
     * shape, e.g. GraphX's label propagation). Output: component id (min
     * doc_id) and member count.
     */
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashVerifiedPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  /** Min-label connected components over an undirected pair list
+    * (doc_a, doc_b). Public so the non-convergence contract is directly
+    * testable on synthetic graphs. Returns (node, label = component min).
+    * Throws if the fixpoint is not reached within maxRounds: a silent
+    * partial clustering is worse than a loud failure — a component with
+    * diameter > the cap (template-drift chains) must surface, not
+    * fragment into several reported clusters.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.toDF("b2", "a2").select(col("a2"), col("b2")))
       .toDF("u", "v").cache()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).cache()
@@ -176,26 +183,34 @@ object Dedup {
     var prevSum = Long.MinValue
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxRounds) {
       iter += 1
+      // localCheckpoint (eager), NOT cache: each round references `labels`
+      // twice (join branch + union branch), so an uncheckpointed logical
+      // plan DOUBLES per round — exponential plan growth that OOMs the
+      // driver around round ~25 even though the data is tiny. Checkpointing
+      // truncates the lineage to the materialized partitions each round.
       val prop = edges.join(labels, col("v") === col("node"))
         .select(col("u").as("node"), col("label"))
         .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
       val curSum = Option(prop.agg(sum(col("label"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels.unpersist()
       labels = prop
       converged = curSum == prevSum
       prevSum = curSum
     }
-    // a silent partial clustering is worse than a loud failure: a
-    // component with diameter > the round cap (template-drift chains)
-    // must surface, not fragment into several reported clusters
     if (!converged)
       throw new IllegalStateException(
-        s"dedup_clusters: label propagation not converged after $iter rounds")
-    labels.groupBy(col("label").as("cluster"))
+        s"connectedComponents: label propagation not converged after $iter rounds")
+    labels
+  }
+
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+    connectedComponents(pairs, maxRounds = 20)
+      .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster"))
   }

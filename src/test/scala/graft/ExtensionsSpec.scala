@@ -147,6 +147,27 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("connectedComponents: chain graph converges or fails loudly by cap") {
+    import spark.implicits._
+    // a 30-node path graph has diameter 29: min-label propagation needs
+    // ~29 rounds, so a cap of 10 must throw rather than return fragments
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.connectedComponents(chain, maxRounds = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 30)
+    assert(labels.forall(_._2 == 0L), "all chain nodes must join component 0")
+    intercept[IllegalStateException] {
+      operators.Dedup.connectedComponents(chain, maxRounds = 10).collect()
+    }
+    // two separate components keep separate min labels
+    val two = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val byComp = operators.Dedup.connectedComponents(two, maxRounds = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    assert(byComp.keySet == Set(0L, 10L))
+    assert(byComp(0L).map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(byComp(10L).map(_._1).toSet == Set(10L, 11L))
+  }
+
   test("dedup_exact stats are consistent") {
     val r = operators.Dedup.queries("dedup_exact")(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("n_docs") ==
