@@ -62,7 +62,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic content-addressed sampling: a doc is in the sample iff
+    * the first hex digit of md5(text) falls in a fixed set — reproducible
+    * across runs, engines, partitionings, and cluster sizes (unlike
+    * seed-based `df.sample`, whose draw depends on partitioning). The
+    * standard way to carve stable eval/holdout slices from a 100 TB corpus;
+    * 2 of 16 digits ≈ 12.5% expected rate.
+    */
+  private def sampleHash(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash" -> sampleHash _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
@@ -74,6 +90,12 @@ object TextAnalysis {
   val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "sample_hash" -> """
+      SELECT COUNT(*) AS n_sampled,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM documents
+      WHERE substr(md5(text), 1, 1) IN ('0', '1')""",
     "text_tokens" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,
