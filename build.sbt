@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites share one SparkSession and HygieneSpec asserts GLOBAL storage
+// state (getPersistentRDDs empty after release) — concurrent suites would
+// race those assertions; Spark parallelizes within each job anyway
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -84,6 +84,10 @@ object Bench {
 
     def medianOf(name: String, dir: String): Either[String, Double] = {
       val runs = (1 to Iters).map(_ => runOnce(name, dir))
+      // between QUERIES, not iterations: iterations legitimately reuse a
+      // query's own caches (that is the cache's job), but blocks must not
+      // leak into the next query's measurement or pin memory for the run
+      Caches.releaseAll(spark)
       val times = runs.collect { case Right(t) => t }
       if (times.size == Iters) Right(median(times))
       else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown"))

@@ -26,9 +26,14 @@ class TopKDoubles(k: Int) extends Aggregator[Double, Array[Double], Array[Double
 
   def finish(b: Array[Double]): Array[Double] = b.reverse
 
-  // buffer invariant: ascending, length ≤ k (min at index 0)
+  // buffer invariant: ascending, length ≤ k (min at index 0). NaN is
+  // dropped on entry: `x <= b(0)` is false for NaN, so an un-guarded NaN
+  // would always enter a full buffer and (Arrays.sort ordering NaN
+  // greatest) permanently squat on top-1 — divergent from SQL row_number
+  // ordering, which this aggregator must match.
   private def insert(b: Array[Double], x: Double): Array[Double] =
-    if (b.length < k) (b :+ x).sorted
+    if (x.isNaN) b
+    else if (b.length < k) (b :+ x).sorted
     else if (x <= b(0)) b
     else {
       val nb = b.clone(); nb(0) = x; java.util.Arrays.sort(nb); nb

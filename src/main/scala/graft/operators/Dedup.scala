@@ -117,8 +117,13 @@ object Dedup {
 
   /** Verified near-dup pairs via MinHash banding + exact Jaccard check —
     * shared by [[minhashLsh]] (the pair query) and [[dedupClusters]].
+    * Also returns a release thunk that (blocking-)unpersists the shared
+    * shingle cache; callers that drive actions eagerly (dedupClusters)
+    * invoke it the moment their derived data is materialized, lazy callers
+    * leave release to the session owner ([[graft.Caches.releaseAll]]).
     */
-  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashVerifiedPairsReleasable(
+      s: SparkSession, d: String): (DataFrame, () => Unit) = {
     GraftFunctions.register(s)
     val sh = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
     val sig = sh.select(col("doc_id"),
@@ -144,75 +149,113 @@ object Dedup {
       .withColumn("jaccard", lit(1.0) * col("common") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
-    verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (verified.select(col("doc_a"), col("doc_b"), col("jaccard")),
+      () => { sh.unpersist(blocking = true); () })
   }
 
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    minhashVerifiedPairsReleasable(s, d)._1.orderBy(col("doc_a"), col("doc_b"))
 
   // -- duplicate-cluster extraction (connected components) ----------------
 
   /** Near-dup CLUSTERS from the verified pair graph — the step that turns
     * pairwise similarity into a drop decision (keep one doc per component).
-    * Min-label propagation to a fixpoint: each round joins current labels
-    * across edges and takes the per-node min. Rounds needed = component
-    * diameter — near-dup components are dense (similarity is almost
-    * transitive at J ≥ 0.8), so this converges in 2-3 rounds; the loop is
-    * driver-controlled but each convergence probe reads ONE count, and all
-    * data stays distributed (the standard large-scale connected-components
-    * shape, e.g. GraphX's label propagation). Output: component id (min
-    * doc_id) and member count.
+    * See [[connectedComponents]] for the algorithm; output is component id
+    * (min doc_id) and member count.
     */
-  /** Min-label connected components over an undirected pair list
-    * (doc_a, doc_b). Public so the non-convergence contract is directly
-    * testable on synthetic graphs. Returns (node, label = component min).
-    * Throws if the fixpoint is not reached within maxRounds: a silent
-    * partial clustering is worse than a loud failure — a component with
-    * diameter > the cap (template-drift chains) must surface, not
-    * fragment into several reported clusters.
+  /** Connected components over an undirected pair list (doc_a, doc_b) by
+    * min-label propagation WITH POINTER JUMPING (Shiloach–Vishkin-style
+    * shortcutting): each round first takes the per-node min label across
+    * edges, then replaces every label by its label's label. Jumping makes
+    * the label "reach" roughly double per round — a diameter-D component
+    * converges in O(log D) rounds instead of D (spec: a 1000-node chain
+    * closes in ≤11 rounds; plain propagation would need 999) — while
+    * keeping the convergence probe EXACT: labels still only ever decrease,
+    * so the fixpoint is reached exactly when Σlabel stops changing, one
+    * scalar aggregate per round. (The star-contraction alternative reaches
+    * the same O(log) bound but its natural stopping rule compares edge
+    * multisets — a hashed, probabilistic check; monotone Σlabel is exact.)
+    *
+    * Public so the convergence contract is directly testable on synthetic
+    * graphs. Returns (node, label = component min). Throws if the fixpoint
+    * is not reached within maxRounds: a silent partial clustering is worse
+    * than a loud failure. Storage hygiene: every superseded round's
+    * localCheckpoint blocks and the edge cache are unpersisted before
+    * return — only the FINAL labels' blocks survive (the caller's result
+    * reads them; the session owner releases them after its terminal
+    * action).
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint (eager), NOT cache, for the per-round labels: each
+    // round references `labels` several times, so an uncheckpointed plan
+    // MULTIPLIES per round — exponential plan growth that OOMs the driver
+    // even though the data is tiny. Checkpointing truncates lineage to the
+    // materialized partitions; tracking the block ids around the call is
+    // what lets a later round unpersist exactly its predecessor's blocks.
+    def tracked(df: DataFrame): (DataFrame, collection.Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.diff(before))
+    }
+    def drop(ids: collection.Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
     val edges = pairs.toDF("a", "b")
       .union(pairs.toDF("b2", "a2").select(col("a2"), col("b2")))
       .toDF("u", "v").cache()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    // convergence probe: labels only ever decrease (min-propagation), so
-    // the fixpoint is reached exactly when Σlabel stops changing — one
-    // scalar aggregate per round instead of a join+count
-    var prevSum = Long.MinValue
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxRounds) {
-      iter += 1
-      // localCheckpoint (eager), NOT cache: each round references `labels`
-      // twice (join branch + union branch), so an uncheckpointed logical
-      // plan DOUBLES per round — exponential plan growth that OOMs the
-      // driver around round ~25 even though the data is tiny. Checkpointing
-      // truncates the lineage to the materialized partitions each round.
-      val prop = edges.join(labels, col("v") === col("node"))
-        .select(col("u").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val curSum = Option(prop.agg(sum(col("label"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels = prop
-      converged = curSum == prevSum
-      prevSum = curSum
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: label propagation not converged after $iter rounds")
-    labels
+    try {
+      var (labels, labelIds) = tracked(
+        edges.select(col("u").as("node")).distinct()
+          .withColumn("label", col("node")))
+      var prevSum = Long.MinValue
+      var converged = false
+      var iter = 0
+      try {
+        while (!converged && iter < maxRounds) {
+          iter += 1
+          // 1) min-label propagation across edges
+          val prop = edges.join(labels, col("v") === col("node"))
+            .select(col("u").as("node"), col("label"))
+            .union(labels)
+            .groupBy(col("node")).agg(min(col("label")).as("label"))
+          // 2) pointer jump: label ← label(label). Every label value is a
+          // node id of the same component (propagation only moves ids
+          // along edges), so the self-join always matches; the coalesce is
+          // belt-and-braces. Labels never increase: label(m) ≤ m.
+          val (next, nextIds) = tracked(
+            prop.join(
+                prop.select(col("node").as("jn"), col("label").as("jl")),
+                col("label") === col("jn"), "left")
+              .select(col("node"),
+                coalesce(col("jl"), col("label")).as("label")))
+          drop(labelIds) // predecessor round materialized into `next`
+          labels = next
+          labelIds = nextIds
+          val curSum = Option(labels.agg(sum(col("label"))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          converged = curSum == prevSum
+          prevSum = curSum
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponents: label propagation not converged after $iter rounds")
+        labels
+      } catch { case e: Throwable => drop(labelIds); throw e }
+    } finally edges.unpersist(blocking = true)
   }
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashVerifiedPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
-    connectedComponents(pairs, maxRounds = 20)
-      .groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("cluster"))
+    val (vp, release) = minhashVerifiedPairsReleasable(s, d)
+    val pairs = vp.select(col("doc_a"), col("doc_b")).cache()
+    // connectedComponents drives actions internally, so by the time it
+    // returns, `pairs` (and the shingle cache behind it) are fully
+    // consumed: the result below reads only the final checkpointed labels
+    try {
+      connectedComponents(pairs, maxRounds = 20)
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster"))
+    } finally { pairs.unpersist(blocking = true); release() }
   }
 
   // -- SimHash near-dup (hamming ≤ 3 via exact quarter blocking) ---------

@@ -307,39 +307,45 @@ object Relational {
     * bucket specs live in the catalog (not the files), so every session
     * re-attaches the layout with a metadata-only external CREATE TABLE.
     */
-  private def ensureBucketedTables(s: SparkSession, d: String): Unit = {
+  /** Registers the bucketed tables and returns the dataset-scoped catalog
+    * namespace suffix: every table name embeds the same fingerprint as the
+    * file layout, so two SessionContexts over DIFFERENT data dirs coexist
+    * in one shared metastore instead of racing each other's
+    * DROP-IF-EXISTS (global names were a cross-session hazard).
+    */
+  private def ensureBucketedTables(s: SparkSession, d: String): String = {
     // key embeds the bucket count and a source fingerprint: a changed
     // NBuckets or regenerated input must rebuild, not reuse files whose
     // physical bucketing no longer matches the declared spec
+    val fp = graft.Scratch.fingerprint(BucketSpec.map(t => Tables.path(d, t._1)): _*)
     val dir = graft.Scratch.ensure(s,
-      s"bucketed_v1_${NBuckets}_${graft.Scratch.sanitize(d)}_" +
-        graft.Scratch.fingerprint(BucketSpec.map(t => Tables.path(d, t._1)): _*)) { dir =>
+      s"bucketed_v1_${NBuckets}_${graft.Scratch.sanitize(d)}_$fp") { dir =>
       BucketSpec.foreach { case (t, key) =>
-        s.sql(s"DROP TABLE IF EXISTS graft_build_$t")
+        s.sql(s"DROP TABLE IF EXISTS graft_build_${t}_$fp")
         Tables.load(s, d, t)
           .write.bucketBy(NBuckets, key).sortBy(key)
           .option("path", s"$dir/$t")
           .mode("overwrite")
-          .saveAsTable(s"graft_build_$t")
-        s.sql(s"DROP TABLE IF EXISTS graft_build_$t") // external: files survive
+          .saveAsTable(s"graft_build_${t}_$fp")
+        s.sql(s"DROP TABLE IF EXISTS graft_build_${t}_$fp") // external: files survive
       }
     }
     BucketSpec.foreach { case (t, key) =>
       val schemaDdl = s.read.parquet(s"$dir/$t").schema.toDDL
-      s.sql(s"DROP TABLE IF EXISTS ${t}_bkt")
-      s.sql(s"""CREATE TABLE ${t}_bkt ($schemaDdl) USING parquet
+      s.sql(s"""CREATE TABLE IF NOT EXISTS ${t}_bkt_$fp ($schemaDdl) USING parquet
                 CLUSTERED BY ($key) SORTED BY ($key) INTO $NBuckets BUCKETS
                 LOCATION '$dir/$t'""")
     }
+    fp
   }
 
   /** Co-located join on the bucketed layout (PlanSpec asserts no
     * hashpartitioning Exchange on the join keys and a bucketed scan).
     */
   private def joinBucketed(s: SparkSession, d: String): DataFrame = {
-    ensureBucketedTables(s, d)
-    s.table("orders_bkt")
-      .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+    val fp = ensureBucketedTables(s, d)
+    s.table(s"orders_bkt_$fp")
+      .join(s.table(s"customer_bkt_$fp"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2)))

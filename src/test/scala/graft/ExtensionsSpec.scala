@@ -147,17 +147,26 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain simhash near-dups")
   }
 
-  test("connectedComponents: chain graph converges or fails loudly by cap") {
+  test("connectedComponents: diameter-1000 chain converges in O(log D) rounds") {
     import spark.implicits._
-    // a 30-node path graph has diameter 29: min-label propagation needs
-    // ~29 rounds, so a cap of 10 must throw rather than return fragments
-    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = operators.Dedup.connectedComponents(chain, maxRounds = 64)
+    // a 1001-node path graph has diameter 1000: plain min-label propagation
+    // needs 1000 rounds; pointer jumping doubles label reach per round
+    // (d_k = 2^(k+1)-2), so convergence lands at 10 rounds + 1 to observe
+    // the stationary Σlabel — comfortably inside the production cap of 20
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.connectedComponents(chain, maxRounds = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(labels.length == 30)
+    assert(labels.length == 1001)
     assert(labels.forall(_._2 == 0L), "all chain nodes must join component 0")
+    // storage hygiene: everything but the final labels checkpoint released
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1,
+      s"connectedComponents leaked ${leaked.size} persistent RDDs")
+    // an impossible cap still throws rather than returning fragments
+    // (5 jumping rounds reach label distance 2^6-2 = 62 < 1000)
     intercept[IllegalStateException] {
-      operators.Dedup.connectedComponents(chain, maxRounds = 10).collect()
+      operators.Dedup.connectedComponents(chain, maxRounds = 5).collect()
     }
     // two separate components keep separate min labels
     val two = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage hygiene: the dedup/similarity operators cache shared
+  * intermediates (shingle sets, embedding corpora) and checkpoint
+  * iteration state; in a long-lived session leaked blocks are eviction
+  * pressure on every subsequent job. Contract under test: after a query's
+  * terminal action plus [[Caches.releaseAll]] (what Verify does per query
+  * and Bench does per measured query), the session holds ZERO cached
+  * datasets and ZERO persistent RDD blocks. Runs the real query set — any
+  * newly added cache()/localCheckpoint call site that escapes release
+  * fails here by name.
+  */
+/** [[Scratch.fingerprint]] keys build-once layouts: a collision silently
+  * serves a stale artifact, so the key must be 64-bit-distinct across
+  * every perturbation of its inputs (path, size, mtime, directory child
+  * count) and stable when nothing changed.
+  */
+class ScratchSpec extends AnyFunSuite {
+
+  test("fingerprint is stable, 64-bit, and distinct under perturbation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toFile
+    try {
+      val f = new java.io.File(dir, "a.parquet")
+      java.nio.file.Files.writeString(f.toPath, "0123456789")
+      f.setLastModified(1700000000000L)
+      val base = Scratch.fingerprint(f.getPath)
+      assert(base.matches("[0-9a-f]{16}"), s"not a 64-bit hex key: $base")
+      assert(Scratch.fingerprint(f.getPath) == base, "same input must be stable")
+
+      // size change
+      java.nio.file.Files.writeString(f.toPath, "0123456789x")
+      f.setLastModified(1700000000000L)
+      val sized = Scratch.fingerprint(f.getPath)
+      // mtime change at identical size (the stale-reuse window a 32-bit
+      // String.hashCode left open)
+      java.nio.file.Files.writeString(f.toPath, "0123456789")
+      f.setLastModified(1700000001000L)
+      val touched = Scratch.fingerprint(f.getPath)
+      // path change
+      val g = new java.io.File(dir, "b.parquet")
+      java.nio.file.Files.copy(f.toPath, g.toPath)
+      g.setLastModified(1700000001000L)
+      val moved = Scratch.fingerprint(g.getPath)
+      // directory input: child-count change inside one mtime tick
+      val sub = new java.io.File(dir, "tbl"); sub.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(sub, "p0").toPath, "x")
+      sub.setLastModified(1700000002000L)
+      val oneChild = Scratch.fingerprint(sub.getPath)
+      java.nio.file.Files.writeString(new java.io.File(sub, "p1").toPath, "y")
+      sub.setLastModified(1700000002000L)
+      val twoChildren = Scratch.fingerprint(sub.getPath)
+
+      val all = Seq(base, sized, touched, moved, oneChild, twoChildren)
+      assert(all.distinct.size == all.size,
+        s"fingerprint collision across perturbed inputs: $all")
+      // multi-path keys differ from single-path keys of either member
+      assert(Scratch.fingerprint(f.getPath, g.getPath) != touched)
+      assert(Scratch.fingerprint(f.getPath, g.getPath) != moved)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+}
+
+class HygieneSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val cacheHeavy =
+    (operators.Dedup.queries.keys ++ operators.Similarity.queries.keys).toSeq.sorted
+
+  for (name <- cacheHeavy) {
+    test(s"$name leaves no storage blocks after action + releaseAll") {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      Caches.releaseAll(spark)
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"persistent RDDs leaked after release: ${leaked.keys.toSeq.sorted}")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "cacheManager still holds registered datasets after release")
+    }
+  }
+}
