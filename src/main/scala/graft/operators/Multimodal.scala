@@ -8,12 +8,17 @@ import graft.Tables
   * typed metadata, processed by batch-shaped partition-local decoders
   * (beyond the reference surface; SURVEY.md §7.1 M7).
   *
-  * The container has no image/audio codecs, so the *decode step is a
-  * clearly-marked deterministic stub* ([[FakeDecoder.decode]]); everything
-  * Spark-side is real: the binary column, the typed Dataset schema, the
-  * mapPartitions batch shape (one decoder instance per partition, streaming
-  * iterator — exactly how a JNI/FFmpeg/Pillow-style decoder is mounted),
-  * and the downstream relational feature aggregation.
+  * The decode step is REAL: media assets are PNG images encoded with
+  * `javax.imageio` and WAV audio encoded with `javax.sound.sampled`
+  * (JDK-native codecs — no external libraries), generated deterministically
+  * from doc_id into a fingerprinted build-once parquet table of binary
+  * columns (media lives in columnar storage, not filesystem blobs — the
+  * 100 TB layout), and decoded back pixel-by-pixel / sample-by-sample at
+  * the mapPartitions boundary (one decoder per partition, streaming
+  * iterator — exactly how a JNI/FFmpeg-style decoder is mounted). Every
+  * decoded feature has a closed form in doc_id, so the aggregate is
+  * oracle-checked end-to-end: a decoder that misreads one pixel fails the
+  * hash gate.
   */
 object Multimodal {
 
@@ -21,26 +26,127 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, source: String, bytes: Array[Byte],
                             n_chars: Long)
 
-  /** Decoded "image": deterministic fake with the shape a real decoder
-    * would return (dimensions, frame count, per-frame sample).
-    */
-  final case class DecodedImage(doc_id: Long, source: String, width: Int,
-                                height: Int, n_frames: Int, byte_len: Long)
+  /** A generated media asset: one PNG image + one WAV clip per document. */
+  final case class MediaAsset(doc_id: Long, source: String,
+                              png: Array[Byte], wav: Array[Byte])
 
-  object FakeDecoder {
-    /** STUB — a real implementation would parse the container format and
-      * decode pixel data (e.g. via a JNI codec); deterministic fake derived
-      * from metadata so results are oracle-checkable.
-      */
-    def decode(r: MediaRow): DecodedImage =
-      DecodedImage(
-        doc_id = r.doc_id,
-        source = r.source,
-        width = (64 + r.doc_id % 64).toInt,
-        height = (48 + r.doc_id % 48).toInt,
-        n_frames = (r.n_chars / 100 + 1).toInt,
-        byte_len = r.bytes.length.toLong)
+  /** Real decoded features. Channel means are exact longs by construction
+    * (solid fill / constant amplitude), so equality against the closed
+    * form is exact, not approximate.
+    */
+  final case class DecodedMedia(doc_id: Long, source: String,
+                                width: Int, height: Int,
+                                mean_r: Long, mean_g: Long, mean_b: Long,
+                                n_samples: Long, mean_amp: Long)
+
+  /** Deterministic closed forms shared by the generator, the decoder spec,
+    * and (inlined as SQL) the DuckDB oracle.
+    */
+  object MediaSpec {
+    def width(id: Long): Int = (64 + id % 64).toInt
+    def height(id: Long): Int = (48 + id % 48).toInt
+    def red(id: Long): Int = ((id * 37) % 256).toInt
+    def green(id: Long): Int = ((id * 59) % 256).toInt
+    def blue(id: Long): Int = ((id * 83) % 256).toInt
+    def nSamples(id: Long): Int = (500 + id % 500).toInt
+    def amplitude(id: Long): Int = ((id * 131) % 2048 - 1024).toInt
+    val SampleRate = 8000f
   }
+
+  /** JDK-native media codecs (javax.imageio PNG, javax.sound.sampled WAV).
+    * Encode renders real compressed containers; decode parses them back —
+    * PNG is lossless and 16-bit PCM is exact, so the round-trip preserves
+    * every pixel/sample value.
+    */
+  object JdkCodecs {
+    import MediaSpec._
+
+    def encodePng(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (red(id) << 16) | (green(id) << 8) | blue(id)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val amp = amplitude(id)
+      val pcm = new Array[Byte](n * 2) // 16-bit little-endian signed mono
+      var i = 0
+      while (i < n) {
+        pcm(2 * i) = (amp & 0xff).toByte
+        pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1,
+        true /*signed*/, false /*little-endian*/)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode BOTH payloads of an asset from their container bytes. Fails
+      * loudly on undecodable input — a silent skip would under-count the
+      * oracle aggregate.
+      */
+    def decode(a: MediaAsset): DecodedMedia = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.png))
+      require(img != null, s"undecodable PNG for doc ${a.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val np = w.toLong * h
+
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.wav))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected WAV format for doc ${a.doc_id}: $fmt")
+      val bytes = ais.readAllBytes()
+      ais.close()
+      val n = bytes.length / 2
+      var sa = 0L
+      var i = 0
+      while (i < n) {
+        val (lo, hi) =
+          if (fmt.isBigEndian) (bytes(2 * i + 1), bytes(2 * i))
+          else (bytes(2 * i), bytes(2 * i + 1))
+        sa += (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toLong
+        i += 1
+      }
+      DecodedMedia(a.doc_id, a.source, w, h,
+        mean_r = sr / np, mean_g = sg / np, mean_b = sb / np,
+        n_samples = n.toLong, mean_amp = if (n == 0) 0L else sa / n)
+    }
+  }
+
+  /** Media corpus cap: assets are generated for doc_id < MediaDocs so the
+    * build-once table stays bounded at every SF (the oracle filters the
+    * same way).
+    */
+  val MediaDocs = 512
 
   /** documents.text re-encoded as a BINARY payload column (stand-in for
     * image/audio bytes).
@@ -65,22 +171,48 @@ object Multimodal {
         lower(hex(substring(col("bytes"), 1, 8))).as("head8_hex"))
       .orderBy(col("doc_id"))
 
-  /** Decode (stub) → frame-sample → per-source feature rollup. The
-    * mapPartitions boundary is where a real decoder batch would run.
+  /** Build-once parquet table of real PNG/WAV binary columns, generated
+    * distributed (encoders run inside mapPartitions on executors, one
+    * partition per task) under a fingerprinted [[graft.Scratch]] key.
     */
-  private def mmDecodePipeline(s: SparkSession, d: String): DataFrame = {
+  def ensureMediaTable(s: SparkSession, d: String): String = {
     import s.implicits._
-    val decoded: Dataset[DecodedImage] =
-      media(s, d).mapPartitions { it =>
+    graft.Scratch.ensure(s,
+      s"media_v1_${MediaDocs}_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "documents"))) { dir =>
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") < MediaDocs)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          MediaAsset(id, src, JdkCodecs.encodePng(id), JdkCodecs.encodeWav(id))
+        })
+        .write.mode("overwrite").parquet(s"$dir/media")
+    } + "/media"
+  }
+
+  /** REAL decode pipeline: binary-column media table → per-partition JDK
+    * codec decode (actual pixels, actual PCM samples) → per-source feature
+    * rollup. The oracle recomputes every aggregate from the generator's
+    * closed forms in doc_id, so the decode path is value-checked
+    * end-to-end, not just shape-checked.
+    */
+  private def mmDecodeReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = ensureMediaTable(s, d)
+    val decoded: Dataset[DecodedMedia] =
+      s.read.parquet(path).as[MediaAsset].mapPartitions { it =>
         // one decoder per partition; iterator stays lazy (no materialization)
-        it.map(FakeDecoder.decode)
+        it.map(JdkCodecs.decode)
       }
     decoded.toDF()
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_images"),
+      .agg(count(lit(1)).as("n_media"),
         sum(col("width").cast("long") * col("height")).as("sum_pixels"),
-        sum(col("n_frames").cast("long")).as("sum_frames"),
-        sum(col("byte_len")).as("sum_bytes"))
+        sum(col("mean_r")).as("sum_mean_r"),
+        sum(col("mean_g")).as("sum_mean_g"),
+        sum(col("mean_b")).as("sum_mean_b"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("mean_amp")).as("sum_amp"))
       .orderBy(col("source"))
   }
 
@@ -112,7 +244,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> mmBinaryFeatures _,
-    "mm_decode_pipeline" -> mmDecodePipeline _,
+    "mm_decode_real" -> mmDecodeReal _,
     "mm_frame_sample" -> mmFrameSample _
   )
 
@@ -132,11 +264,17 @@ object Multimodal {
         FROM documents
         WHERE length(text) // 256 > 0)
       ORDER BY doc_id, frame_idx""",
-    "mm_decode_pipeline" -> """
-      SELECT source, COUNT(*) AS n_images,
+    // the generator's closed forms, restated independently in SQL: any
+    // pixel/sample mis-decode breaks a SUM and fails the hash compare
+    "mm_decode_real" -> s"""
+      SELECT source, COUNT(*) AS n_media,
              CAST(SUM((64 + doc_id % 64) * (48 + doc_id % 48)) AS BIGINT) AS sum_pixels,
-             CAST(SUM(n_chars // 100 + 1) AS BIGINT) AS sum_frames,
-             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
-      FROM documents GROUP BY source ORDER BY source"""
+             CAST(SUM((doc_id * 37) % 256) AS BIGINT) AS sum_mean_r,
+             CAST(SUM((doc_id * 59) % 256) AS BIGINT) AS sum_mean_g,
+             CAST(SUM((doc_id * 83) % 256) AS BIGINT) AS sum_mean_b,
+             CAST(SUM(500 + doc_id % 500) AS BIGINT) AS sum_samples,
+             CAST(SUM((doc_id * 131) % 2048 - 1024) AS BIGINT) AS sum_amp
+      FROM documents WHERE doc_id < $MediaDocs
+      GROUP BY source ORDER BY source"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

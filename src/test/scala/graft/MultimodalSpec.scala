@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal.{JdkCodecs, MediaAsset, MediaSpec}
+
+/** The media codecs are REAL JDK containers, not fakes: encode must emit
+  * well-formed PNG/WAV magic, and decode must recover every pixel and
+  * sample value exactly (PNG is lossless, 16-bit PCM is exact). The
+  * end-to-end aggregate is separately oracle-gated (`mm_decode_real`);
+  * this spec pins the per-asset round-trip against the closed forms.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("PNG/WAV containers carry real format magic") {
+    val png = JdkCodecs.encodePng(7L)
+    assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a).map(_.toByte), "not a PNG container")
+    val wav = JdkCodecs.encodeWav(7L)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+  }
+
+  test("encode -> decode round-trip matches the closed forms exactly") {
+    for (id <- Seq(0L, 1L, 63L, 64L, 255L, 256L, 511L)) {
+      val dec = JdkCodecs.decode(
+        MediaAsset(id, "s", JdkCodecs.encodePng(id), JdkCodecs.encodeWav(id)))
+      assert(dec.width == MediaSpec.width(id), s"width id=$id")
+      assert(dec.height == MediaSpec.height(id), s"height id=$id")
+      assert(dec.mean_r == MediaSpec.red(id), s"mean_r id=$id")
+      assert(dec.mean_g == MediaSpec.green(id), s"mean_g id=$id")
+      assert(dec.mean_b == MediaSpec.blue(id), s"mean_b id=$id")
+      assert(dec.n_samples == MediaSpec.nSamples(id), s"n_samples id=$id")
+      assert(dec.mean_amp == MediaSpec.amplitude(id), s"mean_amp id=$id")
+    }
+  }
+
+  test("a corrupted container fails loudly, not silently") {
+    val good = MediaAsset(3L, "s", JdkCodecs.encodePng(3L), JdkCodecs.encodeWav(3L))
+    intercept[Exception] {
+      JdkCodecs.decode(good.copy(png = good.png.take(10)))
+    }
+    intercept[Exception] {
+      JdkCodecs.decode(good.copy(wav = Array[Byte](1, 2, 3)))
+    }
+  }
+
+  test("mm_decode_real decodes the generated corpus at sf0.001") {
+    val rows = operators.Multimodal.queries("mm_decode_real")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_media")).sum
+    assert(total == math.min(500L, operators.Multimodal.MediaDocs.toLong),
+      s"expected every doc under the cap to decode, got $total")
+  }
+}
