@@ -178,6 +178,63 @@ object HashImpls {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Deterministic Gaussian random hyperplanes for sign-bit LSH (Charikar,
+    * "Similarity estimation techniques from rounding algorithms", STOC
+    * 2002: P[sign collision] = 1 − θ/π needs spherically-symmetric plane
+    * directions, hence Gaussian components, via Box–Muller over splitmix64
+    * streams). The matrix NEVER enters a query plan or shuffles: each
+    * executor JVM materializes it lazily from (seed, planes, dim) — ~100 KB
+    * at 192×64 — and caches it, so the per-row signature is a pure local
+    * dot-product loop.
+    */
+  private[this] val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  private def planesFor(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val key = (seed, nPlanes, dim)
+    var m = planeCache.get(key)
+    if (m == null) {
+      m = Array.tabulate(nPlanes) { p =>
+        Array.tabulate(dim) { d =>
+          val i = p.toLong * dim + d
+          val u1 = ((splitmix64(seed + 2 * i) >>> 11) + 1).toDouble / (1L << 53)
+          val u2 = (splitmix64(seed + 2 * i + 1) >>> 11).toDouble / (1L << 53)
+          math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+        }
+      }
+      planeCache.putIfAbsent(key, m)
+    }
+    m
+  }
+
+  /** Banded sign-bit signature of a double vector: element j is the packed
+    * `rowsPerBand` sign bits of band j against hyperplanes
+    * [j·rowsPerBand, (j+1)·rowsPerBand) — directly usable as an LSH
+    * band-bucket join key.
+    */
+  def hyperplaneBands(v: ArrayData, bands: Int, rowsPerBand: Int,
+                      seed: Long): ArrayData = {
+    val dim = v.numElements()
+    val planes = planesFor(seed, bands * rowsPerBand, dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val p = planes(b * rowsPerBand + r)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v.getDouble(i) * p(i); i += 1 }
+        if (s > 0.0) key |= 1L << r
+        r += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Rabin-Karp rolling-hash fingerprint of a string → LONG.
@@ -251,6 +308,28 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Banded random-hyperplane sign-bit LSH signature of an ARRAY<DOUBLE>
+  * vector → ARRAY<LONG>[bands] (element j = band j's packed sign bits).
+  * The hyperplane matrix is derived from the seed per executor (see
+  * [[HashImpls.hyperplaneBands]]) — no literals in the plan, no broadcast.
+  */
+case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
+                           seed: Long)
+    extends UnaryExpression {
+  require(bands > 0 && bands <= 256, s"band count out of range: $bands")
+  require(rowsPerBand > 0 && rowsPerBand <= 63,
+    s"rows per band out of range: $rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+  override protected def nullSafeEval(v: Any): Any =
+    HashImpls.hyperplaneBands(v.asInstanceOf[ArrayData], bands, rowsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.hyperplaneBands($c, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneBands =
+    copy(child = c)
+}
+
 /** SQL registration + Column-level wrappers (via the function registry, so
   * the same names work from SQL and the DataFrame API).
   */
@@ -279,6 +358,14 @@ object GraftFunctions {
       es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bands",
+      es => HyperplaneBands(es(0), intArg(es(1), "hyperplane_bands"),
+        intArg(es(2), "hyperplane_bands"), es(3) match {
+          case Literal(v: Long, LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bands expects a literal seed, got $other")
+        }), "built-in")
   }
 
   /** Wrappers assume [[register]] ran on the active session. */
@@ -290,6 +377,11 @@ object GraftFunctions {
     call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
+    call_function("hyperplane_bands", v,
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(rowsPerBand),
+      org.apache.spark.sql.functions.lit(seed))
 }
 
 /** Distinct space-joined n-gram shingles of an ARRAY<STRING> of words →

@@ -300,10 +300,82 @@ object Similarity {
   private def embeddingThreshold(s: SparkSession, d: String): DataFrame =
     embeddingThresholdPairs(s, d, CosThreshold)
 
+  // -- approximate high-threshold near-dup: random-hyperplane LSH ----------
+
+  /** Operating point of the approximate tier: real near-dup dedup runs at
+    * cos ≥ ~0.9, where the sign-bit collision probability gap is wide
+    * (p = 1 − θ/π ≈ 0.86 for a true pair vs 0.5 for an orthogonal one) and
+    * banding is cheap AND accurate — the regime the exact cap-pruned join's
+    * scaladoc identifies as LSH's home turf (and where ITS pruning
+    * honestly degenerates on unstructured corpora).
+    */
+  val LshThreshold = 0.9
+  private val LshBands = 16
+  private val LshRows = 12
+  private val LshSeed = 0x9e3779b97f4a7c15L
+  /** Planted near-dup copies get vec_id + this offset. */
+  val LshCopyOffset = 1000000L
+
+  /** The fixture corpus is unstructured (max pair cos ≈ 0.51 — no pair
+    * clears 0.9), so the oracle-checked corpus PLANTS a near-duplicate per
+    * vector: copy = 0.9·v + 0.1·reverse(v), which lands at cos(v, copy) ≈
+    * 0.99 for random v while cross-pairs stay far below threshold. The
+    * derivation is elementwise SQL (same IEEE ops in DuckDB), so the
+    * oracle recomputes the identical corpus and the EXACT threshold pairs
+    * over it — the LSH tier must find every one (recall here: per-pair
+    * miss ≈ (1−p^12)^16 < 1e-6 at cos 0.99) and exact-cosine-verify keeps
+    * precision 1.
+    */
+  def lshCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val copies = e.select((col("vec_id") + lit(LshCopyOffset)).as("vec_id"),
+      zip_with(col("v"), reverse(col("v")),
+        (a, b) => a * lit(0.9) + b * lit(0.1)).as("v"))
+    e.unionByName(copies)
+  }
+
+  /** Candidate pairs from the band-bucket self-join — public so the spec
+    * can assert |candidates| ≪ n(n−1)/2. Shape at 100 TB: signatures are
+    * `bands` longs per vector (the hyperplane matrix lives per-executor,
+    * see [[graft.functions.HashImpls.hyperplaneBands]]); the join shuffles
+    * bands·n skinny rows on (band, key) and does Σ|bucket|² work — the
+    * same sub-quadratic banding shape as the MinHash text tier.
+    */
+  def hyperplaneCandidates(corpus: DataFrame): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val bandRows = corpus.select(col("vec_id"),
+      posexplode(GraftFunctions.hyperplane_bands(
+        col("v"), LshBands, LshRows, LshSeed)).as(Seq("band", "bk")))
+    bandRows.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
+      .join(bandRows.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
+  /** Approximate threshold join: banded candidates, exact-cosine verified
+    * (precision 1 by construction; recall < 1 by banding, quantified in
+    * the scaladoc above and spec-asserted on the planted geometry).
+    */
+  def hyperplaneLshPairs(corpus: DataFrame, t: Double): DataFrame =
+    hyperplaneCandidates(corpus)
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= t)
+      .select(col("vec_a"), col("vec_b"),
+        round(GraftFunctions.cosine_sim(col("va"), col("vb")), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    hyperplaneLshPairs(lshCorpus(s, d), LshThreshold)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
-    "dedup_embedding_threshold" -> embeddingThreshold _
+    "dedup_embedding_threshold" -> embeddingThreshold _,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh _
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,6 +400,23 @@ object Similarity {
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) >= $CosThreshold
+      ORDER BY vec_a, vec_b""",
+    // the planted corpus rebuilt with identical elementwise IEEE ops, then
+    // the EXACT threshold pairs over it: green iff the LSH tier's recall
+    // is 1 on this geometry AND its verify keeps precision exact
+    "dedup_embedding_lsh" -> s"""
+      WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      copies AS (
+        SELECT vec_id + $LshCopyOffset AS vec_id,
+               [v[i]*0.9 + v[len(v)-i+1]*0.1 FOR i IN range(1, len(v)+1)] AS v
+        FROM base),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      FROM corpus a, corpus b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.v, b.v) >= $LshThreshold
       ORDER BY vec_a, vec_b"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

@@ -268,6 +268,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want, s"got=${got.size} want=${want.size}")
   }
 
+  test("hyperplane LSH on planted near-dups: full recall, candidates << n^2") {
+    import operators.Similarity
+    val corpus = Similarity.lshCorpus(spark, sfDir).cache()
+    try {
+      val vecs = corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val n = vecs.length.toLong
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val want = (for {
+        (i, vi) <- vecs; (j, vj) <- vecs
+        if i < j && cos(vi, vj) >= Similarity.LshThreshold
+      } yield (i, j)).toSet
+      // the planted geometry: every vector got one ~cos-0.99 copy, and no
+      // cross pair comes near the threshold (fixture max base cos ≈ 0.51)
+      assert(want.size == vecs.length / 2,
+        s"planting broke: ${want.size} true pairs for ${vecs.length} vectors")
+
+      val got = Similarity.hyperplaneLshPairs(corpus, Similarity.LshThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"LSH missed ${(want -- got).size} / found ${(got -- want).size} spurious")
+
+      val cand = Similarity.hyperplaneCandidates(corpus).count()
+      val allPairs = n * (n - 1) / 2
+      info(s"candidates $cand of $allPairs pairs (${100.0 * cand / allPairs}%)")
+      assert(cand < allPairs / 20,
+        s"banding admitted $cand of $allPairs pairs — not sub-quadratic")
+    } finally corpus.unpersist(blocking = true)
+  }
+
   test("threshold join on planted clusters: exact result, real cap pruning") {
     // deterministic clustered corpus: 8 gaussian centers, tight points ⇒
     // intra-cluster cos ≈ 0.99, inter ≲ 0.5 — the regime the operator is
