@@ -106,9 +106,19 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Ceiling for the literal-argmax assignment path: [[assignExpr]] embeds
+    * k×dim centroid doubles in the plan, so plan size and codegen grow
+    * linearly in k·dim — fine at the default k=16, hostile at the k≈1000s
+    * a 100 TB IVF wants. Above this, [[assignCells]] switches to the
+    * broadcast-join argmax (one partial-aggregated shuffle of n rows,
+    * centroids broadcast as data instead of code).
+    */
+  val AssignLiteralMaxK = 32
+
   /** Row-local nearest-centroid assignment: argmax over k cosine scores
     * computed against centroid literals — no join, no shuffle, codegen'd.
     * Ties break to the smallest cell id (via the negated-cell struct sort).
+    * Only used for k ≤ [[AssignLiteralMaxK]]; see [[assignCells]].
     */
   private def assignExpr(cents: Seq[(Int, Seq[Double])], v: Column): Column = {
     val scored = cents.map { case (cell, cv) =>
@@ -117,6 +127,42 @@ object Similarity {
     }
     (-array_max(array(scored: _*)).getField("negcell")).cast(IntegerType)
   }
+
+  private[graft] def assignByLiteral(
+      e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    e.select(col("vec_id"), col("v"), assignExpr(cents, col("v")).as("cell"))
+
+  /** Broadcast-join argmax assignment for large k: centroids travel as a
+    * broadcast relation (data, not plan literals), each corpus row fans
+    * out to k scored rows INSIDE its partition, and a map-side partial
+    * max(struct) collapses them back before the single vec_id shuffle —
+    * net cost one shuffle of n (vec_id, v, cell) rows regardless of k.
+    * The (ccos, negcell) struct ordering reproduces [[assignExpr]]'s
+    * smallest-cell tie-break exactly, and the cosine kernel is the same,
+    * so both paths yield identical assignments (spec-asserted at k=64).
+    */
+  private[graft] def assignByBroadcast(
+      e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = e.sparkSession
+    GraftFunctions.register(s)
+    val centsDf = s.createDataFrame(cents.map(c => (c._1, c._2)))
+      .toDF("cell", "cv")
+    e.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("v"),
+        struct(GraftFunctions.cosine_sim(col("v"), col("cv")).as("ccos"),
+               (-col("cell")).as("negcell")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"),
+        (-col("m.negcell")).cast(IntegerType).as("cell"))
+  }
+
+  /** Nearest-centroid assignment, dispatching on k (see
+    * [[AssignLiteralMaxK]]). Returns (vec_id, v, cell).
+    */
+  def assignCells(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    if (cents.size <= AssignLiteralMaxK) assignByLiteral(e, cents)
+    else assignByBroadcast(e, cents)
 
   /** Spherical k-means centroids via Lloyd's iterations, distributed:
     * map-only assignment (see [[assignExpr]]) + one aggregation per
@@ -131,8 +177,8 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
       .toSeq
     for (_ <- 1 to iters) {
-      val next = e.select(assignExpr(cents, col("v")).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
+      val next = assignCells(e, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("x").cast(DecimalType(30, 16))) / count(lit(1)))
           .cast(DoubleType).as("cx"))
@@ -157,7 +203,7 @@ object Similarity {
       val corpusPath = s"$dir/corpus"
       val e = emb(s, d).cache()
       val cents = kmeansCentroids(e, NCells, LloydIters)
-      e.withColumn("cell", assignExpr(cents, col("v")))
+      assignCells(e, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(corpusPath)
       // exact per-cell cap radius: max angle(member, own centroid) — one
       // map-only pass over the just-written corpus + a k-sized aggregate

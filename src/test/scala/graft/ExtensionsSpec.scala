@@ -268,6 +268,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want, s"got=${got.size} want=${want.size}")
   }
 
+  test("broadcast argmax assignment at k=64 equals the literal path exactly") {
+    import operators.Similarity
+    // k=64 is above AssignLiteralMaxK, so production dispatch (kmeans,
+    // index build) takes the broadcast path there — this pins both paths
+    // to identical assignments, tie-breaks included
+    assert(Similarity.AssignLiteralMaxK < 64)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.kmeansCentroids(e, 64, 2)
+    assert(cents.size == 64)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val viaLiteral = asMap(Similarity.assignByLiteral(e, cents))
+    val viaBroadcast = asMap(Similarity.assignByBroadcast(e, cents))
+    assert(viaLiteral.size == viaBroadcast.size)
+    val diffs = viaLiteral.collect {
+      case (id, c) if viaBroadcast(id) != c => (id, c, viaBroadcast(id))
+    }
+    assert(diffs.isEmpty, s"paths diverge on ${diffs.size} vectors: ${diffs.take(3)}")
+    // with 64 cells over 500 vectors, a correct argmax spreads assignments
+    assert(viaLiteral.values.toSet.size > 32, "degenerate assignment spread")
+  }
+
   test("hyperplane LSH on planted near-dups: full recall, candidates << n^2") {
     import operators.Similarity
     val corpus = Similarity.lshCorpus(spark, sfDir).cache()
