@@ -29,28 +29,53 @@ object Bench {
   private val Iters = 3
   private val Sf1Reps = 10
 
-  /** Build (once, cached) an SF≈1-equivalent TPC-H dir: lineitem ×Sf1Reps
-    * with offset order keys; the six small tables copied as-is.
+  /** Build (once, cached) an SF≈1-equivalent fixture dir: lineitem AND
+    * orders ×Sf1Reps with matching per-replica order-key offsets (so
+    * join-heavy queries like q18 see consistent key distributions, not
+    * dangling keys), documents ×Sf1Reps (identical replicas — exactly the
+    * duplicated corpus a dedup operator exists to collapse), remaining
+    * tables copied as-is.
     */
   private def ensureSf1Dir(spark: SparkSession, sfDir: String): String =
     Scratch.ensure(spark,
-      s"sf1eq_v1_${Sf1Reps}_${Scratch.sanitize(sfDir)}_" +
-        Scratch.fingerprint(s"$sfDir/lineitem.parquet")) { dir =>
+      s"sf1eq_v2_${Sf1Reps}_${Scratch.sanitize(sfDir)}_" +
+        Scratch.fingerprint(s"$sfDir/lineitem.parquet",
+          s"$sfDir/orders.parquet", s"$sfDir/documents.parquet")) { dir =>
+      // a real SF1 table is many files/row-groups; one 6M-row row group
+      // would serialize the scan onto a single core — hence repartition(32)
+      def replicate(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                    step: Long, out: String): Unit =
+        df.crossJoin(broadcast(spark.range(Sf1Reps).select(col("id").as("rep"))))
+          .withColumn(keyCol, col(keyCol) + col("rep") * step)
+          .drop("rep")
+          .repartition(32)
+          .write.mode("overwrite").parquet(out)
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val step = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
-      li.crossJoin(broadcast(spark.range(Sf1Reps).select(col("id").as("rep"))))
-        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * step)
-        .drop("rep")
-        // a real SF1 table is many files/row-groups; one 6M-row row group
-        // would serialize the scan onto a single core
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      for (t <- Tables.tpch if t != "lineitem")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      val step = math.max(
+        li.agg(max(col("l_orderkey"))).head().getLong(0),
+        ord.agg(max(col("o_orderkey"))).head().getLong(0)) + 1
+      replicate(li, "l_orderkey", step, s"$dir/lineitem.parquet")
+      replicate(ord, "o_orderkey", step, s"$dir/orders.parquet")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dstep = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      replicate(docs, "doc_id", dstep, s"$dir/documents.parquet")
+      val replicated = Set("lineitem", "orders", "documents")
+      for (t <- Tables.all if !replicated(t))
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
           java.nio.file.Paths.get(s"$dir/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+
+  /** Same-scale baseline points vs BASELINE.md: scan-agg (q1), join-heavy
+    * (q18), shuffle-heavy LSH dedup — each timed like any query but on the
+    * SF≈1 dir.
+    */
+  private val Sf1Points = Seq(
+    "sf1_q1" -> "tpch_q1",
+    "sf1_q18" -> "tpch_q18",
+    "sf1_dedup_minhash_lsh" -> "dedup_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,27 +132,30 @@ object Bench {
       case (k, Left(_)) => s""""$k":null"""
     }.mkString("{", ",", "}")
 
-    // same-scale baseline point (untimed build; timed like any query);
-    // dev-filtered runs skip it unless "sf1_q1" is named in the filter.
+    // same-scale baseline points (untimed build; timed like any query);
+    // dev-filtered runs skip each unless its key is named in the filter.
     // None = skipped, Left = failed (reported in "failed", never silent).
-    val sf1: Option[Either[String, Double]] =
-      if (only.exists(!_.contains("sf1_q1"))) None
-      else Some(
-        try medianOf("tpch_q1", ensureSf1Dir(spark, sfDir))
-        catch {
-          case e: Throwable => Left(s"sf1 build: ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).take(120))
-        })
-    val sf1Json = sf1 match {
-      case Some(Right(t)) => t.toString
-      case _ => "null"
-    }
+    lazy val sf1Dir: Either[String, String] =
+      try Right(ensureSf1Dir(spark, sfDir))
+      catch {
+        case e: Throwable => Left(s"sf1 build: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(120))
+      }
+    val sf1: Seq[(String, Option[Either[String, Double]])] =
+      Sf1Points.map { case (key, query) =>
+        key -> (
+          if (only.exists(!_.contains(key))) None
+          else Some(sf1Dir.flatMap(dir => medianOf(query, dir))))
+      }
+    val sf1Json = sf1.map {
+      case (k, Some(Right(t))) => s""""$k":$t"""
+      case (k, _) => s""""$k":null"""
+    }.mkString(",")
     val failed = (results.collect { case (k, Left(e)) =>
         s""""$k":"${Json.escape(e)}""""
-      } ++ (sf1 match {
-        case Some(Left(e)) => Seq(s""""sf1_q1":"${Json.escape(e)}"""")
-        case _ => Nil
-      })).mkString("{", ",", "}")
+      } ++ sf1.collect { case (k, Some(Left(e))) =>
+        s""""$k":"${Json.escape(e)}""""
+      }).mkString("{", ",", "}")
     val anyFailed = results.exists(_._2.isLeft)
     // an all-unknown filter must not read as a perfect 0.0-second run
     val total =
@@ -135,7 +163,7 @@ object Bench {
       else results.collect { case (_, Right(t)) => t }.sum.toString
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,""" +
-      s""""queries":$qs,"failed":$failed,"sf1_q1":$sf1Json,"sf":"$sfDir"}""")
+      s""""queries":$qs,"failed":$failed,$sf1Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

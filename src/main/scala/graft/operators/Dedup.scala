@@ -258,6 +258,27 @@ object Dedup {
     } finally { pairs.unpersist(blocking = true); release() }
   }
 
+  /** The end of the dedup pipeline: the SURVIVING corpus after near-dup
+    * collapse — every document except non-keeper cluster members (keeper =
+    * component min doc_id). This is the operator a training-data pipeline
+    * actually materializes; pairs and clusters are its intermediates.
+    * Scale shape: the dropped set is duplicate-sized (≪ corpus), so the
+    * anti-join broadcasts it against the full corpus scan — no corpus
+    * shuffle at all.
+    */
+  private def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val (vp, release) = minhashVerifiedPairsReleasable(s, d)
+    val pairs = vp.select(col("doc_a"), col("doc_b")).cache()
+    try {
+      val labels = connectedComponents(pairs, maxRounds = 20)
+      val dropped = labels.filter(col("label") =!= col("node"))
+        .select(col("node").as("doc_id"))
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    } finally { pairs.unpersist(blocking = true); release() }
+  }
+
   // -- SimHash near-dup (hamming ≤ 3 via exact quarter blocking) ---------
 
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -336,6 +357,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_keep" -> dedupKeep _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_embedding_cos" -> embeddingPairs _
   )
@@ -387,6 +409,26 @@ object Dedup {
         GROUP BY node)
       SELECT cluster, COUNT(*) AS n_members
       FROM labels GROUP BY cluster ORDER BY cluster""",
+    // surviving corpus = documents minus non-keeper members of the
+    // transitive closure over the exact-Jaccard pair graph
+    "dedup_keep" -> s"""
+      WITH RECURSIVE pairs AS ($JaccardOracle),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+      labels AS (
+        SELECT node, MIN(r) AS cluster FROM (
+          SELECT node, r FROM reach
+          UNION ALL
+          SELECT DISTINCT u, u FROM edges) t
+        GROUP BY node),
+      dropped AS (SELECT node FROM labels WHERE node <> cluster)
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM dropped)
+      ORDER BY doc_id""",
     "dedup_embedding_cos" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

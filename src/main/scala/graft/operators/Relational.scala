@@ -1097,14 +1097,27 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                               (o_orderstatus, o_orderpriority), ())
       ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""",
+    // deliberately NOT DuckDB's native ASOF JOIN: ASOF picks arbitrarily
+    // between right rows tied on (user_id, ts), while the Spark side's
+    // running-last window deterministically takes the largest event_id —
+    // a latent flake if the fixture ever grows such a tie. The
+    // group-aggregate arg_max over the inequality join states the same
+    // tie-break explicitly — max (ts, event_id), packed into one HUGEINT
+    // (event_id < 1e10 by fixture contract; DuckDB 1.0 arg_max has no
+    // composite key) — via a fully independent algorithm (no window, no
+    // union trick).
     "join_asof" -> """
       WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'click'),
-           r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                          * 10000000000 + event_id AS ord
                  FROM events WHERE event_type = 'purchase')
       SELECT l.event_id AS event_id, l.user_id AS user_id,
-             r.event_id AS asof_event, r.value AS asof_value
-      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+             arg_max(r.event_id, r.ord) AS asof_event,
+             arg_max(r.value, r.ord) AS asof_value
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+      GROUP BY l.event_id, l.user_id
       ORDER BY event_id""",
     "join_range" -> """
       SELECT c.event_id AS click_event, p.event_id AS purchase_event,

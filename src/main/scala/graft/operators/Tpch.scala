@@ -275,14 +275,28 @@ object Tpch {
         AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
                           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
 
-    // q18 — large volume customers.
+    // q18 — large volume customers. Written as the pre-aggregated form:
+    // o_orderkey functionally determines every other group key, so
+    // grouping lineitem alone first (HAVING included) is EXACTLY the
+    // spec query — and it is the scale-correct plan: the fact table
+    // collapses to per-order sums BEFORE any join (one skinny-key
+    // shuffle with map-side partials), the very selective HAVING then
+    // leaves a dim-sized row set to join. The joined-first formulation
+    // let AQE broadcast the 2-column lineitem projection at sf0.1 —
+    // cute at 10 MB, fatal at SF1000. (The DuckDB oracle keeps the
+    // joined-first spec shape, so parity also proves the rewrite.)
     "tpch_q18" -> """
+      WITH lq AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dec_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150)
       SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-      FROM customer JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-      HAVING SUM(l_quantity) > 150
+             CAST(dec_qty AS DOUBLE) AS sum_qty
+      FROM lq
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       LIMIT 100""",
 
@@ -351,6 +365,21 @@ object Tpch {
       })
     }
 
-  /** The oracle is the identical SQL text (dialect-shared subset). */
-  val oracles: Map[String, String] = sql
+  /** The oracle is the identical SQL text (dialect-shared subset), except
+    * where the Spark side carries a scale rewrite — there the oracle keeps
+    * the UN-rewritten spec shape, so parity also proves the rewrite's
+    * equivalence.
+    */
+  val oracles: Map[String, String] = sql ++ Map(
+    // joined-first q18 as specified (the Spark side pre-aggregates
+    // lineitem; see the rewrite note on the query)
+    "tpch_q18" -> """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      HAVING SUM(l_quantity) > 150
+      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      LIMIT 100""".stripMargin.trim)
 }

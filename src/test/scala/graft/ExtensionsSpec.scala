@@ -94,6 +94,15 @@ class HashExpressionsSpec extends AnyFunSuite {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"rolling_hash fell out of codegen:\n$p")
+    // the LSH signature kernel sits on the embedding-dedup hot path — it
+    // must codegen like the string kernels do
+    val lsh = Tables.load(spark, sfDir, "embeddings")
+      .select(GraftFunctions.hyperplane_bands(
+        col("embedding").cast("array<double>"), 16, 12, 42L).as("bands"))
+      .filter(org.apache.spark.sql.functions.size(col("bands")) === 16)
+    lsh.collect()
+    val lp = lsh.queryExecution.executedPlan.toString
+    assert(lp.contains("*("), s"hyperplane_bands fell out of codegen:\n$lp")
   }
 }
 
