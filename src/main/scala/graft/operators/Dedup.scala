@@ -273,8 +273,11 @@ object Dedup {
       val labels = connectedComponents(pairs, maxRounds = 20)
       val dropped = labels.filter(col("label") =!= col("node"))
         .select(col("node").as("doc_id"))
+      // explicit broadcast: the labels RDD carries no stats, so without
+      // the hint Catalyst would plan a sort-merge anti-join that shuffles
+      // the whole corpus on doc_id
       docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     } finally { pairs.unpersist(blocking = true); release() }
   }

@@ -114,6 +114,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
   }
 
+  test("dedup_keep anti-joins without shuffling the corpus") {
+    // the dropped set is duplicate-sized, so the survivors filter must be
+    // a broadcast LeftAnti against the corpus scan — a hashpartitioning
+    // exchange on doc_id would mean the whole corpus shuffles at 100 TB
+    val p = planOf("dedup_keep")
+    assert(p.contains("LeftAnti"), s"no anti-join in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"dropped set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffles for the anti-join:\n$p")
+    Caches.releaseAll(spark)
+  }
+
   test("ivf probed-cell scan is partition-pruned") {
     val p = planOf("ann_ivf_topk")
     assert(p.contains("PartitionFilters: [cell"),
