@@ -75,6 +75,62 @@ object KernelProperties extends Properties("graft.kernels") {
       whole == want && merged == want
     }
 
+  property("TopKDoubles ignores NaN (SQL ordering parity)") =
+    forAll(Gen.listOf(Gen.choose(-1e9, 1e9)), Gen.choose(1, 8),
+           Gen.choose(0, 10)) { (xs, k, nans) =>
+      val agg = new graft.functions.TopKDoubles(k)
+      // NaNs interleaved anywhere must not displace real values — an
+      // unguarded insert lets one NaN permanently occupy top-1
+      val withNaN = (if (nans > 5) Seq(Double.NaN) else Seq.empty) ++
+        xs.flatMap(x => x +: Seq.fill(nans % 3)(Double.NaN))
+      val got = agg.finish(withNaN.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val want = xs.sorted(Ordering[Double].reverse).take(k)
+      got == want
+    }
+
+  property("hyperplane sign-bit collision rate matches 1 - theta/pi (Charikar)") = {
+    // rotate a base vector by a known angle inside a seeded 2-D subspace:
+    // the sign-bit collision probability over Gaussian hyperplanes is
+    // exactly 1 - theta/pi; with 192 bits x 50 seeds per angle the
+    // empirical rate must land within ~3 standard errors
+    val dim = 64
+    val bands = 16
+    val rows = 12 // 192 bits total
+    def unit(seed: Int): Array[Double] = {
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def bits(v: Array[Double], seed: Long): Seq[Boolean] = {
+      val bs = HashImpls.hyperplaneBands(
+        new GenericArrayData(v.toArray[Any]), bands, rows, seed)
+      (0 until bands).flatMap { b =>
+        val w = bs.getLong(b)
+        (0 until rows).map(r => ((w >> r) & 1L) == 1L)
+      }
+    }
+    Prop.all(Seq(0.2, 0.45, 0.9, 1.5).map { theta =>
+      val trials = for (s <- 1 to 50) yield {
+        val a = unit(s)
+        val o0 = unit(s + 1000)
+        // Gram-Schmidt an orthonormal partner, rotate a by theta toward it
+        val proj = a.zip(o0).map { case (x, y) => x * y }.sum
+        val o1 = o0.zip(a).map { case (y, x) => y - proj * x }
+        val n1 = math.sqrt(o1.map(x => x * x).sum)
+        val b = a.zip(o1).map { case (x, y) =>
+          math.cos(theta) * x + math.sin(theta) * (y / n1) }
+        val (ba, bb) = (bits(a, 7L * s), bits(b, 7L * s))
+        ba.zip(bb).count { case (x, y) => x == y }
+      }
+      val rate = trials.sum.toDouble / (trials.size * bands * rows)
+      val expect = 1.0 - theta / math.Pi
+      val se = math.sqrt(expect * (1 - expect) / (trials.size * bands * rows))
+      Prop(math.abs(rate - expect) < 4 * se + 0.005) :|
+        f"theta=$theta%.2f rate=$rate%.4f expect=$expect%.4f"
+    }: _*)
+  }
+
   property("Widening uint semantics match BigInt bit reinterpretation") =
     forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { x =>
       val asUnsigned = BigInt(x) & ((BigInt(1) << 64) - 1)
