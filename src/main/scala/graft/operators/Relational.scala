@@ -211,6 +211,40 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Bivariate statistics (correlation + population covariance) from EXACT
+    * decimal co-moment sums, assembled into doubles with an expression
+    * shape mirrored verbatim in the oracle — the same engine-parity
+    * convention as [[aggStats]]. Built-in `corr()` on either engine
+    * accumulates incrementally in doubles (partition-order dependent), so
+    * the decimal-sum formulation is both deterministic across
+    * partitionings AND cross-engine exact. One shuffle, map-side partials.
+    */
+  private def aggCorr(s: SparkSession, d: String): DataFrame = {
+    val n = col("n").cast(DoubleType)
+    val sx = col("sx").cast(DoubleType)
+    val sy = col("sy").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType)
+    val syy = col("syy").cast(DoubleType)
+    val sxy = col("sxy").cast(DoubleType)
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sx"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(30, 4)))
+          .as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast(DecimalType(30, 4))).as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice"))
+          .cast(DecimalType(30, 4))).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((sxy - sx * sy / n) / n, 4).as("covar_pop"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Explicit GROUPING SETS (reference has no grouping-set nodes at all,
     * SURVEY.md §2.6/§2.8; rollup/cube are covered by agg_rollup/agg_cube).
     */
@@ -907,6 +941,7 @@ object Relational {
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
     "agg_stats" -> aggStats _,
+    "agg_corr" -> aggCorr _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_pivot" -> aggPivot _,
     "agg_histogram" -> aggHistogram _,
@@ -1087,6 +1122,22 @@ object Relational {
                CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS s2d
         FROM orders GROUP BY o_orderstatus)
       ORDER BY o_orderstatus""",
+    "agg_corr" -> """
+      SELECT l_returnflag, n,
+             round((sxy - sx*sy/nd)/nd, 4) AS covar_pop,
+             round((nd*sxy - sx*sy) /
+                   sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS corr
+      FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
     "agg_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
              CAST(grouping(o_orderstatus) AS INT) AS g_status,
