@@ -186,6 +186,32 @@ class DedupSpec extends AnyFunSuite {
     assert(byComp(10L).map(_._1).toSet == Set(10L, 11L))
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      // the distributed form must produce identical component minima:
+      // union-find with min-root unioning labels every node by the
+      // component min, which is exactly connectedComponents' contract
+      val got = operators.Dedup
+        .connectedComponents(edges.toDF("doc_a", "doc_b"), maxRounds = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} labels")
+    }
+  }
+
   test("dedup_exact stats are consistent") {
     val r = operators.Dedup.queries("dedup_exact")(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("n_docs") ==
