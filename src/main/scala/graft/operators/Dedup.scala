@@ -122,19 +122,27 @@ object Dedup {
     * invoke it the moment their derived data is materialized, lazy callers
     * leave release to the session owner ([[graft.Caches.releaseAll]]).
     */
-  private def minhashVerifiedPairsReleasable(
-      s: SparkSession, d: String): (DataFrame, () => Unit) = {
-    GraftFunctions.register(s)
-    val sh = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
+  /** (doc_id, band, h1, h2) band-bucket keys of each document's MinHash
+    * signature — shared by the self-join pair query and the asymmetric
+    * incremental query.
+    */
+  private def bandKeys(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"),
       GraftFunctions.minhash64(col("sh"), MinhashK).as("mh"))
     // band-bucket keys: (band index, the band's r signature values)
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)), j =>
           struct(j.as("band"),
                  element_at(col("mh"), j * 2 + 1).as("h1"),
                  element_at(col("mh"), j * 2 + 2).as("h2")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+  }
+
+  private def minhashVerifiedPairsReleasable(
+      s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    GraftFunctions.register(s)
+    val sh = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
+    val bands = bandKeys(sh)
     val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
         col("h1"), col("h2"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("h1"),
@@ -282,6 +290,37 @@ object Dedup {
     } finally { pairs.unpersist(blocking = true); release() }
   }
 
+  /** INCREMENTAL dedup — the asymmetric production shape: a "new batch"
+    * (here the doc_id % 10 == 0 slice, standing in for an incoming crawl)
+    * near-dup-checked AGAINST the existing corpus (the rest), without ever
+    * self-joining the corpus. Banding is identical to [[bandKeys]] but the
+    * bucket join is new×corpus, so cost scales with |batch|·bucket-density
+    * instead of |corpus|² — at 100 TB the corpus band keys are a
+    * persisted index (cf. the bucketed layouts) and each arriving batch
+    * probes it. Verification is exact Jaccard, so precision is exact and
+    * recall is the banding guarantee (miss ≈ 1e-14 at J = 0.8).
+    */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
+    val isNew = pmod(col("doc_id"), lit(10)) === 0
+    val candidates = bandKeys(sh.filter(isNew))
+      .select(col("doc_id").as("new_doc"), col("band"), col("h1"), col("h2"))
+      .join(bandKeys(sh.filter(!isNew))
+        .select(col("doc_id").as("dup_of"), col("band"), col("h1"), col("h2")),
+        Seq("band", "h1", "h2"))
+      .select(col("new_doc"), col("dup_of")).distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), Seq("new_doc"))
+      .join(sh.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), Seq("dup_of"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", lit(1.0) * col("common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("new_doc"), col("dup_of"), col("jaccard"))
+      .orderBy(col("new_doc"), col("dup_of"))
+  }
+
   // -- SimHash near-dup (hamming ≤ 3 via exact quarter blocking) ---------
 
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -361,6 +400,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep" -> dedupKeep _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_embedding_cos" -> embeddingPairs _
   )
@@ -412,6 +452,24 @@ object Dedup {
         GROUP BY node)
       SELECT cluster, COUNT(*) AS n_members
       FROM labels GROUP BY cluster ORDER BY cluster""",
+    // exact cross-slice Jaccard: the incremental query's contract is the
+    // full pair set between the batch slice and the corpus slice
+    "dedup_incremental" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          for i in range(1, len(w)-1) ]) AS sh
+        FROM w WHERE len(w) >= 3)
+      SELECT a.doc_id AS new_doc, b.doc_id AS dup_of,
+             1.0*len(list_intersect(a.sh, b.sh))
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        AND 1.0*len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      ORDER BY new_doc, dup_of""",
     // surviving corpus = documents minus non-keeper members of the
     // transitive closure over the exact-Jaccard pair graph
     "dedup_keep" -> s"""
