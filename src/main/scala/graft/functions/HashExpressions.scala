@@ -331,10 +331,17 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
 }
 
 /** SQL registration + Column-level wrappers (via the function registry, so
-  * the same names work from SQL and the DataFrame API).
+  * the same names work from SQL and the DataFrame API). Two installation
+  * paths share one builder table: [[register]] (imperative, per-session —
+  * what the operators call) and [[injectInto]] (the
+  * `SparkSessionExtensions` hook behind [[GraftExtensions]], for
+  * `spark.sql.extensions=graft.functions.GraftExtensions` deployment).
   */
 object GraftFunctions {
   import org.apache.spark.sql.functions.call_function
+  import org.apache.spark.sql.SparkSessionExtensions
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -342,31 +349,40 @@ object GraftFunctions {
       s"$name expects an integer literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("rolling_hash",
-      es => RollingHash(es.head), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash64",
-      es => MinHash64(es.head,
-        if (es.length > 1) intArg(es(1), "minhash64") else 64), "built-in")
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es(0),
-        if (es.length > 1) intArg(es(1), "word_shingles") else 3), "built-in")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSim(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("hyperplane_bands",
-      es => HyperplaneBands(es(0), intArg(es(1), "hyperplane_bands"),
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> (es => RollingHash(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "minhash64" -> (es => MinHash64(es.head,
+      if (es.length > 1) intArg(es(1), "minhash64") else 64)),
+    "word_shingles" -> (es => WordShingles(es(0),
+      if (es.length > 1) intArg(es(1), "word_shingles") else 3)),
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "hyperplane_bands" -> (es =>
+      HyperplaneBands(es(0), intArg(es(1), "hyperplane_bands"),
         intArg(es(2), "hyperplane_bands"), es(3) match {
           case Literal(v: Long, LongType) => v
           case Literal(v: Int, IntegerType) => v.toLong
           case other => throw new IllegalArgumentException(
             s"hyperplane_bands expects a literal seed, got $other")
-        }), "built-in")
+        }))
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** The `SparkSessionExtensions` path: same builders, catalog-injected at
+    * session construction.
+    */
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), b))
+    }
 
   /** Wrappers assume [[register]] ran on the active session. */
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
@@ -382,6 +398,17 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands),
       org.apache.spark.sql.functions.lit(rowsPerBand),
       org.apache.spark.sql.functions.lit(seed))
+}
+
+/** Session-extensions installer (SURVEY §7.2's `SparkSessionExtensions`
+  * path): `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * makes every graft function available in ANY session of the
+  * application — no imperative register() call, the idiomatic way to ship
+  * a function library to a shared cluster.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injectInto(ext)
 }
 
 /** Distinct space-joined n-gram shingles of an ARRAY<STRING> of words →

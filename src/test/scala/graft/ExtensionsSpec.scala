@@ -86,6 +86,22 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 5363936793200807308L)
   }
 
+  test("GraftExtensions installs the function surface via spark.sql.extensions") {
+    // the test session carries spark.sql.extensions=GraftExtensions; a
+    // fresh newSession() rebuilds session state from the extensions with
+    // NO register() call — if resolution works there, the conf-string
+    // deployment path (shared cluster, spark-submit --conf) works
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      "SELECT rolling_hash('abc') h, " +
+      "size(hyperplane_bands(array(1.0d, 0.0d), 4, 8, 42)) nb, " +
+      "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c").collect()(0)
+    assert(r.getLong(0) ==
+      HashImpls.rollingHash(UTF8String.fromString("abc")))
+    assert(r.getInt(1) == 4)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-15)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = Tables.load(spark, sfDir, "documents")

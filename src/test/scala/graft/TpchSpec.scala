@@ -8,6 +8,11 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      // the deployment-style install: function surface arrives via the
+      // extensions conf, not imperative register() (which operators still
+      // call idempotently) — HashExpressionsSpec proves a fresh
+      // newSession() resolves the functions with no register() call
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
