@@ -472,6 +472,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toList == batch.toList)
   }
 
+  test("stream-static dimension join equals batch (broadcast enrich)") {
+    // the standard streaming-enrichment shape: an unbounded event stream
+    // joined to a static broadcast dimension — no state store involved,
+    // the dim hash relation is reused across micro-batches
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def enrich(ev: org.apache.spark.sql.DataFrame) = ev
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      // long-typed aggregates: exact equality regardless of micro-batch
+      // accumulation order (a double sum would be order-sensitive)
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+    val batch = enrich(streaming.Streaming.events(spark, sfDir))
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val q = enrich(streaming.Streaming.readEventStream(spark, sfDir))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toList == batch.toList)
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) matches batch distinct") {
     val ev = streaming.Streaming.readEventStream(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))
