@@ -31,6 +31,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"HLL estimate ${r.getLong(1)} too far from exact ${r.getLong(0)}")
   }
 
+  test("approx_percentile (KLL-style sketch) respects its rank-error contract") {
+    // the other constant-memory sketch a 100 TB aggregation needs: with
+    // accuracy parameter B the rank error is bounded by n/B, so the value
+    // returned for q=0.5 must sit between the exact quantiles at
+    // 0.5 +- n/B ranks (checked via the exact percentile at those ranks)
+    import org.apache.spark.sql.functions._
+    val acc = 100 // deliberately coarse so the bound is actually exercised
+    val eps = 1.0 / acc
+    val r = Tables.load(spark, sfDir, "orders")
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $acc)").as("approx"),
+        expr(s"percentile(o_totalprice, ${0.5 - eps})").as("lo"),
+        expr(s"percentile(o_totalprice, ${0.5 + eps})").as("hi"))
+      .collect()(0)
+    val (approx, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(lo <= approx && approx <= hi,
+      s"approx median $approx outside rank-error band [$lo, $hi]")
+  }
+
   test("SessionContext ORC and JSON sinks round-trip losslessly") {
     import graft.context.{Compression, SessionContext}
     val ctx = new SessionContext(spark)
