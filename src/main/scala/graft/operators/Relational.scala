@@ -326,6 +326,30 @@ object Relational {
       .orderBy(col("click_event"), col("purchase_event"))
   }
 
+  /** Salted skew join: the manual remedy for the hot-key case AQE's
+    * post-shuffle split cannot reach — skew known before any runtime
+    * stats exist (first materialization of a source, a streaming
+    * micro-batch), or a single key too hot for map-block splitting. The
+    * fact side gets a uniform salt in [0, S); the small side is exploded
+    * S-fold so every (key, salt) pair still finds its row; joining on
+    * (key, salt) spreads one hot key over S reducers at the cost of an
+    * S× replication of the small side only. The result is provably
+    * identical to the unsalted join — the oracle runs the plain join.
+    */
+  private def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val saltCount = 8
+    val fact = ord(s, d).withColumn("salt",
+      pmod(xxhash64(col("o_orderkey")), lit(saltCount.toLong)))
+    val dim = cust(s, d).withColumn("salt",
+      explode(array((0 until saltCount).map(i => lit(i.toLong)): _*)))
+    fact.join(dim,
+        fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ---------------------------------------------------------------------
   // storage-layout tier (beyond-reference): bucketed co-located join,
   // partitioned sink + pruned read-back — the two layout techniques that
@@ -909,6 +933,34 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
   }
 
+  /** Gap-based batch sessionization — the batch twin of the streaming
+    * session window (`stream_session_agg`): a session breaks after 30
+    * idle minutes. One shuffle on user_id; the lag + running-sum pair
+    * shares a single window sort per user, so cost is linear in events
+    * per user with no self-join. The (ts, event_id) sort key totally
+    * orders each user's events, making the session assignment — and so
+    * the oracle's independent window formulation — exactly reproducible.
+    */
+  private def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"),
+           count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+              col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -933,6 +985,8 @@ object Relational {
     "join_asof" -> joinAsof _,
     "join_range" -> joinRange _,
     "join_bucketed" -> joinBucketed _,
+    "join_salted" -> joinSalted _,
+    "sessionize_batch" -> sessionizeBatch _,
     "sink_partitioned" -> sinkPartitioned _,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip _,
     "agg_basic" -> aggBasic _,
@@ -1184,6 +1238,30 @@ object Relational {
       SELECT c_mktsegment, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_salted" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             ${ds("o_totalprice")} AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "sessionize_batch" -> """
+      WITH g AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+      )
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "sink_partitioned" -> s"""
       SELECT o_orderpriority, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
       FROM orders WHERE o_orderstatus = 'F'

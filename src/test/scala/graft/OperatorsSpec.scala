@@ -50,6 +50,41 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx median $approx outside rank-error band [$lo, $hi]")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the runtime-filter tier for joins too big to broadcast: Catalyst
+    // builds a bloom filter from the selective (filtered) dim side and
+    // injects a might_contain probe on the fact side BELOW its shuffle —
+    // at 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling only the slice that can possibly match
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val sel = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom runtime filter injected; optimized plan:\n$plan")
+      // and the filtered join still returns exactly the unfiltered count
+      val n = joined.collect()(0).getLong(0)
+      val expected = li.join(
+          Tables.load(spark, sfDir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT").hint("broadcast"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected, s"bloom-filtered join count $n != $expected")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("SessionContext ORC and JSON sinks round-trip losslessly") {
     import graft.context.{Compression, SessionContext}
     val ctx = new SessionContext(spark)
