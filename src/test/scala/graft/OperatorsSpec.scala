@@ -50,6 +50,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx median $approx outside rank-error band [$lo, $hi]")
   }
 
+  test("sessionize_batch plan: lag and running-sum share one window sort") {
+    // the scale contract: ONE shuffle of raw events (hashpartitioning on
+    // user_id for the shared window sort); the later groupBy exchange
+    // moves only map-side session partials, never raw events
+    val df = operators.Relational.queries("sessionize_batch")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$plan")
+    val windowSorts = "\\[user_id.* ASC NULLS FIRST, ts".r.findAllIn(plan).size
+    assert("Window".r.findAllIn(plan).size >= 1, s"no Window node:\n$plan")
+    assert(windowSorts <= 1,
+      s"lag and running-sum did not share one (user_id, ts) sort:\n$plan")
+  }
+
+  test("join_salted plan: shuffled equi-join on (key, salt), no broadcast of the fact side") {
+    val df = operators.Relational.queries("join_salted")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), s"salt key absent from join plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated to a non-equi join:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the runtime-filter tier for joins too big to broadcast: Catalyst
     // builds a bloom filter from the selective (filtered) dim side and
