@@ -459,6 +459,61 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bit-interleave two 16-bit ranks into a Morton (Z-order) value —
+    * pure built-in bitwise ops, so the whole layout expression stays
+    * inside whole-stage codegen.
+    */
+  private def interleave16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Min-max scale a numeric column onto the 16-bit rank grid. */
+  private def scale16(c: Column, mn: Double, mx: Double): Column =
+    least(lit(65535L), greatest(lit(0L),
+      ((c.cast(DoubleType) - mn) / math.max(mx - mn, 1e-12) * 65535.0)
+        .cast(LongType)))
+
+  /** Z-order clustered copy of events on (user_id, value): range-partition
+    * + sort by the Morton value so every output file covers a tight box in
+    * BOTH dimensions — parquet min/max stats then prune most row groups
+    * for any conjunctive 2-D range query (the multi-dim data-skipping
+    * layout Delta/Iceberg ship as OPTIMIZE ZORDER; a 1-D sort can only
+    * serve one of the two dimensions). The min/max scan for scaling is a
+    * 4-scalar driver materialization — metadata-sized, same class as the
+    * IVF centroids. Built once under [[graft.Scratch]]; the skipping
+    * effect itself (scan output rows ≪ unclustered layout) is asserted in
+    * OperatorsSpec.
+    */
+  private[graft] def zorderedEventsDir(s: SparkSession, d: String): String =
+    graft.Scratch.ensure(s,
+      s"zorder_events_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(s"$d/events.parquet")) { tmp =>
+      val ev = graft.streaming.Streaming.events(s, d)
+      val r = ev.agg(min(col("user_id")), max(col("user_id")),
+                     min(col("value")), max(col("value"))).head()
+      val z = interleave16(
+        scale16(col("user_id"), r.getLong(0).toDouble, r.getLong(1).toDouble),
+        scale16(col("value"), r.getDouble(2), r.getDouble(3)))
+      ev.withColumn("zval", z)
+        .repartitionByRange(32, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .drop("zval")
+        .write.mode("overwrite").parquet(s"$tmp/events_z.parquet")
+    } + "/events_z.parquet"
+
+  /** 2-D box query over the z-ordered layout; the oracle runs the same
+    * predicate on the raw table, proving the clustered copy is lossless.
+    */
+  private def layoutZorder(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(zorderedEventsDir(s, d))
+      .filter(col("user_id").between(2, 5) && col("value").between(50, 120))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------------
   // §2.2 projection / filter
   // ---------------------------------------------------------------------
@@ -987,6 +1042,7 @@ object Relational {
     "join_bucketed" -> joinBucketed _,
     "join_salted" -> joinSalted _,
     "sessionize_batch" -> sessionizeBatch _,
+    "layout_zorder" -> layoutZorder _,
     "sink_partitioned" -> sinkPartitioned _,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip _,
     "agg_basic" -> aggBasic _,
@@ -1243,6 +1299,12 @@ object Relational {
              ${ds("o_totalprice")} AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "layout_zorder" -> """
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE user_id BETWEEN 2 AND 5 AND value BETWEEN 50 AND 120
+      GROUP BY event_type ORDER BY event_type""",
     "sessionize_batch" -> """
       WITH g AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

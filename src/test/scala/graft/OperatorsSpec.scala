@@ -50,6 +50,44 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx median $approx outside rank-error band [$lo, $hi]")
   }
 
+  test("z-order layout prunes most of a 2-D box scan; random layout prunes nothing") {
+    // the point of the z-order layout: parquet min/max stats per file/row
+    // group become tight 2-D boxes, so a conjunctive range query reads a
+    // fraction of the data — vs an unclustered copy of the SAME rows
+    // where every file spans the full range and nothing can be skipped
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    // shuffle-free probe shape: scan+filter only, so the scan node is not
+    // hidden inside an AQE query stage and its metric is reachable
+    def scannedRows(df: DataFrame): Long = {
+      df.collect()
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collect { case f: FileSourceScanExec =>
+        f.metrics("numOutputRows").value }.sum
+    }
+    def box(df: DataFrame): DataFrame =
+      df.filter(col("user_id").between(2, 5) && col("value").between(50, 120))
+        .select(col("event_id"))
+    val zDf = box(spark.read.parquet(
+      operators.Relational.zorderedEventsDir(spark, sfDir)))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_ctl").toString
+    streaming.Streaming.events(spark, sfDir)
+      .repartition(32).write.mode("overwrite").parquet(s"$base/events_rand")
+    val ctl = box(spark.read.parquet(s"$base/events_rand"))
+    val (zRows, ctlRows) = (scannedRows(zDf), scannedRows(ctl))
+    assert(zDf.collect().map(_.getLong(0)).sorted.toSeq ==
+           ctl.collect().map(_.getLong(0)).sorted.toSeq,
+      "z-ordered copy lost or changed rows")
+    assert(ctlRows > 0 && zRows > 0)
+    assert(zRows * 2 <= ctlRows,
+      s"z-order scanned $zRows rows, random layout scanned $ctlRows — no skipping win")
+  }
+
   test("sessionize_batch plan: lag and running-sum share one window sort") {
     // the scale contract: ONE shuffle of raw events (hashpartitioning on
     // user_id for the shared window sort); the later groupBy exchange
