@@ -77,8 +77,30 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
 
+  /** Deterministic STRATIFIED sampling: per-stratum rates through the same
+    * content-addressed carve as [[sampleHash]] — rebalances a skewed corpus
+    * (downsample the majority language, keep most of the tail) while
+    * staying reproducible across engines, partitionings, and cluster
+    * sizes. Trick: md5 renders as fixed-width lowercase hex in both Spark
+    * and DuckDB, so a lexicographic prefix comparison IS a numeric
+    * threshold on the first hash byte — 'en' keeps md5[0:2) < 0x40 (25%
+    * expected), every other language < 0xc0 (75%) — no seeded RNG, no
+    * partitioning dependence, and membership of a given doc never changes
+    * as the corpus grows.
+    */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(substring(md5(col("text")), 1, 2) <
+        when(col("lang") === "en", lit("40")).otherwise(lit("c0")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash _,
+    "sample_stratified" -> sampleStratified _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
@@ -96,6 +118,14 @@ object TextAnalysis {
              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       FROM documents
       WHERE substr(md5(text), 1, 1) IN ('0', '1')""",
+    "sample_stratified" -> """
+      SELECT lang, COUNT(*) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_doc
+      FROM documents
+      WHERE substr(md5(text), 1, 2) <
+            (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+      GROUP BY lang ORDER BY lang""",
     "text_tokens" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,
