@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, TextFunctions => TF}
@@ -98,9 +99,62 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"))
       .orderBy(col("lang"))
 
+  /** Balanced training-shard packing: the distributed stand-in for
+    * first-fit-decreasing (which is inherently sequential — and a single
+    * global row_number window would funnel every row through ONE
+    * partition). Instead: 16 parallel ranking groups keyed by the first
+    * md5 hex digit of the text (engine-agnostic, like [[sampleHash]]);
+    * within each group docs are striped round-robin across shards in
+    * descending token order (LPT stripe), with the group index as a
+    * starting-shard offset so the per-group largest docs don't all land
+    * on shard 0. Per-group imbalance is bounded by one max-doc, so total
+    * shard spread ≤ 16 max-docs — negligible against 100 TB shard totals
+    * — while the window carries only (doc_id, tok, salt) projections and
+    * parallelizes 16-way. Fully deterministic: (tok desc, doc_id) totally
+    * orders each group, so the DuckDB formulation agrees row-for-row.
+    */
+  private def packShards(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val base = docs(s, d).select(
+      col("doc_id"), col("n_chars"),
+      TF.tokenCountWs(col("text")).as("tok_ws"),
+      substring(md5(col("text")), 1, 1).as("salt"))
+    val w = Window.partitionBy(col("salt"))
+      .orderBy(col("tok_ws").desc, col("doc_id"))
+    base
+      .withColumn("g", expr("instr('0123456789abcdef', salt) - 1"))
+      .withColumn("shard",
+        pmod(row_number().over(w) - 1 + col("g"), lit(nShards)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_ws")).cast("long").as("sum_tokens"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("shard"))
+  }
+
+  /** Corpus cleaning: strip URLs and e-mail addresses, collapse runs of
+    * whitespace — the standard pre-tokenization scrub. Patterns avoid
+    * lookaround so Java and RE2-family engines agree exactly.
+    */
+  private def textClean(s: SparkSession, d: String): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+      col("text"),
+      "https?://[^\\s]+", " "),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " "),
+      "\\s+", " "))
+    docs(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("int").as("n_raw"),
+      length(cleaned).cast("int").as("n_clean"),
+      substring(cleaned, 1, 40).as("clean_head"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
+    "pack_shards" -> packShards _,
+    "text_clean" -> textClean _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
@@ -126,6 +180,38 @@ object TextAnalysis {
       WHERE substr(md5(text), 1, 2) <
             (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
       GROUP BY lang ORDER BY lang""",
+    "pack_shards" -> """
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,
+               substr(md5(text), 1, 1) AS salt
+        FROM documents
+      ), r AS (
+        SELECT doc_id, n_chars, tok_ws,
+               CAST((ROW_NUMBER() OVER (PARTITION BY salt
+                                        ORDER BY tok_ws DESC, doc_id)
+                     - 1 + strpos('0123456789abcdef', salt) - 1) % 8 AS INT)
+                 AS shard
+        FROM t
+      )
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(tok_ws) AS BIGINT) AS sum_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM r GROUP BY shard ORDER BY shard""",
+    "text_clean" -> """
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_raw,
+             CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               'https?://[^\s]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS INT) AS n_clean,
+             substr(trim(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               'https?://[^\s]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\s+', ' ', 'g')), 1, 40) AS clean_head
+      FROM documents ORDER BY doc_id""",
     "text_tokens" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,

@@ -50,6 +50,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx median $approx outside rank-error band [$lo, $hi]")
   }
 
+  test("pack_shards balances token totals across all shards (sf0.01)") {
+    // the LPT-stripe guarantee: per-group imbalance <= one max-doc, 16
+    // groups -> spread bounded by 16 max-docs; at 500 docs that should
+    // already keep shard token totals within ~1.5x of each other, and
+    // every shard must be populated
+    val rows = operators.TextAnalysis.queries("pack_shards")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 8, s"expected 8 shards, got ${rows.length}")
+    val toks = rows.map(_.getAs[Long]("sum_tokens"))
+    assert(toks.min > 0)
+    assert(toks.max.toDouble / toks.min <= 1.5,
+      s"shard token spread too wide: ${toks.mkString(",")}")
+  }
+
   test("z-order layout prunes most of a 2-D box scan; random layout prunes nothing") {
     // the point of the z-order layout: parquet min/max stats per file/row
     // group become tight 2-D boxes, so a conjunctive range query reads a
