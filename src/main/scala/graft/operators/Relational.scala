@@ -806,6 +806,25 @@ object Relational {
           .as("is_hot"))
       .orderBy(col("o_orderkey")).limit(200)
 
+  /** Error-safe (TRY) expression surface: under ANSI semantics a single
+    * malformed row — a bad cast, a zero denominator — aborts the whole
+    * job, which at 100 TB means hours lost to one dirty record. The
+    * try_* family degrades those rows to NULL instead; counting non-nulls
+    * shows exactly which rows survived, and the oracle reproduces the
+    * same semantics with guarded CASE arithmetic.
+    */
+  private def exprTry(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        count(expr("try_cast(l_returnflag AS INT)")).as("n_cast_ok"),
+        count(try_divide(col("l_extendedprice"),
+                         col("l_quantity") - col("l_quantity"))).as("n_div0_ok"),
+        count(try_divide(col("l_extendedprice"), col("l_quantity")))
+          .as("n_div_ok"),
+        count(expr("try_cast(cast(l_orderkey AS STRING) AS BIGINT)"))
+          .as("n_roundtrip_ok"))
+
   /** Date/time surface: extract fields, date_trunc, string→timestamp cast
     * (reference declares date_trunc/to_timestamp but they are dead on the
     * wire — from_proto.rs:919-922; Spark-native here).
@@ -1070,6 +1089,7 @@ object Relational {
     "expr_string_ext" -> exprStringExt _,
     "expr_bitwise" -> exprBitwise _,
     "expr_case_cast" -> exprCaseCast _,
+    "expr_try" -> exprTry _,
     "expr_datetime" -> exprDatetime _,
     "expr_null" -> exprNull _,
     "set_union_all" -> setUnionAll _,
@@ -1410,6 +1430,17 @@ object Relational {
     "expr_hash" -> """
       SELECT c_custkey, md5(c_name) AS f_md5, sha256(c_name) AS f_sha256
       FROM customer ORDER BY c_custkey LIMIT 100""",
+    "expr_try" -> """
+      SELECT COUNT(*) AS n,
+             COUNT(TRY_CAST(l_returnflag AS INT)) AS n_cast_ok,
+             COUNT(CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+                        ELSE l_extendedprice/(l_quantity - l_quantity) END)
+               AS n_div0_ok,
+             COUNT(CASE WHEN l_quantity = 0 THEN NULL
+                        ELSE l_extendedprice/l_quantity END) AS n_div_ok,
+             COUNT(TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT))
+               AS n_roundtrip_ok
+      FROM lineitem""",
     "expr_case_cast" -> """
       SELECT o_orderkey,
              CASE WHEN o_totalprice > 300000 THEN 'big'

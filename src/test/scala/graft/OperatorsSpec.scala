@@ -160,6 +160,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("freqItems (lossy counting) returns every truly frequent item") {
+    // third constant-memory sketch beside HLL and approx_percentile:
+    // single-pass heavy hitters. The lossy-counting contract is
+    // superset-of-frequent (false positives possible, false negatives
+    // not) — assert exactly that against the exact frequency table
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val support = 0.1
+    val total = li.count()
+    val exactFrequent = li.groupBy(col("l_returnflag")).count()
+      .filter(col("count") > total * support)
+      .collect().map(_.getString(0)).toSet
+    assert(exactFrequent.nonEmpty) // fixture sanity: flags are ~30% each
+    val sketched = li.stat.freqItems(Array("l_returnflag"), support)
+      .collect()(0).getSeq[String](0).toSet
+    assert(exactFrequent.subsetOf(sketched),
+      s"lossy counting missed ${exactFrequent -- sketched}")
+  }
+
   test("SessionContext ORC and JSON sinks round-trip losslessly") {
     import graft.context.{Compression, SessionContext}
     val ctx = new SessionContext(spark)
