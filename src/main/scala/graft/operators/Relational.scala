@@ -806,6 +806,30 @@ object Relational {
           .as("is_hot"))
       .orderBy(col("o_orderkey")).limit(200)
 
+  /** Array aggregation — the inverse of the explode generator: per-group
+    * ordered value lists (sort_array fixes collect_list's
+    * partition-order nondeterminism, making the result oracle-exact).
+    */
+  private def aggArray(s: SparkSession, d: String): DataFrame =
+    ord(s, d).filter(col("o_orderkey") <= 100)
+      .groupBy(col("o_orderstatus"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Nested struct construction round-tripped through the parquet sink —
+    * the §1.2 nested-type surface (the reference serializes nested Arrow
+    * types but its operators never produce them).
+    */
+  private def exprStruct(s: SparkSession, d: String): DataFrame =
+    ord(s, d).filter(col("o_orderkey") <= 50)
+      .select(col("o_orderkey"),
+        struct(
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("price")).as("o"))
+      .orderBy(col("o_orderkey"))
+
   /** Error-safe (TRY) expression surface: under ANSI semantics a single
     * malformed row — a bad cast, a zero denominator — aborts the whole
     * job, which at 100 TB means hours lost to one dirty record. The
@@ -1090,6 +1114,8 @@ object Relational {
     "expr_bitwise" -> exprBitwise _,
     "expr_case_cast" -> exprCaseCast _,
     "expr_try" -> exprTry _,
+    "agg_array" -> aggArray _,
+    "expr_struct" -> exprStruct _,
     "expr_datetime" -> exprDatetime _,
     "expr_null" -> exprNull _,
     "set_union_all" -> setUnionAll _,
@@ -1430,6 +1456,17 @@ object Relational {
     "expr_hash" -> """
       SELECT c_custkey, md5(c_name) AS f_md5, sha256(c_name) AS f_sha256
       FROM customer ORDER BY c_custkey LIMIT 100""",
+    "agg_array" -> """
+      SELECT o_orderstatus, list_sort(array_agg(o_orderkey)) AS keys,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey <= 100
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "expr_struct" -> """
+      SELECT o_orderkey,
+             {'status': o_orderstatus,
+              'price': CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)}
+               AS o
+      FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""",
     "expr_try" -> """
       SELECT COUNT(*) AS n,
              COUNT(TRY_CAST(l_returnflag AS INT)) AS n_cast_ok,
