@@ -1068,6 +1068,43 @@ object Relational {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Window navigation surface: lag/lead with defaults, first/last over a
+    * growing frame, ntile bucketing — per-partition, one sort, no skew.
+    */
+  private def windowNavigation(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    li(s, d)
+      .filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        lag(col("l_quantity"), 1, -1.0).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1, -1.0).over(w).as("next_qty"),
+        first(col("l_quantity")).over(w).as("first_qty"),
+        last(col("l_quantity"))
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          .as("last_qty"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** RANGE-frame window: a 30-minute trailing sum per user — the frame is
+    * value-bounded (micros), not row-bounded, so ties and gaps behave
+    * identically in any engine.
+    */
+  private def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-30L * 60 * 1000000, Window.currentRow)
+    ev.withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("trailing_sum",
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"), col("trailing_sum"),
+              col("trailing_n"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1132,7 +1169,9 @@ object Relational {
     "set_intersect" -> setIntersect _,
     "set_except" -> setExcept _,
     "window_funcs" -> windowFuncs _,
-    "window_rank" -> windowRank _
+    "window_rank" -> windowRank _,
+    "window_navigation" -> windowNavigation _,
+    "window_range_frame" -> windowRangeFrame _
   )
 
   private val D = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1536,6 +1575,30 @@ object Relational {
         SELECT c_custkey FROM customer WHERE c_nationkey < 8
         EXCEPT
         SELECT c_custkey FROM customer WHERE c_nationkey > 3)""",
+    "window_navigation" -> """
+      SELECT l_orderkey, l_linenumber,
+             LAG(l_quantity, 1, -1.0) OVER w AS prev_qty,
+             LEAD(l_quantity, 1, -1.0) OVER w AS next_qty,
+             FIRST_VALUE(l_quantity) OVER w AS first_qty,
+             LAST_VALUE(l_quantity) OVER
+               (PARTITION BY l_orderkey ORDER BY l_linenumber
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_qty,
+             NTILE(4) OVER w AS quartile
+      FROM lineitem WHERE l_orderkey <= 200
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      ORDER BY l_orderkey, l_linenumber""",
+    "window_range_frame" -> """
+      WITH t AS (SELECT event_id, user_id, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS trailing_sum,
+             COUNT(*) OVER w AS trailing_n
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+      QUALIFY event_id < 500
+      ORDER BY event_id""",
     "window_funcs" -> """
       SELECT l_orderkey, l_linenumber,
              CAST(row_number() OVER w AS INT) AS rn,
