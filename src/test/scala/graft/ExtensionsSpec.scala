@@ -442,6 +442,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toList == batch.toList)
   }
 
+  test("Trigger.AvailableNow backfills all existing data then stops on its own") {
+    // the operational backfill mode: process everything that currently
+    // exists in bounded micro-batches, then self-terminate — a catch-up
+    // job needing no external stop signal (processAllAvailable is a
+    // test-harness call on a forever-running query; AvailableNow is what
+    // a scheduled 100 TB backfill actually ships with)
+    import org.apache.spark.sql.streaming.Trigger
+    val batch = streaming.Streaming.queries("stream_window_agg")(spark, sfDir)
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val stream = streaming.Streaming.windowAgg(
+      streaming.Streaming.readEventStream(spark, sfDir)
+        .withWatermark("ts", "1 minute"))
+    val q = stream.writeStream.format("memory").queryName("an_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val finished = q.awaitTermination(120000)
+    assert(finished, "AvailableNow query did not self-terminate within 120s")
+    val streamed = spark.table("an_out")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(streamed.toList == batch.toList)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     // the watermarked stream-stream form of join_range: same interval
     // semantics, state-bounded by the watermarks — proves the engine's
