@@ -514,6 +514,31 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Dynamic partition overwrite: the incremental-reload primitive — a
+    * daily job rewrites ONLY the partitions it produced, leaving the rest
+    * of a 100 TB table untouched (static overwrite mode truncates the
+    * whole table first). Sequence: full load, then an incremental write
+    * of just the doubled 'O' slice under
+    * partitionOverwriteMode=dynamic. The oracle recomputes the expected
+    * final state from the source, so an over-eager truncate (the classic
+    * static-mode footgun) fails the row — the F/P partitions would
+    * simply be gone.
+    */
+  private def sinkPartitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${graft.Scratch.root(s)}/pow_orders_${graft.Scratch.sanitize(d)}"
+    val o = ord(s, d)
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    o.filter(col("o_orderstatus") === "O")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.partitionBy("o_orderstatus").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 projection / filter
   // ---------------------------------------------------------------------
@@ -1133,6 +1158,7 @@ object Relational {
     "sessionize_batch" -> sessionizeBatch _,
     "layout_zorder" -> layoutZorder _,
     "sink_partitioned" -> sinkPartitioned _,
+    "sink_partition_overwrite" -> sinkPartitionOverwrite _,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip _,
     "agg_basic" -> aggBasic _,
     "agg_count_distinct" -> aggCountDistinct _,
@@ -1422,6 +1448,13 @@ object Relational {
       SELECT o_orderpriority, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sink_partition_overwrite" -> """
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O'
+                                THEN o_totalprice * 2
+                                ELSE o_totalprice END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sink_orc_roundtrip" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price,
              CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date,
