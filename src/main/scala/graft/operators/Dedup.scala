@@ -321,6 +321,32 @@ object Dedup {
       .orderBy(col("new_doc"), col("dup_of"))
   }
 
+  /** CDC-style latest-per-key compaction — the most common dedup in
+    * practice: collapse an append-only event/change log to the newest
+    * record per key ("merge-on-read" compaction, keep-latest upsert). The
+    * scalable shape is `max_by` over a struct ordering — a TWO-PHASE
+    * aggregate (each map split reduces to one candidate per key before the
+    * shuffle; no per-key sort, no window materializing every version) —
+    * versus the textbook `row_number() = 1` window, which shuffles every
+    * version of every key and sorts it. Tie-break on (ts, event_id) is
+    * total because event_id is unique, so the pick is deterministic and
+    * the DuckDB window-form oracle agrees row-for-row.
+    */
+  private def dedupKeepLatest(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    ev.groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("e"),
+        count(lit(1)).as("n_compacted"))
+      .select(col("user_id"),
+        col("e.event_id").as("last_event"), col("e.ts").as("last_ts"),
+        col("e.event_type").as("last_type"), col("e.value").as("last_value"),
+        col("n_compacted"))
+      .orderBy(col("user_id"))
+  }
+
   // -- SimHash near-dup (hamming ≤ 3 via exact quarter blocking) ---------
 
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
@@ -401,6 +427,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep" -> dedupKeep _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_keep_latest" -> dedupKeepLatest _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_embedding_cos" -> embeddingPairs _
   )
@@ -470,6 +497,20 @@ object Dedup {
         AND 1.0*len(list_intersect(a.sh, b.sh))
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
       ORDER BY new_doc, dup_of""",
+    // keep-latest compaction: the window form IS the oracle (the Spark
+    // side's max_by is the sort-free equivalent); ordering by the
+    // micros-cast ts matches Spark's truncated timestamps exactly
+    "dedup_keep_latest" -> """
+      WITH r AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts, event_type,
+               value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_compacted
+        FROM events)
+      SELECT user_id, event_id AS last_event, mts AS last_ts,
+             event_type AS last_type, value AS last_value, n_compacted
+      FROM r WHERE rn = 1 ORDER BY user_id""",
     // surviving corpus = documents minus non-keeper members of the
     // transitive closure over the exact-Jaccard pair graph
     "dedup_keep" -> s"""

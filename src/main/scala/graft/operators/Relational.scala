@@ -177,6 +177,32 @@ object Relational {
     vocab.filter(plan.contains).toDF("op").orderBy(col("op"))
   }
 
+  /** The SQL subquery surface — correlated scalar subquery, correlated
+    * EXISTS, and uncorrelated IN, through the same `spark.sql` entry point
+    * a reference user would hit (the reference's DataFusion SQL layer has
+    * no subquery support at all — SURVEY.md §2.8). Catalyst rewrites all
+    * three into joins (RewriteCorrelatedScalarSubquery → left-outer
+    * aggregate join, EXISTS/IN → left-semi), so the executed plan carries
+    * no per-row subquery execution — the property that makes the form
+    * survive 100 TB, asserted in PlanSpec territory by the smoke specs'
+    * plan dump. The oracle runs the IDENTICAL SQL in DuckDB.
+    */
+  private val SubquerySql = """
+      SELECT c_custkey, c_name,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 1000)
+        AND c_custkey IN (SELECT o_custkey FROM orders)
+      ORDER BY c_custkey"""
+
+  private def sqlSubqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.registerTpch(s, d)
+    s.sql(SubquerySql)
+  }
+
   // ---------------------------------------------------------------------
   // time-series joins (beyond-reference): as-of — the brief's canonical
   // "operator Spark lacks", built by composition (preference (a) of the
@@ -1142,6 +1168,7 @@ object Relational {
     "empty_relation" -> emptyRelation _,
     "mem_table" -> memTable _,
     "explain_sql" -> explainSql _,
+    "sql_subqueries" -> sqlSubqueries _,
     "projection" -> projection _,
     "filter_predicates" -> filterPredicates _,
     "join_inner" -> joinInner _,
@@ -1234,6 +1261,7 @@ object Relational {
     "explain_sql" -> """
       SELECT * FROM (VALUES ('AdaptiveSparkPlan'),('Exchange'),('FileScan'),
         ('Filter'),('HashAggregate')) AS t(op) ORDER BY op""",
+    "sql_subqueries" -> SubquerySql,
     "mem_table" -> """
       SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,NULL)) AS t(id, name)
       ORDER BY id""",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -150,11 +150,140 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the training-pipeline step that scrubs
+    * eval-set leakage before training (GPT-3 §B / PaLM-style n-gram
+    * overlap). The "benchmark" slice is carved content-addressed (first
+    * md5 hex digit '0', ~1/16 of the corpus — same engine-agnostic carve
+    * as [[sampleHash]], so the split is reproducible and
+    * oracle-expressible); a training doc is contaminated iff it shares at
+    * least one distinct 5-word shingle with any benchmark doc.
+    *
+    * Scale shape: the benchmark side is distinct-shingle-reduced and
+    * BROADCAST (eval sets are MBs against a 100 TB corpus), so the corpus
+    * side is a map-only probe — no corpus shuffle, no inverted-index
+    * self-join; the only exchange is the per-doc hit-count aggregation on
+    * the (tiny) contaminated subset. Plan-asserted broadcast in
+    * ExtensionsSpec.
+    */
+  private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = docs(s, d).select(col("doc_id"),
+      substring(md5(col("text")), 1, 1).as("carve"),
+      GraftFunctions.word_shingles(TF.words(col("text")), 5).as("sh"))
+    val bench = base.filter(col("carve") === "0")
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val train = base.filter(col("carve") =!= "0")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // per-doc shingles and the bench set are both distinct, so count(*)
+    // counts distinct shared shingles exactly
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Most-frequent-element count of a string array: sort, then fold a
+    * (prev, run, best) accumulator over the sorted array — equal values
+    * are adjacent after sorting, so the longest run IS the top
+    * multiplicity. O(n log n) per row and one pass of the lambda; the
+    * naive `transform(distinct, x -> count(filter(arr, = x)))` is
+    * O(distinct·n) interpreted lambda calls and measured ~10× slower at
+    * fixture scale (higher-order functions evaluate interpreted, so the
+    * lambda-invocation count is the real cost driver).
+    */
+  private def maxRunCount(arr: Column): Column =
+    aggregate(sort_array(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition scoring — the within-document repetition signals of the
+    * Gopher/MassiveText quality rules (duplicate-word fraction, most
+    * frequent word / bigram mass). Pure per-row array algebra over the
+    * normalized word list: shuffle-free, linear-ish (n log n) in document
+    * length via [[maxRunCount]] — an early win for dropping degenerate
+    * boilerplate before any pairwise dedup runs.
+    */
+  private def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val w = TF.words(col("text"))
+    val n = size(w)
+    val topWord = maxRunCount(w)
+    val bg = zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val topBigram = maxRunCount(bg)
+    docs(s, d).select(
+      col("doc_id"),
+      n.cast("int").as("n_words"),
+      size(array_distinct(w)).cast("int").as("n_distinct"),
+      when(n > 0, lit(1.0) - lit(1.0) * size(array_distinct(w)) / n)
+        .otherwise(lit(0.0)).as("dup_ratio"),
+      when(n > 0, lit(1.0) * topWord / n).otherwise(lit(0.0))
+        .as("top_word_frac"),
+      when(n >= 2, lit(1.0) * topBigram / (n - 1)).otherwise(lit(0.0))
+        .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocabulary extraction: global term and document frequencies,
+    * most-frequent-first — the input to tokenizer training and idf
+    * weighting. Map-side explode feeds a two-phase count aggregation
+    * (partials per split, one shuffle on the term), document frequency
+    * rides the same shuffle as a distinct count, and the final top-k is a
+    * TakeOrderedAndProject — no global sort of the vocabulary.
+    */
+  private def textVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("word"))
+      .limit(100)
+
+  /** TF-IDF term extraction: the top-3 most characteristic terms per
+    * document under inverse-document-frequency weighting — the classic
+    * relevance/keyword primitive feeding retrieval indexes and topic
+    * drift monitors. The idf factor is the exact rational 1/df rather
+    * than ln(N/df): IEEE division is exactly rounded (bit-identical in
+    * both engines) while transcendental log is libm-dependent — the
+    * ranking is order-isomorphic for fixed N either way, and the score
+    * stays hash-comparable. Shape: one (doc, term) count shuffle, the
+    * df table rides a broadcast (a pruned vocabulary is MBs against a
+    * 100 TB corpus), and the per-doc top-3 is a doc-partitioned window
+    * over ≤|distinct terms per doc| rows — no global sort.
+    */
+  private def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val w = docs(s, d)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+    val tf = w.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = w.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(dfreq), Seq("word"))
+      .withColumn("score", col("tf") * lit(1.0) / col("df"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "pack_shards" -> packShards _,
     "text_clean" -> textClean _,
+    "text_decontaminate" -> textDecontaminate _,
+    "text_repetition" -> textRepetition _,
+    "text_tfidf" -> textTfidf _,
+    "text_vocab" -> textVocab _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
@@ -212,6 +341,66 @@ object TextAnalysis {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
                '\s+', ' ', 'g')), 1, 40) AS clean_head
       FROM documents ORDER BY doc_id""",
+    "text_decontaminate" -> s"""
+      WITH w AS (
+        SELECT doc_id, substr(md5(text), 1, 1) AS carve,
+               string_split($NormSql, ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, carve,
+               list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                               ' ' || w[i+3] || ' ' || w[i+4]
+                 for i in range(1, len(w)-3) ]) AS sh
+        FROM w WHERE len(w) >= 5),
+      bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE carve = '0'),
+      train AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE carve <> '0')
+      SELECT t.doc_id, COUNT(*) AS n_hits
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "text_repetition" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+      b AS (
+        SELECT doc_id, w,
+               [ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ] AS bg
+        FROM w)
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_words,
+             CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+             CASE WHEN len(w) > 0
+                  THEN 1.0 - 1.0*len(list_distinct(w))/len(w)
+                  ELSE 0.0 END AS dup_ratio,
+             CASE WHEN len(w) > 0
+                  THEN 1.0*list_max(list_transform(list_distinct(w),
+                         x -> len(list_filter(w, y -> y = x))))/len(w)
+                  ELSE 0.0 END AS top_word_frac,
+             CASE WHEN len(w) >= 2
+                  THEN 1.0*list_max(list_transform(list_distinct(bg),
+                         x -> len(list_filter(bg, y -> y = x))))/(len(w)-1)
+                  ELSE 0.0 END AS top_bigram_frac
+      FROM b ORDER BY doc_id""",
+    "text_tfidf" -> s"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split($NormSql, ' ')) AS word
+        FROM documents),
+      tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+      df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+      scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df, 1.0*tf.tf/df.df AS score,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY 1.0*tf.tf/df.df DESC, tf.word)
+                 AS rk
+        FROM tf JOIN df USING (word))
+      SELECT doc_id, CAST(rk AS INT) AS rk, word, tf, df, score
+      FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "text_vocab" -> s"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split($NormSql, ' ')) AS word
+        FROM documents)
+      SELECT word, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      FROM w GROUP BY word ORDER BY n_occ DESC, word LIMIT 100""",
     "text_tokens" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,

@@ -593,3 +593,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(counted == viaWindow)
   }
 }
+
+class TextPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def mkNorm(t: String): Array[String] =
+    t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("text_decontaminate equals brute-force 5-gram overlap; bench side broadcasts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh5(t: String): Set[String] = {
+      val w = mkNorm(t)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val (bench, train) = docs.partition { case (_, t) => md5hex(t).head == '0' }
+    val benchSh = bench.values.flatMap(sh5).toSet
+    assert(bench.nonEmpty && benchSh.nonEmpty, "carve produced no benchmark slice")
+    val want = train.flatMap { case (id, t) =>
+      val hits = (sh5(t) & benchSh).size
+      if (hits > 0) Some(id -> hits.toLong) else None
+    }
+    val q = SparkEntry.queries("text_decontaminate")(spark, sfDir)
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got ${got.size} contaminated docs, want ${want.size}")
+    // the scale claim: the benchmark shingle set must arrive by broadcast —
+    // the corpus probe side never shuffles for the join
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "bench side must broadcast")
+  }
+
+  test("text_repetition matches hand computation on fixture docs") {
+    val out = SparkEntry.queries("text_repetition")(spark, sfDir).collect()
+    val raw = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.take(25).foreach { r =>
+      val w = mkNorm(raw(r.getLong(0)))
+      val topW = w.groupBy(identity).values.map(_.length).max
+      val bg = w.sliding(2).map(_.mkString(" ")).toArray
+      val topB = bg.groupBy(identity).values.map(_.length).max
+      assert(r.getAs[Int]("n_words") == w.length)
+      assert(r.getAs[Int]("n_distinct") == w.distinct.length)
+      assert(r.getAs[Double]("dup_ratio") == 1.0 - 1.0 * w.distinct.length / w.length)
+      assert(r.getAs[Double]("top_word_frac") == 1.0 * topW / w.length)
+      assert(r.getAs[Double]("top_bigram_frac") == 1.0 * topB / (w.length - 1))
+    }
+  }
+
+  test("text_vocab conserves corpus word mass and orders by frequency") {
+    val out = SparkEntry.queries("text_vocab")(spark, sfDir).collect()
+    val totalWords = Tables.load(spark, sfDir, "documents")
+      .select(sum(size(graft.functions.TextFunctions.words(col("text")))))
+      .collect()(0).getLong(0)
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    // synthetic vocab is far below the k=100 cutoff, so the top-k IS the
+    // whole vocabulary and occurrence mass must be conserved exactly
+    assert(out.length < 100, "fixture vocab unexpectedly hit the top-k cap")
+    assert(out.map(_.getAs[Long]("n_occ")).sum == totalWords)
+    assert(out.forall(r => r.getAs[Long]("n_docs") <= nDocs))
+    val occs = out.map(_.getAs[Long]("n_occ")).toSeq
+    assert(occs == occs.sorted.reverse, "must be most-frequent-first")
+  }
+}
