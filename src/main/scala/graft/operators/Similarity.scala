@@ -272,6 +272,115 @@ object Similarity {
   private def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKWithProbes(s, d, NProbe)
 
+  // -- product quantization: compressed codes + ADC ranking ----------------
+
+  /** PQ geometry: m subspaces × ksub codes. At dim 64 this stores 8
+    * one-byte codes per vector instead of 64 doubles — 64× compression —
+    * which is what lets a 100 TB embedding corpus's *rank signal* live in
+    * executor memory while the full vectors stay on disk for re-ranking.
+    */
+  val PqM = 8
+  val PqKsub = 16
+  private val PqShortlist = 50
+
+  private def pqKey(d: String): String =
+    s"pq_v1_${PqM}x${PqKsub}_${graft.Scratch.sanitize(d)}_" +
+      graft.Scratch.fingerprint(Tables.path(d, "embeddings"))
+
+  /** Unit-normalized embeddings: PQ is trained and encoded on the unit
+    * sphere so a sum of per-subspace dot products IS the (approximate)
+    * cosine — without this, corpus-norm variance silently reorders the ADC
+    * shortlist. Division is IEEE-exact, so normalization is deterministic.
+    */
+  private def embUnit(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val nrm = sqrt(GraftFunctions.dot_product(col("v"), col("v")))
+    emb(s, d).select(col("vec_id"),
+      transform(col("v"), x => x / nrm).as("v"))
+  }
+
+  /** Build (or reuse) the PQ index: per-subspace codebooks learned with
+    * the same deterministic Lloyd machinery as IVF ([[kmeansCentroids]]
+    * on the sub-vector slices), then a single map-only encode pass — the
+    * per-subspace argmax is the [[assignExpr]] literal form, so encoding
+    * is shuffle-free and codegen'd. Persists `codes` (vec_id → m small
+    * ints) and `books` (m × ksub sub-centroids) under a fingerprinted
+    * [[graft.Scratch]] key. (Product quantization per Jégou et al.,
+    * TPAMI 2011 — public method, independent implementation.)
+    */
+  def buildPqIndex(s: SparkSession, d: String)
+      : (Seq[(Int, Int, Seq[Double])], String) = {
+    GraftFunctions.register(s)
+    val dir = graft.Scratch.ensure(s, pqKey(d)) { tmp =>
+      val e = embUnit(s, d).cache()
+      val dim = e.select(size(col("v"))).head().getInt(0)
+      require(dim % PqM == 0, s"dim $dim not divisible by PqM=$PqM")
+      val subDim = dim / PqM
+      val books: Seq[(Int, Int, Seq[Double])] = (0 until PqM).flatMap { m =>
+        val sub = e.select(col("vec_id"),
+          slice(col("v"), m * subDim + 1, subDim).as("v"))
+        kmeansCentroids(sub, PqKsub, LloydIters)
+          .map { case (c, cv) => (m, c, cv) }
+      }
+      val codeCols = (0 until PqM).map { m =>
+        val cents = books.filter(_._1 == m).map(b => (b._2, b._3))
+        assignExpr(cents, slice(col("v"), m * subDim + 1, subDim))
+      }
+      e.select(col("vec_id"), array(codeCols: _*).as("codes"))
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      s.createDataFrame(books).toDF("sub", "code", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/books")
+      e.unpersist(blocking = true): Unit
+    }
+    val books = s.read.parquet(s"$dir/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+      .sortBy(b => (b._1, b._2))
+    (books, s"$dir/codes")
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC) + exact re-rank.
+    * The per-(query, subspace, code) partial dots — |Q|·m·ksub rows, KBs —
+    * are computed distributed and BROADCAST into the scoring join; the
+    * corpus side touches only the 8-int code rows (posexplode → broadcast
+    * join → partial-aggregated sum keyed (qid, vec_id)), never the full
+    * vectors. Only the ADC shortlist (PqShortlist per query) joins back to
+    * the stored vectors for the exact cosine re-rank — at 100 TB that is
+    * the difference between scanning 8 bytes/vector and 512.
+    */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (books, codesPath) = buildPqIndex(s, d)
+    val subDim = books.head._3.size
+    val booksDf = s.createDataFrame(books).toDF("sub", "code", "cv")
+    val qn = embUnit(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val tables = qn.crossJoin(broadcast(booksDf))
+      .select(col("qid"), col("sub"), col("code"),
+        GraftFunctions.dot_product(
+          slice(col("qv"), col("sub") * subDim + 1, lit(subDim)),
+          col("cv")).as("pdot"))
+    val scored = s.read.parquet(codesPath)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(tables), Seq("sub", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc"))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = scored.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(emb(s, d), Seq("vec_id"))
+      .join(emb(s, d).select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(GraftFunctions.cosine_sim(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   // -- exact cosine-threshold self-join with cell-pair cap pruning ---------
 
   /** Cell pairs that can possibly contain a pair with cos ≥ t, by the
@@ -420,6 +529,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
+    "ann_pq_topk" -> (pqTopK _),
     "dedup_embedding_threshold" -> embeddingThreshold _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _
   )
