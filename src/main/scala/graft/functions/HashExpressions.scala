@@ -170,6 +170,36 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Maximum element multiplicity of a string array: sort a local copy,
+    * then the longest run of equal adjacent values IS the top
+    * multiplicity. One JVM sort + one pass per row — replaces an
+    * interpreted higher-order `aggregate` lambda (2 lambda invocations
+    * per element, boxed struct accumulator) on the repetition-scoring hot
+    * path. Null elements are ignored; empty/all-null arrays return 0.
+    */
+  def maxRunCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val vals = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { vals(m) = arr.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return 0L
+    java.util.Arrays.sort(vals.asInstanceOf[Array[Object]], 0, m)
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < m) {
+      if (vals(i).equals(vals(i - 1))) { run += 1; if (run > best) best = run }
+      else run = 1L
+      i += 1
+    }
+    best
+  }
+
   /** Dot product, strict left-to-right accumulation. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -356,6 +386,7 @@ object GraftFunctions {
       if (es.length > 1) intArg(es(1), "minhash64") else 64)),
     "word_shingles" -> (es => WordShingles(es(0),
       if (es.length > 1) intArg(es(1), "word_shingles") else 3)),
+    "max_run_count" -> (es => MaxRunCount(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "hyperplane_bands" -> (es =>
@@ -391,6 +422,7 @@ object GraftFunctions {
     call_function("minhash64", c, org.apache.spark.sql.functions.lit(k))
   def word_shingles(c: Column, n: Int): Column =
     call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
+  def max_run_count(c: Column): Column = call_function("max_run_count", c)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
@@ -398,6 +430,23 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands),
       org.apache.spark.sql.functions.lit(rowsPerBand),
       org.apache.spark.sql.functions.lit(seed))
+}
+
+/** Maximum element multiplicity of an ARRAY<STRING> → LONG (0 for empty).
+  * Native one-pass kernel for repetition scoring; see
+  * [[HashImpls.maxRunCount]] for why this beats the higher-order
+  * `aggregate` form.
+  */
+case class MaxRunCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "max_run_count"
+  override protected def nullSafeEval(v: Any): Any =
+    HashImpls.maxRunCount(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.maxRunCount($c)")
+  override protected def withNewChildInternal(c: Expression): MaxRunCount =
+    copy(child = c)
 }
 
 /** Session-extensions installer (SURVEY §7.2's `SparkSessionExtensions`

@@ -817,15 +817,24 @@ object Relational {
               sha2(col("c_name").cast(BinaryType), 256).as("f_sha256"))
       .orderBy(col("c_custkey")).limit(100)
 
-  /** sha224/384/512 (reference wires sha224-512: from_proto.rs:905-912) —
-    * DuckDB 1.0 lacks them, so this query is rows-only checked.
+  /** Extended hash surface, oracle-able slice: digest composition over
+    * DERIVED binary inputs — concatenations and a digest-of-digest chain —
+    * exercising the hash functions as expression-tree interior nodes, not
+    * just column leaves. The sha224/384/512 widths themselves (reference
+    * wires sha224-512: from_proto.rs:905-912) are DuckDB-inexpressible
+    * (DuckDB 1.0 ships only md5/sha256) and are gated instead by the FIPS
+    * 180-2 known-answer vectors in ExtensionsSpec — so every driver row
+    * in this slice carries a real oracle.
     */
   private def exprHashExt(s: SparkSession, d: String): DataFrame =
     cust(s, d)
       .select(col("c_custkey"),
-              sha2(col("c_name").cast(BinaryType), 224).as("f_sha224"),
-              sha2(col("c_name").cast(BinaryType), 384).as("f_sha384"),
-              sha2(col("c_name").cast(BinaryType), 512).as("f_sha512"))
+              sha2(concat(col("c_name"), lit("#"), col("c_mktsegment"))
+                .cast(BinaryType), 256).as("f_sha256_cat"),
+              md5(concat(col("c_name"), col("c_custkey").cast(StringType))
+                .cast(BinaryType)).as("f_md5_cat"),
+              sha2(md5(col("c_name")).cast(BinaryType), 256)
+                .as("f_sha256_chain"))
       .orderBy(col("c_custkey")).limit(100)
 
   /** CASE (both forms), CAST, BETWEEN, IN list, unary negative
@@ -860,17 +869,28 @@ object Relational {
   /** Array aggregation — the inverse of the explode generator: per-group
     * ordered value lists (sort_array fixes collect_list's
     * partition-order nondeterminism, making the result oracle-exact).
+    * The array is serialized to a comma-joined string for the driver
+    * compare (the pandas-side hash can't sort array cells); the array
+    * itself still materializes through collect_list/sort_array, and the
+    * nested-type sink round-trip stays covered in OperatorsSpec.
     */
   private def aggArray(s: SparkSession, d: String): DataFrame =
     ord(s, d).filter(col("o_orderkey") <= 100)
       .groupBy(col("o_orderstatus"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"),
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys_arr"),
            count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        array_join(transform(col("keys_arr"), _.cast(StringType)), ",")
+          .as("keys"),
+        col("n"))
       .orderBy(col("o_orderstatus"))
 
-  /** Nested struct construction round-tripped through the parquet sink —
-    * the §1.2 nested-type surface (the reference serializes nested Arrow
-    * types but its operators never produce them).
+  /** Nested struct construction + field extraction — the §1.2 nested-type
+    * surface (the reference serializes nested Arrow types but its
+    * operators never produce them). The driver row flattens the struct
+    * back to scalar fields (the pandas-side hash can't sort struct
+    * cells); the struct-through-the-parquet-sink round-trip stays covered
+    * in OperatorsSpec.
     */
   private def exprStruct(s: SparkSession, d: String): DataFrame =
     ord(s, d).filter(col("o_orderkey") <= 50)
@@ -879,6 +899,9 @@ object Relational {
           col("o_orderstatus").as("status"),
           col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
             .as("price")).as("o"))
+      .select(col("o_orderkey"),
+        col("o").getField("status").as("o_status"),
+        col("o").getField("price").as("o_price"))
       .orderBy(col("o_orderkey"))
 
   /** Error-safe (TRY) expression surface: under ANSI semantics a single
@@ -1565,17 +1588,26 @@ object Relational {
     "expr_hash" -> """
       SELECT c_custkey, md5(c_name) AS f_md5, sha256(c_name) AS f_sha256
       FROM customer ORDER BY c_custkey LIMIT 100""",
+    "expr_hash_ext" -> """
+      SELECT c_custkey,
+             sha256(c_name || '#' || c_mktsegment) AS f_sha256_cat,
+             md5(c_name || CAST(c_custkey AS VARCHAR)) AS f_md5_cat,
+             sha256(md5(c_name)) AS f_sha256_chain
+      FROM customer ORDER BY c_custkey LIMIT 100""",
     "agg_array" -> """
-      SELECT o_orderstatus, list_sort(array_agg(o_orderkey)) AS keys,
+      SELECT o_orderstatus,
+             array_to_string(list_sort(array_agg(o_orderkey)), ',') AS keys,
              COUNT(*) AS n
       FROM orders WHERE o_orderkey <= 100
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "expr_struct" -> """
-      SELECT o_orderkey,
-             {'status': o_orderstatus,
-              'price': CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)}
-               AS o
-      FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""",
+      SELECT o_orderkey, o.status AS o_status, o.price AS o_price FROM (
+        SELECT o_orderkey,
+               {'status': o_orderstatus,
+                'price': CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)}
+                 AS o
+        FROM orders WHERE o_orderkey <= 50)
+      ORDER BY o_orderkey""",
     "expr_try" -> """
       SELECT COUNT(*) AS n,
              COUNT(TRY_CAST(CASE WHEN l_quantity < 3 THEN l_returnflag

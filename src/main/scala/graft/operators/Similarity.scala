@@ -272,6 +272,21 @@ object Similarity {
   private def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKWithProbes(s, d, NProbe)
 
+  /** IVF at nprobe = NCells: every cell is probed, so recall is 1 BY
+    * CONSTRUCTION and the result must equal the brute-force oracle
+    * row-for-row (same rounding, same vec_id tie-break). This is the
+    * driver-gate row that exercises the full IVF read path — centroid
+    * probe ranking, partition-pruned indexed scan, fine ranking — against
+    * a DuckDB oracle; the production nprobe=2 shape stays benchmarked as
+    * `ann_ivf_topk` and spec-covered (recall monotonicity) in
+    * ExtensionsSpec. The `cell` column is dropped: it comes from the
+    * learned index, which the oracle can't reproduce (and doesn't need —
+    * with all cells probed it doesn't affect the ranking).
+    */
+  private def ivfFullProbe(s: SparkSession, d: String): DataFrame =
+    ivfTopKWithProbes(s, d, NCells)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+
   // -- product quantization: compressed codes + ADC ranking ----------------
 
   /** PQ geometry: m subspaces × ksub codes. At dim 64 this stores 8
@@ -295,8 +310,13 @@ object Similarity {
   private def embUnit(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val nrm = sqrt(GraftFunctions.dot_product(col("v"), col("v")))
+    // zero-norm guard: an all-zero embedding divided by its norm is a NaN
+    // vector, and NaNs silently poison codebook training and ADC argmax
+    // ordering — map it to the zero vector instead (cosine 0 to anything,
+    // consistent with HashImpls.cosine's zero-norm convention)
     emb(s, d).select(col("vec_id"),
-      transform(col("v"), x => x / nrm).as("v"))
+      transform(col("v"),
+        x => when(nrm > 0, x / nrm).otherwise(lit(0.0))).as("v"))
   }
 
   /** Build (or reuse) the PQ index: per-subspace codebooks learned with
@@ -347,7 +367,13 @@ object Similarity {
     * the stored vectors for the exact cosine re-rank — at 100 TB that is
     * the difference between scanning 8 bytes/vector and 512.
     */
-  def pqTopK(s: SparkSession, d: String): DataFrame = {
+  def pqTopK(s: SparkSession, d: String): DataFrame =
+    pqTopKWithShortlist(s, d, PqShortlist)
+
+  /** PQ top-k with a configurable shortlist width (public so the spec can
+    * exercise it and so [[pqFullRerank]] can set shortlist = corpus size).
+    */
+  def pqTopKWithShortlist(s: SparkSession, d: String, shortlistN: Int): DataFrame = {
     GraftFunctions.register(s)
     val (books, codesPath) = buildPqIndex(s, d)
     val subDim = books.head._3.size
@@ -367,7 +393,7 @@ object Similarity {
       .agg(sum(col("pdot")).as("adc"))
     val ws = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
     val shortlist = scored.withColumn("srnk", row_number().over(ws))
-      .filter(col("srnk") <= PqShortlist)
+      .filter(col("srnk") <= shortlistN)
       .select(col("qid"), col("vec_id"))
     val wf = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     shortlist
@@ -380,6 +406,20 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** PQ with shortlist = corpus size: the ADC stage scores every candidate
+    * (all vec_id ≠ qid carry codes), the shortlist keeps them all, and the
+    * exact-cosine re-rank therefore ranks the FULL candidate set — so the
+    * result equals the brute-force oracle BY CONSTRUCTION (same rounding,
+    * same vec_id tie-break), independent of ADC quantization quality. This
+    * is the driver-gate row that exercises the whole PQ path end-to-end —
+    * codebook build, encode, broadcast ADC tables, code-join scoring,
+    * shortlist window, exact re-rank — against a DuckDB oracle; the
+    * production shortlist-50 shape stays benchmarked as `ann_pq_topk` and
+    * recall/exactness-spec-covered in ExtensionsSpec.
+    */
+  private def pqFullRerank(s: SparkSession, d: String): DataFrame =
+    pqTopKWithShortlist(s, d, Int.MaxValue)
 
   // -- exact cosine-threshold self-join with cell-pair cap pruning ---------
 
@@ -529,13 +569,18 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
+    "ann_ivf_full_probe" -> ivfFullProbe _,
     "ann_pq_topk" -> (pqTopK _),
+    "ann_pq_full_rerank" -> pqFullRerank _,
     "dedup_embedding_threshold" -> embeddingThreshold _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _
   )
 
-  val oracles: Map[String, String] = Map(
-    "ann_brute_topk" -> s"""
+  /** Exact cosine top-k in DuckDB — the oracle for the brute row AND for
+    * the two approximate-index rows whose configuration makes them exact
+    * by construction ([[ivfFullProbe]], [[pqFullRerank]]).
+    */
+  private val BruteOracleSql = s"""
       SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cos FROM (
         SELECT q.vec_id AS qid, e.vec_id AS vec_id,
                round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -547,7 +592,12 @@ object Similarity {
         FROM embeddings q, embeddings e
         WHERE q.vec_id < $NQueries AND q.vec_id <> e.vec_id)
       WHERE rnk <= $TopK
-      ORDER BY qid, rnk""",
+      ORDER BY qid, rnk"""
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> BruteOracleSql,
+    "ann_ivf_full_probe" -> BruteOracleSql,
+    "ann_pq_full_rerank" -> BruteOracleSql,
     "dedup_embedding_threshold" -> s"""
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

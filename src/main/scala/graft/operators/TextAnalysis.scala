@@ -150,57 +150,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Benchmark decontamination — the training-pipeline step that scrubs
-    * eval-set leakage before training (GPT-3 §B / PaLM-style n-gram
-    * overlap). The "benchmark" slice is carved content-addressed (first
-    * md5 hex digit '0', ~1/16 of the corpus — same engine-agnostic carve
-    * as [[sampleHash]], so the split is reproducible and
-    * oracle-expressible); a training doc is contaminated iff it shares at
-    * least one distinct 5-word shingle with any benchmark doc.
+  /** Per-doc distinct shingle count of benchmark n-gram overlap — the
+    * reusable decontamination kernel (see [[textDecontaminate]] for the
+    * oracle-checked fixture instantiation). `benchDocs` is the EXTERNAL
+    * eval/benchmark corpus — any DataFrame with a `text` column (read it
+    * from whatever path/table holds the eval sets); `trainDocs` needs
+    * (`doc_id`, `text`).
     *
     * Scale shape: the benchmark side is distinct-shingle-reduced and
-    * BROADCAST (eval sets are MBs against a 100 TB corpus), so the corpus
-    * side is a map-only probe — no corpus shuffle, no inverted-index
+    * broadcast — but ONLY under a checked size bound. Real eval sets are
+    * MBs against a 100 TB corpus, so the broadcast normally holds; the
+    * guard (one count() job over the small side, trivial next to the
+    * corpus pass) makes the contract explicit instead of assumed — an
+    * oversized "benchmark" falls back to a shuffle join rather than
+    * OOM-ing every executor. With the broadcast in place the corpus side
+    * is a map-only probe — no corpus shuffle, no inverted-index
     * self-join; the only exchange is the per-doc hit-count aggregation on
     * the (tiny) contaminated subset. Plan-asserted broadcast in
     * ExtensionsSpec.
     */
-  private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+  def decontaminate(trainDocs: DataFrame, benchDocs: DataFrame, n: Int = 5,
+                    maxBroadcastShingles: Long = 50L * 1000 * 1000): DataFrame = {
+    val s = trainDocs.sparkSession
     GraftFunctions.register(s)
-    val base = docs(s, d).select(col("doc_id"),
-      substring(md5(col("text")), 1, 1).as("carve"),
-      GraftFunctions.word_shingles(TF.words(col("text")), 5).as("sh"))
-    val bench = base.filter(col("carve") === "0")
-      .select(explode(col("sh")).as("shingle")).distinct()
-    val train = base.filter(col("carve") =!= "0")
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = benchDocs
+      .select(explode(
+        GraftFunctions.word_shingles(TF.words(col("text")), n)).as("shingle"))
+      .distinct()
+    val broadcastable = bench.count() <= maxBroadcastShingles
+    val benchSide = if (broadcastable) broadcast(bench) else bench
+    val train = trainDocs.select(col("doc_id"),
+      explode(GraftFunctions.word_shingles(TF.words(col("text")), n))
+        .as("shingle"))
     // per-doc shingles and the bench set are both distinct, so count(*)
     // counts distinct shared shingles exactly
-    train.join(broadcast(bench), Seq("shingle"))
+    train.join(benchSide, Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))
   }
 
-  /** Most-frequent-element count of a string array: sort, then fold a
-    * (prev, run, best) accumulator over the sorted array — equal values
-    * are adjacent after sorting, so the longest run IS the top
-    * multiplicity. O(n log n) per row and one pass of the lambda; the
-    * naive `transform(distinct, x -> count(filter(arr, = x)))` is
-    * O(distinct·n) interpreted lambda calls and measured ~10× slower at
-    * fixture scale (higher-order functions evaluate interpreted, so the
-    * lambda-invocation count is the real cost driver).
+  /** Benchmark decontamination — the training-pipeline step that scrubs
+    * eval-set leakage before training (GPT-3 §B / PaLM-style n-gram
+    * overlap). Fixture instantiation of [[decontaminate]]: this repo has
+    * no external eval set, so the "benchmark" slice is carved
+    * content-addressed from the corpus itself (first md5 hex digit '0',
+    * ~1/16 — same engine-agnostic carve as [[sampleHash]], so the split
+    * is reproducible and oracle-expressible). The 1/16 carve is a fixture
+    * STAND-IN that scales with the corpus; production callers pass the
+    * real (bounded, MBs) eval tables to [[decontaminate]], whose size
+    * guard enforces the broadcast contract either way.
+    */
+  private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("text")), 1, 1).as("carve"))
+    decontaminate(
+      base.filter(col("carve") =!= "0").select(col("doc_id"), col("text")),
+      base.filter(col("carve") === "0").select(col("text")))
+  }
+
+  /** Most-frequent-element count of a string array: the native
+    * [[graft.functions.HashImpls.maxRunCount]] kernel (sort a local copy,
+    * longest equal-adjacent run = top multiplicity — O(n log n)/row,
+    * codegen'd, zero lambda dispatch). Two prior forms were measured and
+    * rejected: `transform(distinct, x -> count(filter(arr, = x)))` is
+    * O(distinct·n) interpreted lambda calls (~10× slower at fixture
+    * scale), and the sorted-fold `aggregate` lambda — though
+    * algorithmically identical to the kernel — still paid 2 interpreted
+    * lambda invocations + a boxed struct accumulator per element and was
+    * the slowest query in the r5 bench (28.5 s at sf0.1).
     */
   private def maxRunCount(arr: Column): Column =
-    aggregate(sort_array(arr),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    GraftFunctions.max_run_count(arr)
 
   /** Repetition scoring — the within-document repetition signals of the
     * Gopher/MassiveText quality rules (duplicate-word fraction, most
@@ -210,6 +231,7 @@ object TextAnalysis {
     * boilerplate before any pairwise dedup runs.
     */
   private def textRepetition(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val w = TF.words(col("text"))
     val n = size(w)
     val topWord = maxRunCount(w)
@@ -252,21 +274,26 @@ object TextAnalysis {
     * than ln(N/df): IEEE division is exactly rounded (bit-identical in
     * both engines) while transcendental log is libm-dependent — the
     * ranking is order-isomorphic for fixed N either way, and the score
-    * stays hash-comparable. Shape: one (doc, term) count shuffle, the
-    * df table rides a broadcast (a pruned vocabulary is MBs against a
-    * 100 TB corpus), and the per-doc top-3 is a doc-partitioned window
-    * over ≤|distinct terms per doc| rows — no global sort.
+    * stays hash-comparable. Shape: the corpus is exploded ONCE into the
+    * (doc, term) count aggregate; document frequency is derived FROM that
+    * aggregate (tf already holds one row per distinct (doc, term), so
+    * df = count per term — no second explode, no distinct over the raw
+    * token stream). The tf⋈df join shuffles both sides on the term key —
+    * a corpus's full distinct-token table (typos, hashes, noise) is
+    * unbounded at 100 TB, so it is NOT broadcast-hinted; AQE converts the
+    * join to a broadcast at runtime when the vocabulary actually is
+    * small. The per-doc top-3 is a doc-partitioned window over
+    * ≤|distinct terms per doc| rows — no global sort.
     */
   private def textTfidf(s: SparkSession, d: String): DataFrame = {
     val w = docs(s, d)
       .select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
     val tf = w.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = w.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(dfreq), Seq("word"))
+    tf.join(dfreq, Seq("word"))
       .withColumn("score", col("tf") * lit(1.0) / col("df"))
       .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= 3)

@@ -37,6 +37,20 @@ object KernelProperties extends Properties("graft.kernels") {
       }
     }
 
+  property("maxRunCount equals max element multiplicity (nulls ignored, 0 on empty)") =
+    forAll(Gen.listOf(Gen.choose(0, 12).map(i => s"w$i")), Gen.choose(0, 3)) {
+      (ts, nNulls) =>
+        val want =
+          if (ts.isEmpty) 0L
+          else ts.groupBy(identity).values.map(_.length).max.toLong
+        // extra nulls must not contribute runs or displace the max
+        val mixed: Array[Any] =
+          (ts.map(UTF8String.fromString(_): Any) ++ Seq.fill(nNulls)(null: Any))
+            .toArray
+        HashImpls.maxRunCount(new GenericArrayData(mixed)) == want &&
+          HashImpls.maxRunCount(arr(ts)) == want
+    }
+
   property("rolling hash is prefix-compositional: h(a+b) derivable from h(a)") =
     forAll(Gen.alphaNumStr.map(_.take(40)), Gen.alphaNumStr.map(_.take(40))) {
       (a, b) =>
