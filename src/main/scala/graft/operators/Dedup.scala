@@ -349,10 +349,51 @@ object Dedup {
 
   // -- SimHash near-dup (hamming ≤ 3 via exact quarter blocking) ---------
 
+  /** 64-bit SimHash signatures derived from md5 token hashes (first 16 hex
+    * digits = 64 bits; each token votes ±1 per bit, a bit is set when its
+    * vote sum is strictly positive — Charikar, STOC 2002). md5 + substring
+    * + integer bit ops are engine-agnostic, so DuckDB reproduces the
+    * signature bit-for-bit and the near-dup pair set is driver-gated end to
+    * end — a hash family only this JVM implements (the native
+    * [[GraftFunctions.simhash64]] FNV kernel, which stays the production
+    * fast path: spec-cross-validated and exercised via
+    * `text_fingerprint_native`) can never be oracle-checked. Shape: token
+    * explode then a bounded ×16 hex-digit explode, collapsed by two
+    * map-side-combinable aggregations — one shuffle on (doc_id, digit),
+    * one on doc_id; per-row state is O(1).
+    */
+  private[graft] def simhashMd5Sigs(s: SparkSession, d: String): DataFrame = {
+    val digits = docs(s, d)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .select(col("doc_id"), substring(md5(col("w")), 1, 16).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("d"),
+        (expr("instr('0123456789abcdef', substring(h, d + 1, 1))") - 1)
+          .as("v"))
+    // per-digit ±1 vote sums for the 4 bits (MSB first)
+    def vote(r: Int) =
+      sum(shiftright(col("v"), 3 - r).bitwiseAND(lit(1)) * 2 - 1).as(s"s$r")
+    def bit(r: Int) =
+      when(col(s"s$r") > 0, lit(1L << (3 - r))).otherwise(lit(0L))
+    val perDigit = digits.groupBy(col("doc_id"), col("d"))
+      .agg(vote(0), vote(1), vote(2), vote(3))
+      .select(col("doc_id"), col("d"),
+        (bit(0) + bit(1) + bit(2) + bit(3)).as("dv"))
+    // assemble hex digits into the 64-bit signature via 32-bit halves
+    // (each half < 2^32 so the partial sums never overflow a long; the
+    // final shiftleft reproduces the full bit pattern exactly)
+    perDigit.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("d") < 8, expr("shiftleft(dv, 4 * (7 - d))"))
+          .otherwise(lit(0L))).as("hi"),
+        sum(when(col("d") >= 8, expr("shiftleft(dv, 4 * (15 - d))"))
+          .otherwise(lit(0L))).as("lo"))
+      .select(col("doc_id"),
+        shiftleft(col("hi").cast(LongType), 32).bitwiseOR(col("lo"))
+          .as("sim"))
+  }
+
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val sims = docs(s, d).select(col("doc_id"),
-      GraftFunctions.simhash64(TF.words(col("text"))).as("sim"))
+    val sims = simhashMd5Sigs(s, d)
     val quarters = sims.select(col("doc_id"), col("sim"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("q"),
@@ -365,7 +406,8 @@ object Dedup {
         col("q"), col("qv")), Seq("q", "qv"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(IntegerType)
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -531,6 +573,39 @@ object Dedup {
       SELECT doc_id, source, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT node FROM dropped)
       ORDER BY doc_id""",
+    // brute-force md5-simhash pair set: the quarter blocking on the Spark
+    // side is exact for hamming <= 3 (pigeonhole: one of 4 16-bit quarters
+    // must be intact), so the all-pairs form here is the same set
+    "dedup_simhash" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(${TextAnalysis.NormSql}, ' ')) AS w
+        FROM documents),
+      th AS (SELECT doc_id, substr(md5(w), 1, 16) AS h FROM toks),
+      bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(h, CAST(1 + b // 4 AS INT), 1)) - 1)
+                              >> CAST(3 - (b % 4) AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bs
+        GROUP BY doc_id, b),
+      halves AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 AND b < 32
+                        THEN (1::UBIGINT << CAST(31 - b AS INT))
+                        ELSE 0::UBIGINT END) AS hi,
+               SUM(CASE WHEN s > 0 AND b >= 32
+                        THEN (1::UBIGINT << CAST(63 - b AS INT))
+                        ELSE 0::UBIGINT END) AS lo
+        FROM bits GROUP BY doc_id),
+      simv AS (
+        SELECT doc_id, (hi::UBIGINT * 4294967296::UBIGINT + lo::UBIGINT) AS sim
+        FROM halves)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      FROM simv a JOIN simv b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      ORDER BY doc_a, doc_b""",
     "dedup_embedding_cos" -> """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

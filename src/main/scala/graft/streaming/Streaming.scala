@@ -95,19 +95,106 @@ object Streaming {
     else st
   }
 
+  /** Runs a streaming DataFrame to completion under Trigger.AvailableNow
+    * into a memory sink and returns the sink table. AvailableNow is the
+    * operational backfill contract — bounded micro-batches over everything
+    * currently in the source, then self-termination, no external stop
+    * signal — so a driver row can gate the REAL streaming execution path
+    * (streaming source → watermark → state store → sink) against a batch
+    * DuckDB oracle, not just the batch twin of the same plan.
+    */
+  private def runToMemory(s: SparkSession, name: String, df: DataFrame,
+                          mode: String): DataFrame = {
+    s.catalog.dropTempView(name) // re-runs in one session replace the sink
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000), s"$name did not self-terminate")
+    s.table(name)
+  }
+
+  /** [[windowAgg]] executed BY the streaming engine (complete mode,
+    * 1-minute watermark) — same oracle as the batch twin.
+    */
+  private def streamExecWindowAgg(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, "graft_exec_win",
+      windowAgg(readEventStream(s, d).withWatermark("ts", "1 minute")),
+      "complete")
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Watermarked stream-stream interval join (the streaming form of
+    * `join_range`), executed end-to-end: state on both sides is bounded by
+    * the 1-hour watermarks + the 30-minute join interval, and inner-join
+    * matches emit as they form (append mode).
+    */
+  private def streamExecIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = readEventStream(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_event"))
+      .withWatermark("c_ts", "1 hour")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_event"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purch,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_event"), col("purchase_event"),
+        col("c_user").as("user_id"))
+    runToMemory(s, "graft_exec_ssj", joined, "append")
+      .orderBy(col("click_event"), col("purchase_event"))
+  }
+
+  /** Streaming dedup (dropDuplicatesWithinWatermark) executed end-to-end.
+    * Which representative row survives is arrival-dependent, so the row
+    * returns only the key set — deterministic, and exactly batch DISTINCT.
+    */
+  private def streamExecDedup(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, "graft_exec_dedup",
+      readEventStream(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      "append")
+      .orderBy(col("user_id"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg _,
     "stream_session_agg" -> streamSessionAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
-    "stream_json_props" -> streamJsonProps _
+    "stream_json_props" -> streamJsonProps _,
+    "stream_exec_window_agg" -> streamExecWindowAgg _,
+    "stream_exec_interval_join" -> streamExecIntervalJoin _,
+    "stream_exec_dedup" -> streamExecDedup _
   )
 
-  val oracles: Map[String, String] = Map(
-    "stream_window_agg" -> """
+  private val WindowAggSql = """
       SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> WindowAggSql,
+    // the streaming-engine-executed rows share batch semantics: complete-
+    // mode aggregation / inner interval join / key-set dedup are all
+    // exactly their batch equivalents once the bounded source drains
+    "stream_exec_window_agg" -> WindowAggSql,
+    "stream_exec_interval_join" -> """
+      SELECT c.event_id AS click_event, p.event_id AS purchase_event,
+             c.user_id AS user_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+      JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND c.ts BETWEEN p.ts AND p.ts + INTERVAL 30 MINUTE
+      ORDER BY click_event, purchase_event""",
+    "stream_exec_dedup" -> """
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""",
     "stream_session_agg" -> """
       WITH marked AS (
         SELECT user_id, ts, event_id, value,

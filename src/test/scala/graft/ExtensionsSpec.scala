@@ -155,11 +155,9 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash quarter blocking equals brute-force hamming<=3 exactly") {
     // pigeonhole blocking is provably exact for hamming<=3 on 4 quarters —
-    // assert set equality against an all-pairs scan of the signatures
-    GraftFunctions.register(spark)
-    val sims = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        GraftFunctions.simhash64(TF.words(col("text"))).as("sim"))
+    // assert set equality against an all-pairs scan of the same (portable
+    // md5-derived) signatures the operator blocks on
+    val sims = operators.Dedup.simhashMd5Sigs(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       (a, sa) <- sims
