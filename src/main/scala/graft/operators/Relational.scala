@@ -716,6 +716,53 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
                col("o_orderpriority").asc_nulls_first)
 
+  /** Sketch-tier driver gate, HLL++ distinct counts. An approximate
+    * aggregate can never hash-match a second engine (every implementation
+    * estimates differently), but its CONTRACT can: for a fixed input the
+    * sketch is deterministic and its error is bounded by configuration. So
+    * the row emits the exact values (which the oracle recomputes) plus an
+    * in-Spark band check on the estimate, and the oracle asserts the
+    * boolean literally TRUE — a wrong sketch breaks the gate, a correct
+    * one can never flake (rsd 1% against a 5% band is a ≥5σ margin, and
+    * deterministic besides). At 100 TB the sketch is the point: fixed
+    * ~kilobytes of state per group versus a shuffle of every distinct
+    * value for the exact form.
+    */
+  private def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_linestatus"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+           approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+      .select(col("l_linestatus"), col("exact_parts"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("l_linestatus"))
+
+  /** Sketch-tier driver gate, KLL-style quantiles: approx_percentile with
+    * accuracy A guarantees rank error ≤ n/A, so the estimate must lie
+    * between the exact percentiles at p ± 1/A — checked in-Spark, TRUE in
+    * the oracle (same never-flake argument as [[aggApproxDistinct]]).
+    * Quantile columns use l_quantity (small integers) at quarter
+    * percentiles (.25/.5/.75): index, fraction, and interpolated value are
+    * all exactly representable doubles, so Spark's `percentile` and
+    * DuckDB's `quantile_cont` agree bit-for-bit regardless of their
+    * interpolation formulae (a p like .95 would leave an inexact fraction
+    * where the two engines' algebraically-equal formulas round apart).
+    */
+  private def aggApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val acc = 10000
+    def bounded(p: Double) =
+      (expr(s"approx_percentile(l_quantity, $p, $acc)")
+        .between(expr(s"percentile(l_quantity, ${p - 1.0 / acc})"),
+                 expr(s"percentile(l_quantity, ${p + 1.0 / acc})")))
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("exact_p25"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+        expr("percentile(l_quantity, 0.75)").as("exact_p75"),
+        (bounded(0.25) && bounded(0.5) && bounded(0.75)).as("rank_bounded"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.5 sort / limit / repartition / merge
   // ---------------------------------------------------------------------
@@ -1221,6 +1268,8 @@ object Relational {
     "agg_pivot" -> aggPivot _,
     "agg_histogram" -> aggHistogram _,
     "agg_topk" -> aggTopk _,
+    "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_approx_quantile" -> aggApproxQuantile _,
     "expr_explode" -> exprExplode _,
     "sort_multi_key" -> sortMultiKey _,
     "limit" -> limitQ _,
@@ -1522,6 +1571,17 @@ object Relational {
       SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS n_parts,
              COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "agg_approx_distinct" -> """
+      SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS within_5pct
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "agg_approx_quantile" -> """
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS exact_p25,
+             quantile_cont(l_quantity, 0.5)  AS exact_p50,
+             quantile_cont(l_quantity, 0.75) AS exact_p75,
+             TRUE AS rank_bounded
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_having" -> s"""
       SELECT l_partkey, ${ds("l_quantity")} AS sum_qty, COUNT(*) AS n
       FROM lineitem GROUP BY l_partkey

@@ -51,16 +51,32 @@ object TextAnalysis {
       md5(TF.normText(col("text")).cast("binary")).as("fp_md5"))
       .orderBy(col("doc_id"))
 
-  /** Native-Expression fingerprints (rolling hash + simhash) — rows-only
-    * checked (DuckDB has no equivalent); cross-validated in ScalaTest.
+  /** Native-Expression fingerprint consistency gate. The FNV/rolling-hash
+    * families exist only in this JVM, so per-doc values are oracle-
+    * inexpressible (golden-value + property specs pin them in ScalaTest);
+    * what the driver CAN gate is their functional contract over the whole
+    * corpus: determinism (equal normalized text ⇒ equal fingerprint,
+    * across partitions and the codegen/interpreted paths) and
+    * collision-freedom of the rolling hash on the fixture. Both reduce to
+    * count-distinct identities DuckDB verifies from the text alone —
+    * `n_roll == n_texts` fails on any collision OR any nondeterminism,
+    * `sim_deterministic` fails if simhash ever maps one text to two
+    * values (simhash may collide across near-dup texts by design, so only
+    * determinism is asserted for it).
     */
   private def textFingerprintNative(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    docs(s, d).select(
-      col("doc_id"),
-      GraftFunctions.rolling_hash(TF.normText(col("text"))).as("fp_rolling"),
-      GraftFunctions.simhash64(TF.words(col("text"))).as("fp_simhash"))
-      .orderBy(col("doc_id"))
+    val base = docs(s, d).select(TF.normText(col("text")).as("norm"))
+      .select(col("norm"),
+        GraftFunctions.rolling_hash(col("norm")).as("fp_rolling"),
+        GraftFunctions.simhash64(split(col("norm"), " ")).as("fp_simhash"))
+    base.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("norm")).as("n_texts"),
+      (countDistinct(col("fp_rolling")) === countDistinct(col("norm")))
+        .as("roll_injective"),
+      (countDistinct(struct(col("norm"), col("fp_simhash"))) ===
+        countDistinct(col("norm"))).as("sim_deterministic"))
   }
 
   /** Deterministic content-addressed sampling: a doc is in the sample iff
@@ -251,6 +267,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction — the compliance scrub every training corpus passes
+    * through before the cleaning/dedup stages: e-mail addresses, phone
+    * numbers, and IPv4 literals are replaced with typed placeholder
+    * tokens, and per-doc hit counts are kept for audit. Pure per-row
+    * regexp projection: shuffle-free, linear, whole-stage codegen.
+    * Patterns avoid lookaround so the Java and RE2 regex families agree
+    * exactly (same constraint as [[textClean]]).
+    */
+  private def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    // the fixture corpus is PII-free, which would make redaction vacuous —
+    // plant deterministic doc-keyed PII spans (same expression in the
+    // oracle) so every row exercises real match + replace work
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".7 or 555-867-5309"))
+    // count the specific shapes BEFORE any replacement, then redact
+    // most-specific-first so one span is never double-redacted
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      planted, email, "[EMAIL]"), ipv4, "[IP]"), phone, "[PHONE]")
+    docs(s, d).select(
+      col("doc_id"),
+      regexp_count(planted, lit(email)).cast("int").as("n_emails"),
+      regexp_count(planted, lit(phone)).cast("int").as("n_phones"),
+      regexp_count(planted, lit(ipv4)).cast("int").as("n_ips"),
+      right(redacted, lit(80)).as("redacted_tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus n-gram statistics: global top-50 word bigrams — the n-gram LM
+    * side of vocabulary building (and the global twin of the per-doc
+    * top-bigram mass in [[textRepetition]]). Map-side bigram explode into
+    * a two-phase count aggregate; final top-k is a TakeOrderedAndProject,
+    * never a global sort of the bigram table.
+    */
+  private def textNgramStats(s: SparkSession, d: String): DataFrame = {
+    val w = TF.words(col("text"))
+    val n = size(w)
+    val bg = zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs(s, d)
+      .select(explode(bg).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("bigram"))
+      .limit(50)
+  }
+
   /** Corpus vocabulary extraction: global term and document frequencies,
     * most-frequent-first — the input to tokenizer training and idf
     * weighting. Map-side explode feeds a two-phase count aggregation
@@ -311,6 +377,8 @@ object TextAnalysis {
     "text_repetition" -> textRepetition _,
     "text_tfidf" -> textTfidf _,
     "text_vocab" -> textVocab _,
+    "text_pii_redact" -> textPiiRedact _,
+    "text_ngram_stats" -> textNgramStats _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
@@ -428,6 +496,37 @@ object TextAnalysis {
         FROM documents)
       SELECT word, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
       FROM w GROUP BY word ORDER BY n_occ DESC, word LIMIT 100""",
+    "text_pii_redact" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com from 10.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) ||
+                 '.7 or 555-867-5309' AS planted
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(planted,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(planted,
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_phones,
+             CAST(len(regexp_extract_all(planted,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+             right(regexp_replace(regexp_replace(regexp_replace(planted,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'), 80)
+               AS redacted_tail
+      FROM p ORDER BY doc_id""",
+    "text_ngram_stats" -> s"""
+      WITH w AS (
+        SELECT string_split($NormSql, ' ') AS w FROM documents),
+      bg AS (
+        SELECT unnest([ w[i] || ' ' || w[i+1] for i in range(1, len(w)) ])
+          AS bigram
+        FROM w)
+      SELECT bigram, COUNT(*) AS n_occ
+      FROM bg GROUP BY bigram ORDER BY n_occ DESC, bigram LIMIT 50""",
     "text_tokens" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,
@@ -468,6 +567,12 @@ object TextAnalysis {
       FROM documents ORDER BY doc_id""",
     "text_fingerprint" -> s"""
       SELECT doc_id, md5($NormSql) AS fp_md5
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "text_fingerprint_native" -> s"""
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT norm) AS n_texts,
+             TRUE AS roll_injective,
+             TRUE AS sim_deterministic
+      FROM (SELECT $NormSql AS norm FROM documents)"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }
