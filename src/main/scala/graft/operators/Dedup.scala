@@ -462,8 +462,50 @@ object Dedup {
       .limit(20)
   }
 
+  /** Segment-level exact dedup — the sub-document granularity of Lee et
+    * al. 2107.06499 ("Deduplicating Training Data Makes Language Models
+    * Better"): the corpus is cut into fixed-length non-overlapping word
+    * segments and each DISTINCT segment keeps only its globally-first
+    * occurrence (min (doc_id, seg_idx)); later occurrences are the
+    * boilerplate/quotation mass document-level dedup can't see. Lee et al.
+    * use 50-token windows over a real corpus; the fixture's ~40-word
+    * vocabulary needs 3-word segments for non-vacuous collisions — the
+    * plan shape is length-independent.
+    *
+    * Scale shape: one explode (segments are a partition of the text, so
+    * the exploded table is the corpus size, NOT n× like overlapping
+    * shingles), one shuffle on the segment key for the keep-first window,
+    * one partial-agg rollup back to doc grain. The window sorts only
+    * within per-segment groups (duplicate count per segment, typically
+    * tiny) and carries (doc_id, seg_idx) longs. No pairwise anything:
+    * keep-first over a hash-partitioned group is how exact sub-document
+    * dedup stays linear at 100 TB.
+    */
+  private def dedupSegment(s: SparkSession, d: String): DataFrame = {
+    val segLen = 3
+    val seg = docs(s, d)
+      .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .withColumn("nseg", expr(s"size(ws) div $segLen"))
+      .select(col("doc_id"),
+        posexplode(when(col("nseg") > 0,
+          expr(s"""transform(sequence(0, nseg - 1),
+                   i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)))"""))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("seg_idx", "seg")))
+    val firstWin = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    seg
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).cast("int").as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
+    "dedup_segment" -> dedupSegment _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> dedupClusters _,
@@ -501,6 +543,25 @@ object Dedup {
              CAST(SUM(grp) - COUNT(*) AS BIGINT) AS n_dupes
       FROM (SELECT ${TextAnalysis.NormSql} AS norm, COUNT(*) AS grp
             FROM documents GROUP BY 1)""",
+    "dedup_segment" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS ws
+        FROM documents),
+      seg AS (
+        SELECT doc_id,
+               unnest(range(0, len(ws) // 3)) AS seg_idx,
+               unnest([ array_to_string(ws[3*i+1 : 3*i+3], ' ')
+                        for i in range(0, len(ws) // 3) ]) AS seg
+        FROM w),
+      r AS (
+        SELECT doc_id, seg_idx,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM seg)
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segs,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> JaccardOracle,
     "dedup_minhash_lsh" -> JaccardOracle,
     // connected components of the pair graph via recursive transitive

@@ -368,10 +368,98 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Domain-mixture resampling — the data-mixing step of training-corpus
+    * assembly (The Pile / Gopher-style source weighting): each source
+    * domain is down-sampled at its mixture weight. Weights here tier the
+    * 20 fixture sources into 1.0 / 0.5 / 0.25 / 0.125 bands by source
+    * index; membership is content-addressed through the same md5-prefix
+    * carve as [[sampleHash]] (a lexicographic prefix compare IS a numeric
+    * threshold on the first hash byte), so the draw is reproducible across
+    * engines, partitionings, and corpus growth — re-running the mix after
+    * ingesting another shard never flips a previously-kept document.
+    * Map-only filter + one count aggregation: no RNG, no shuffle beyond
+    * the final per-source rollup.
+    */
+  private def sampleMixture(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("grp", expr("cast(substring(source, 4) as int) div 5"))
+      .filter(col("grp") === 0 ||
+        substring(md5(col("text")), 1, 2) <
+          when(col("grp") === 1, lit("80"))
+            .when(col("grp") === 2, lit("40"))
+            .otherwise(lit("20")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+
+  /** Token-budget sequence packing — the context-window assembly step of a
+    * training pipeline: documents are packed in stable (doc_id) order into
+    * fixed token-budget bins, bin boundary = cumulative token count `div`
+    * budget (a document that crosses the boundary opens the next bin).
+    * The running sum is windowed PER SOURCE, never globally: a single
+    * global cumulative window would funnel 100 TB through one task, while
+    * per-source (per-shard, in production: (source, date) or the
+    * [[packShards]] output) windows parallelize across the partition key
+    * and each stays a single sort of that shard's (doc_id, tok) pairs —
+    * the window carries two longs per row, not the text. Deterministic by
+    * construction, so the DuckDB formulation agrees row-for-row.
+    */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 64
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+        size(TF.words(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin_id", expr(s"cast((cum - tok) div $budget as int)"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("tok")).cast("long").as("sum_tokens"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  /** Gopher-style quality-rule filter (Rae et al. 2112.11446 Table A1,
+    * adapted to the fixture corpus): word-count bounds, mean-word-length
+    * bounds, and a minimum stopword count — the cheap heuristic gate that
+    * drops degenerate documents before any pairwise dedup spends shuffle
+    * on them. Per-row projection over the normalized word array:
+    * shuffle-free, linear, whole-stage codegen. The mean word length uses
+    * a single exactly-rounded IEEE division (chars-sans-spaces / words) so
+    * the double is bit-identical in both engines (same rationale as
+    * [[textTfidf]]'s score).
+    */
+  private def textGopherQuality(s: SparkSession, d: String): DataFrame = {
+    val ws = TF.words(col("text"))
+    val n = size(ws)
+    val awl = length(regexp_replace(TF.normText(col("text")), " ", ""))
+      .cast("double") / n
+    val nStop = size(filter(ws,
+      x => x.isInCollection(Seq("the", "a", "is", "and", "of"))))
+    val okLen = n.between(10, 100000)
+    val okAwl = awl.between(2.0, 12.0)
+    val okStop = nStop >= 2
+    docs(s, d).select(
+      col("doc_id"),
+      n.cast("int").as("n_words"),
+      awl.as("awl"),
+      nStop.cast("int").as("n_stop"),
+      okLen.as("ok_len"),
+      okAwl.as("ok_awl"),
+      okStop.as("ok_stop"),
+      (okLen && okAwl && okStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
+    "sample_mixture" -> sampleMixture _,
     "pack_shards" -> packShards _,
+    "pack_sequences" -> packSequences _,
+    "text_gopher_quality" -> textGopherQuality _,
     "text_clean" -> textClean _,
     "text_decontaminate" -> textDecontaminate _,
     "text_repetition" -> textRepetition _,
@@ -404,6 +492,52 @@ object TextAnalysis {
       WHERE substr(md5(text), 1, 2) <
             (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
       GROUP BY lang ORDER BY lang""",
+    "sample_mixture" -> """
+      WITH t AS (
+        SELECT *, CAST(substr(source, 4) AS INT) // 5 AS grp FROM documents
+      )
+      SELECT source, COUNT(*) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_doc
+      FROM t
+      WHERE grp = 0 OR substr(md5(text), 1, 2) <
+            (CASE grp WHEN 1 THEN '80' WHEN 2 THEN '40' ELSE '20' END)
+      GROUP BY source ORDER BY source""",
+    "pack_sequences" -> s"""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS tok
+        FROM documents
+      ), c AS (
+        SELECT source, doc_id, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+      )
+      SELECT source, CAST((cum - tok) // 64 AS INT) AS bin_id,
+             CAST(COUNT(*) AS INT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY source, bin_id ORDER BY source, bin_id""",
+    "text_gopher_quality" -> s"""
+      WITH t AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws, $NormSql AS norm
+        FROM documents
+      ), m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS INT) AS n_words,
+               CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(ws) AS awl,
+               CAST(list_sum(list_transform(ws,
+                 x -> CASE WHEN x IN ('the','a','is','and','of')
+                      THEN 1 ELSE 0 END)) AS INT) AS n_stop
+        FROM t
+      )
+      SELECT doc_id, n_words, awl, n_stop,
+             (n_words BETWEEN 10 AND 100000) AS ok_len,
+             (awl BETWEEN 2.0 AND 12.0) AS ok_awl,
+             (n_stop >= 2) AS ok_stop,
+             ((n_words BETWEEN 10 AND 100000)
+              AND (awl BETWEEN 2.0 AND 12.0) AND n_stop >= 2) AS keep
+      FROM m ORDER BY doc_id""",
     "pack_shards" -> """
       WITH t AS (
         SELECT doc_id, n_chars,

@@ -736,4 +736,94 @@ class TextPipelineSpec extends AnyFunSuite {
     val occs = out.map(_.getAs[Long]("n_occ")).toSeq
     assert(occs == occs.sorted.reverse, "must be most-frequent-first")
   }
+
+  test("dedup_segment keeps exactly the first occurrence of each segment") {
+    val raw = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // brute-force keep-first in doc_id, seg_idx order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = raw.map { case (id, t) =>
+      val segs = mkNorm(t).grouped(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toArray
+      val kept = segs.count(seen.add)
+      id -> ((segs.length, kept, segs.length - kept))
+    }.toMap
+    val out = SparkEntry.queries("dedup_segment")(spark, sfDir).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val (nSegs, nKept, nDropped) = want(r.getLong(0))
+      assert(r.getAs[Int]("n_segs") == nSegs)
+      assert(r.getAs[Int]("n_kept") == nKept)
+      assert(r.getAs[Int]("n_dropped") == nDropped)
+    }
+    // the fixture must make dedup non-vacuous
+    assert(out.map(_.getAs[Int]("n_dropped")).sum > 0,
+      "fixture produced no duplicate segments — test is vacuous")
+  }
+
+  test("sample_mixture applies the tiered keep rates deterministically") {
+    val raw = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = raw.filter { case (_, t, src) =>
+      val grp = src.drop(3).toInt / 5
+      val h = md5hex(t).take(2)
+      grp == 0 || h < (grp match {
+        case 1 => "80"; case 2 => "40"; case _ => "20" })
+    }.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("sample_mixture")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(got == want)
+    // weight-0 tier sources keep everything
+    val bySource = raw.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    (0 to 4).map(i => s"src$i").filter(bySource.contains).foreach { s0 =>
+      assert(got(s0) == bySource(s0), s"$s0 must keep all docs")
+    }
+  }
+
+  test("pack_sequences bins follow the per-source cumulative boundary") {
+    val budget = 64
+    val raw = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), mkNorm(r.getString(1)).length.toLong,
+        r.getString(2)))
+    val want = raw.groupBy(_._3).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (_, tok, _) =>
+        val bin = (cum / budget).toInt
+        cum += tok
+        (src, bin)
+      }.groupBy(identity).map { case ((s0, b), occ) => (s0, b) -> occ.length }
+    }
+    val got = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("bin_id")) ->
+        r.getAs[Int]("n_docs")).toMap
+    assert(got == want)
+    // token mass is conserved per source
+    val outTok = SparkEntry.queries("pack_sequences")(spark, sfDir).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getAs[Long]("sum_tokens")).sum).toMap
+    val wantTok = raw.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(outTok == wantTok)
+  }
+
+  test("text_gopher_quality rules match hand computation") {
+    val out = SparkEntry.queries("text_gopher_quality")(spark, sfDir).collect()
+    val raw = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.take(25).foreach { r =>
+      val w = mkNorm(raw(r.getLong(0)))
+      val awl = w.map(_.length).sum.toDouble / w.length
+      val nStop = w.count(Set("the", "a", "is", "and", "of"))
+      assert(r.getAs[Int]("n_words") == w.length)
+      assert(r.getAs[Double]("awl") == awl)
+      assert(r.getAs[Int]("n_stop") == nStop)
+      val keep = w.length >= 10 && w.length <= 100000 &&
+        awl >= 2.0 && awl <= 12.0 && nStop >= 2
+      assert(r.getAs[Boolean]("keep") == keep)
+    }
+  }
 }
