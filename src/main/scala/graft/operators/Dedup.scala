@@ -474,32 +474,43 @@ object Dedup {
     *
     * Scale shape: one explode (segments are a partition of the text, so
     * the exploded table is the corpus size, NOT n× like overlapping
-    * shingles), one shuffle on the segment key for the keep-first window,
-    * one partial-agg rollup back to doc grain. The window sorts only
-    * within per-segment groups (duplicate count per segment, typically
-    * tiny) and carries (doc_id, seg_idx) longs. No pairwise anything:
-    * keep-first over a hash-partitioned group is how exact sub-document
-    * dedup stays linear at 100 TB.
+    * shingles) feeding a two-phase `min(struct(doc_id, seg_idx))`
+    * aggregate per distinct segment — deliberately NOT a keep-first
+    * window: a row_number window hash-partitions on the segment key and
+    * SORTS each group, so one boilerplate segment repeated 10⁹ times
+    * funnels through a single task. The min-struct aggregate collapses
+    * hot segments to one candidate per map split before the shuffle
+    * (skew-immune by construction), and the keeper table that reaches
+    * the reducers is distinct-segment-sized. Per-doc totals come straight
+    * from `size(words) div k` with no second explode; the doc-grain
+    * rollup joins two doc-keyed aggregates. No pairwise anything, no
+    * per-group sort: that is how exact sub-document dedup stays linear
+    * at 100 TB.
     */
   private def dedupSegment(s: SparkSession, d: String): DataFrame = {
     val segLen = 3
-    val seg = docs(s, d)
+    val base = docs(s, d)
       .select(col("doc_id"), TF.words(col("text")).as("ws"))
       .withColumn("nseg", expr(s"size(ws) div $segLen"))
+    val perDoc = base.select(col("doc_id"),
+      greatest(col("nseg"), lit(0)).cast("int").as("n_segs"))
+    val keepers = base
       .select(col("doc_id"),
         posexplode(when(col("nseg") > 0,
           expr(s"""transform(sequence(0, nseg - 1),
                    i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)))"""))
           .otherwise(array().cast("array<string>")))
           .as(Seq("seg_idx", "seg")))
-    val firstWin = Window.partitionBy(col("seg"))
-      .orderBy(col("doc_id"), col("seg_idx"))
-    seg
-      .withColumn("rn", row_number().over(firstWin))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_segs"),
-        sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
-        sum(when(col("rn") > 1, 1).otherwise(0)).cast("int").as("n_dropped"))
+      .groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"))
+    perDoc.filter(col("n_segs") > 0) // sub-k-word docs have no segments
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0))).cast("int")
+          .as("n_dropped"))
       .orderBy(col("doc_id"))
   }
 
