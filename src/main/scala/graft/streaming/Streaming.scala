@@ -160,6 +160,26 @@ object Streaming {
       "append")
       .orderBy(col("user_id"), col("event_type"))
 
+  /** [[streamSessionAgg]] executed BY the streaming engine: session
+    * windows are the hardest stateful shape (windows MERGE as late events
+    * bridge two open sessions — state is per-key interval sets, not fixed
+    * buckets), so gating the real execution path matters more here than
+    * for fixed windows. Complete mode + watermark over the bounded
+    * AvailableNow source drains to exactly the batch gaps-and-islands
+    * answer — same oracle as the batch twin.
+    */
+  private def streamExecSession(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, "graft_exec_sess",
+      readEventStream(s, d).filter(col("user_id") < 20)
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n"), col("sum_value")),
+      "complete")
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg _,
     "stream_session_agg" -> streamSessionAgg _,
@@ -167,7 +187,8 @@ object Streaming {
     "stream_json_props" -> streamJsonProps _,
     "stream_exec_window_agg" -> streamExecWindowAgg _,
     "stream_exec_interval_join" -> streamExecIntervalJoin _,
-    "stream_exec_dedup" -> streamExecDedup _
+    "stream_exec_dedup" -> streamExecDedup _,
+    "stream_exec_session" -> streamExecSession _
   )
 
   private val WindowAggSql = """
@@ -175,6 +196,24 @@ object Streaming {
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  private val SessionAggSql = """
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 20),
+      sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> WindowAggSql,
@@ -195,23 +234,10 @@ object Streaming {
     "stream_exec_dedup" -> """
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""",
-    "stream_session_agg" -> """
-      WITH marked AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= INTERVAL 30 MINUTE
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events WHERE user_id < 20),
-      sessions AS (
-        SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM marked)
-      SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM sessions GROUP BY user_id, sid
-      ORDER BY user_id, session_start""",
+    "stream_session_agg" -> SessionAggSql,
+    // merging session windows drained under AvailableNow equal the batch
+    // gaps-and-islands sessionization exactly
+    "stream_exec_session" -> SessionAggSql,
     "stream_sliding_agg" -> """
       WITH slid AS (
         SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP)
