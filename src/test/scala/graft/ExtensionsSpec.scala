@@ -615,6 +615,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSet == batch)
   }
 
+  test("streaming session windows MERGE when a bridging event arrives later") {
+    // the distinctive session-window state shape: windows are per-key
+    // interval sets, and a late event can BRIDGE two open sessions into
+    // one — fixed tumbling/sliding buckets can never do this. Two events
+    // 50 minutes apart (gap 30m) open two sessions; a third event between
+    // them arrives in a LATER micro-batch and must collapse the state to
+    // a single merged session spanning all three.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val sessions = mem.toDF().toDF("ts", "user_id")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"),
+        col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_merge")
+      .outputMode("complete").start()
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      mem.addData((ts(0), 1L), (ts(50), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_merge").count() == 2,
+        "events 50m apart with a 30m gap must open two sessions")
+      mem.addData((ts(25), 1L)) // bridges: 0→25 is 25m, 25→50 is 25m
+      q.processAllAvailable()
+      val rows = spark.table("sess_merge").collect()
+      assert(rows.length == 1, s"sessions did not merge: ${rows.toList}")
+      assert(rows(0).getAs[Long]("n") == 3)
+      assert(rows(0).getAs[java.sql.Timestamp]("s") == ts(0))
+      assert(rows(0).getAs[java.sql.Timestamp]("e") == ts(80)) // 50m + 30m gap
+    } finally q.stop()
+  }
+
   test("stateful sessionization with flatMapGroupsWithState matches session_window") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
