@@ -75,7 +75,11 @@ object Bench {
   private val Sf1Points = Seq(
     "sf1_q1" -> "tpch_q1",
     "sf1_q18" -> "tpch_q18",
-    "sf1_dedup_minhash_lsh" -> "dedup_minhash_lsh")
+    "sf1_dedup_minhash_lsh" -> "dedup_minhash_lsh",
+    // 10× identical document replicas make every segment a hot key with
+    // ≥10 occurrences — the worst-case stress for the skew-immune
+    // min-struct keep-first aggregate in dedup_segment
+    "sf1_dedup_segment" -> "dedup_segment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

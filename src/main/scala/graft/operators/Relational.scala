@@ -716,27 +716,27 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
                col("o_orderpriority").asc_nulls_first)
 
-  /** Sketch-tier driver gate, HLL++ distinct counts. An approximate
+  /** Sketch-tier driver gate, HLL distinct counts. An approximate
     * aggregate can never hash-match a second engine (every implementation
     * estimates differently), but its CONTRACT can: for a fixed input the
     * sketch is deterministic and its error is bounded by configuration. So
     * the row emits the exact values (which the oracle recomputes) plus an
     * in-Spark band check on the estimate, and the oracle asserts the
     * boolean literally TRUE — a wrong sketch breaks the gate, a correct
-    * one can never flake (rsd 1% against a 5% band is a ≥5σ margin, and
-    * deterministic besides). At 100 TB the sketch is the point: fixed
+    * one can never flake (≈0.8% RSE against a 5% band is a ≥5σ margin,
+    * and deterministic besides). At 100 TB the sketch is the point: fixed
     * ~kilobytes of state per group versus a shuffle of every distinct
     * value for the exact form.
-    */
-  /** The sketch side is DataSketches HLL (`hll_sketch_agg`, lgK=14 →
-    * RSE ≈ 0.8%, well inside the asserted 5% band) rather than the older
-    * `approx_count_distinct(rsd)`: at rsd 0.01 the declarative HLL++
-    * flattens 2^14 registers into a ~2,700-word-wide fixed aggregation
-    * buffer whose per-row update rewrites the whole unsafe row (measured
-    * 3.8 s at sf0.1 — the slowest query in the suite), while the
-    * DataSketches buffer is ONE binary column (sparse until promoted).
-    * The sketches are also mergeable across shards/days, which is the
-    * 100 TB reason the sketch tier exists at all.
+    *
+    * The sketch side is DataSketches HLL (`hll_sketch_agg`, lgK=14 →
+    * RSE ≈ 0.8%) rather than the older `approx_count_distinct(rsd)`: at
+    * rsd 0.01 the declarative HLL++ flattens 2^14 registers into a
+    * ~2,700-word-wide fixed aggregation buffer whose per-row update
+    * rewrites the whole unsafe row (measured 3.8 s at sf0.1 — the
+    * slowest query in the suite), while the DataSketches buffer is ONE
+    * binary column (sparse until promoted). The sketches are also
+    * mergeable across shards/days, which is the 100 TB reason the sketch
+    * tier exists at all.
     */
   private def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
     li(s, d).groupBy(col("l_linestatus"))
@@ -772,6 +772,36 @@ object Relational {
         expr("percentile(l_quantity, 0.75)").as("exact_p75"),
         (bounded(0.25) && bounded(0.5) && bounded(0.75)).as("rank_bounded"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** ANALYZE-style table profiling: per-column null count, exact distinct
+    * count, and min/max rendered through engine-exact string casts — the
+    * data-quality snapshot every ingestion run records before anything
+    * else trusts the table. One pass over the input produces an array of
+    * per-column profile structs that explodes into the report (no
+    * per-column scans). Render rules keep the hash comparable: ints,
+    * strings, and UTC timestamps cast identically in both engines, and
+    * doubles go through DECIMAL(18,2) first (raw double→string formatting
+    * is engine-specific). The exact `countDistinct` per column is the
+    * oracle-able form; at 100 TB the same report swaps it for the
+    * mergeable HLL sketch of [[aggApproxDistinct]] and becomes map-only.
+    */
+  private def profileTable(s: SparkSession, d: String): DataFrame = {
+    def p(c: String, render: Column => Column = identity) = struct(
+      lit(c).as("col_name"),
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      render(min(col(c))).cast("string").as("min_s"),
+      render(max(col(c))).cast("string").as("max_s"))
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    ord(s, d)
+      .agg(array(
+        p("o_orderkey"), p("o_custkey"), p("o_orderstatus"),
+        p("o_orderpriority"), p("o_orderdate"),
+        p("o_totalprice", dec)).as("cols"))
+      .select(explode(col("cols")).as("c"))
+      .select(col("c.*"))
+      .orderBy(col("col_name"))
   }
 
   // ---------------------------------------------------------------------
@@ -1281,6 +1311,7 @@ object Relational {
     "agg_topk" -> aggTopk _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_approx_quantile" -> aggApproxQuantile _,
+    "profile_table" -> profileTable _,
     "expr_explode" -> exprExplode _,
     "sort_multi_key" -> sortMultiKey _,
     "limit" -> limitQ _,
@@ -1593,6 +1624,37 @@ object Relational {
              quantile_cont(l_quantity, 0.75) AS exact_p75,
              TRUE AS rank_bounded
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "profile_table" -> """
+      SELECT 'o_orderkey' AS col_name,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR),
+             CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR),
+             CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+      FROM orders
+      ORDER BY col_name""",
     "agg_having" -> s"""
       SELECT l_partkey, ${ds("l_quantity")} AS sum_qty, COUNT(*) AS n
       FROM lineitem GROUP BY l_partkey

@@ -378,4 +378,19 @@ class PlanSpec extends AnyFunSuite {
     // '*(n)' marks WholeStageCodegen spans in the finalized plan
     assert(p.contains("*("), s"q1 not codegen'd:\n$p")
   }
+
+  test("profile_table matches per-column recomputation") {
+    val out = SparkEntry.queries("profile_table")(spark, sfDir).collect()
+    val o = Tables.load(spark, sfDir, "orders")
+    val m = out.map(r => r.getString(0) -> r).toMap
+    assert(m.size == 6)
+    assert(m("o_orderkey").getAs[Long]("n_distinct") ==
+      o.select("o_orderkey").distinct.count)
+    assert(m("o_orderstatus").getAs[String]("min_s") ==
+      o.agg(org.apache.spark.sql.functions.min("o_orderstatus"))
+        .collect()(0).getString(0))
+    assert(m("o_totalprice").getAs[String]("max_s").matches("\\d+\\.\\d\\d"),
+      "double min/max must render through DECIMAL(18,2)")
+    assert(out.forall(_.getAs[Long]("n_nulls") == 0)) // fixture has no nulls
+  }
 }
