@@ -453,7 +453,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization — the web-ingest normalization step that makes
+    * URL-keyed dedup work at all (the same page arrives as
+    * `HTTP://Site.com:80/p#frag` and `http://site.com/p?utm_source=x`):
+    * lowercase scheme+host ONLY (paths are case-significant), strip the
+    * scheme-default port, the fragment, and utm_* tracking params, then
+    * tidy dangling separators. The fixture corpus has no URLs, so a
+    * deterministic doc-keyed URL is planted (same expression in the
+    * oracle) — non-vacuous on every row. Pure regex projection:
+    * shuffle-free, codegen, lookaround-free patterns (the backref
+    * REPLACEMENT syntax differs — `$1` Java, `\1` RE2 — so the oracle SQL
+    * spells the same chain in DuckDB's dialect). At scale this runs ahead
+    * of [[graft.operators.Dedup]]'s exact dedup keyed on the canon URL.
+    */
+  private def textUrlCanon(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" see HTTP://WWW.Example"), pmod(col("doc_id"), lit(7)),
+      lit(".COM:80/Path/"), col("doc_id"),
+      lit("?utm_source=rss&id="), col("doc_id"),
+      lit("&utm_campaign=x#sec"), col("doc_id"))
+    val u0 = regexp_extract(planted, "(?i)https?://[^ ]+", 0)
+    val u1 = regexp_replace(u0, "#.*$", "")
+    val u2 = concat(
+      lower(regexp_extract(u1, "^[A-Za-z]+://[^/?#]+", 0)),
+      regexp_replace(u1, "^[A-Za-z]+://[^/?#]+", ""))
+    val u3 = regexp_replace(u2, "^(https?://[^/:]+):(?:80|443)/", "$1/")
+    val u4 = regexp_replace(
+      regexp_replace(u3, "([?&])utm_[A-Za-z]+=[^&#]*&?", "$1"),
+      "[?&]+$", "")
+    docs(s, d).select(col("doc_id"), u4.as("url_canon"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_canon" -> textUrlCanon _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
@@ -478,6 +511,33 @@ object TextAnalysis {
   val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "text_url_canon" -> raw"""
+      WITH t AS (
+        SELECT doc_id,
+               text || ' see HTTP://WWW.Example' || (doc_id % 7) ||
+               '.COM:80/Path/' || doc_id || '?utm_source=rss&id=' || doc_id ||
+               '&utm_campaign=x#sec' || doc_id AS planted
+        FROM documents
+      ), u AS (
+        SELECT doc_id, regexp_extract(planted, '(?i)https?://[^ ]+') AS u0
+        FROM t
+      ), s AS (
+        SELECT doc_id, regexp_replace(u0, '#.*$$', '') AS u1 FROM u
+      ), h AS (
+        SELECT doc_id,
+               lower(regexp_extract(u1, '^[A-Za-z]+://[^/?#]+')) ||
+               regexp_replace(u1, '^[A-Za-z]+://[^/?#]+', '') AS u2
+        FROM s
+      ), p AS (
+        SELECT doc_id,
+               regexp_replace(u2, '^(https?://[^/:]+):(?:80|443)/', '\1/') AS u3
+        FROM h
+      )
+      SELECT doc_id,
+             regexp_replace(regexp_replace(u3,
+               '([?&])utm_[A-Za-z]+=[^&#]*&?', '\1', 'g'),
+               '[?&]+$$', '') AS url_canon
+      FROM p ORDER BY doc_id""",
     "sample_hash" -> """
       SELECT COUNT(*) AS n_sampled,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

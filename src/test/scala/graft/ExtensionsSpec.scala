@@ -842,6 +842,17 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(outTok == wantTok)
   }
 
+  test("text_url_canon lowercases scheme+host and strips port/fragment/tracking") {
+    val out = SparkEntry.queries("text_url_canon")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // closed form of the planted URL's canonicalization: host lowercased,
+      // :80 gone, #fragment gone, utm_* params gone, path case preserved
+      assert(r.getString(1) == s"http://www.example${id % 7}.com/Path/$id?id=$id")
+    }
+  }
+
   test("text_gopher_quality rules match hand computation") {
     val out = SparkEntry.queries("text_gopher_quality")(spark, sfDir).collect()
     val raw = Tables.load(spark, sfDir, "documents")
