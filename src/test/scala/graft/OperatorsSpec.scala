@@ -379,6 +379,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"q1 not codegen'd:\n$p")
   }
 
+  test("profile_table plan has no Expand; dedup_segment has no per-group sort") {
+    // profile_table: six countDistincts in ONE aggregate would become a
+    // 7-projection Expand multiplying every row before the shuffle — the
+    // per-column-branch shape must keep Expand out of the plan
+    val prof = SparkEntry.queries("profile_table")(spark, sfDir)
+    prof.collect()
+    val pp = prof.queryExecution.executedPlan.toString
+    assert(!pp.contains("Expand"), s"profile_table regressed to Expand:\n$pp")
+    // dedup_segment: keep-first must be the skew-immune min-struct
+    // aggregate, never a row_number window (which sorts every hot
+    // segment's occurrences in one task)
+    val seg = SparkEntry.queries("dedup_segment")(spark, sfDir)
+    seg.collect()
+    val sp = seg.queryExecution.executedPlan.toString
+    assert(!sp.contains("Window"), s"dedup_segment regressed to a window:\n$sp")
+  }
+
   test("profile_table matches per-column recomputation") {
     val out = SparkEntry.queries("profile_table")(spark, sfDir).collect()
     val o = Tables.load(spark, sfDir, "orders")
