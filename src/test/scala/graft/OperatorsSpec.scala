@@ -379,6 +379,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"q1 not codegen'd:\n$p")
   }
 
+  test("schema evolution: mergeSchema unions per-partition parquet schemas") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a 100 TB table grows columns over its lifetime; new ingestion days
+    // carry new fields and the old files must read back as NULLs — the
+    // mergeSchema union is the contract that makes additive evolution safe
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    spark.range(5).select(col("id"), lit(1L).as("v_old"))
+      .write.parquet(s"$dir/day=1")
+    spark.range(5).select(col("id"), lit(2L).as("v_old"),
+      lit(0.5).as("v_new")).write.parquet(s"$dir/day=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("id", "v_old", "v_new", "day"))
+    // pre-evolution files surface the new column as NULL, not an error
+    assert(df.filter(col("day") === 1 && col("v_new").isNull).count() == 5)
+    assert(df.filter(col("v_new").isNotNull).count() == 5)
+  }
+
+  test("AQE coalesces over-partitioned shuffles at runtime") {
+    import org.apache.spark.sql.functions.col
+    // shuffle.partitions is sized for the big stages; small aggregates
+    // must not pay it — AQE folds the tiny shuffle back down at runtime
+    // (the conf that lets ONE setting serve 100 TB and 100 KB stages)
+    val df = Tables.load(spark, sfDir, "nation")
+      .groupBy(col("n_regionkey")).count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"AQE did not coalesce the small shuffle:\n$p")
+  }
+
   test("profile_table plan has no Expand; dedup_segment has no per-group sort") {
     // profile_table: six countDistincts in ONE aggregate would become a
     // 7-projection Expand multiplying every row before the shuffle — the
