@@ -514,9 +514,46 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The materialized output of [[dedupSegment]] — the deduplicated corpus
+    * itself (what Lee et al. actually train on): every document rebuilt
+    * from only the segments whose globally-first occurrence it owns.
+    * No join is needed: the min-struct keeper aggregate already IS the
+    * kept-occurrence set (one row per distinct segment with its first
+    * (doc_id, seg_idx)), so reconstruction is just a second doc-grain
+    * aggregate with an order-preserving rebuild — `array_sort` over
+    * (seg_idx, seg) structs restores document order without a window.
+    * Two shuffles total (segment agg, doc agg); fully-duplicated
+    * documents vanish from the output, exactly like the oracle.
+    */
+  private def dedupSegmentKeep(s: SparkSession, d: String): DataFrame = {
+    val segLen = 3
+    val kept = docs(s, d)
+      .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .withColumn("nseg", expr(s"size(ws) div $segLen"))
+      .select(col("doc_id"),
+        posexplode(when(col("nseg") > 0,
+          expr(s"""transform(sequence(0, nseg - 1),
+                   i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)))"""))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("seg_idx", "seg")))
+      .groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.seg_idx").as("seg_idx"), col("seg"))
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg"))).as("kept_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_segment" -> dedupSegment _,
+    "dedup_segment_keep" -> dedupSegmentKeep _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_clusters" -> dedupClusters _,
@@ -573,6 +610,26 @@ object Dedup {
              CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped
       FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_segment_keep" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS ws
+        FROM documents),
+      seg AS (
+        SELECT doc_id,
+               unnest(range(0, len(ws) // 3)) AS seg_idx,
+               unnest([ array_to_string(ws[3*i+1 : 3*i+3], ' ')
+                        for i in range(0, len(ws) // 3) ]) AS seg
+        FROM w),
+      r AS (
+        SELECT doc_id, seg_idx, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM seg)
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text,
+             CAST(COUNT(*) AS INT) AS n_kept
+      FROM r WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> JaccardOracle,
     "dedup_minhash_lsh" -> JaccardOracle,
     // connected components of the pair graph via recursive transitive

@@ -1096,6 +1096,40 @@ object Relational {
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
 
+  /** Equi-depth (quartile-bucket) histogram — the profiling companion of
+    * the fixed-bin [[aggHistogram]]: bucket boundaries are data quantiles,
+    * so each bucket holds ~n/4 rows regardless of the value distribution.
+    * Deliberately NOT an `ntile` window (a global rank funnels 100 TB
+    * through one sorted partition): boundaries come from ONE percentile
+    * aggregate, broadcast back, and binning is a map-only comparison +
+    * two-phase count — at scale the exact percentile swaps for
+    * `approx_percentile` and nothing else changes. Cross-engine hash
+    * safety: an interpolated boundary lies strictly BETWEEN two data
+    * values (or exactly ON a tied value), so `<=` bucketing is identical
+    * in both engines even where their interpolation formulae round a ulp
+    * apart — and the output carries only actual data values (counts,
+    * per-bucket min/max), never the interpolated boundaries themselves.
+    */
+  private def aggHistogramEqDepth(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    val b = o.agg(
+      expr("percentile(o_totalprice, 0.25)").as("q1"),
+      expr("percentile(o_totalprice, 0.5)").as("q2"),
+      expr("percentile(o_totalprice, 0.75)").as("q3"))
+    o.crossJoin(broadcast(b))
+      .select(
+        when(col("o_totalprice") <= col("q1"), 0)
+          .when(col("o_totalprice") <= col("q2"), 1)
+          .when(col("o_totalprice") <= col("q3"), 2)
+          .otherwise(3).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_v"),
+        max(col("o_totalprice")).as("max_v"))
+      .orderBy(col("bucket"))
+  }
+
   /** Regex surface — absent from the reference (SURVEY.md §2.8 lists regex
     * functions as a capability boundary); Spark-native extract/replace/
     * match. Patterns stay in the ASCII subset where Java regex (Spark) and
@@ -1314,6 +1348,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_pivot" -> aggPivot _,
     "agg_histogram" -> aggHistogram _,
+    "agg_histogram_eqdepth" -> aggHistogramEqDepth _,
     "agg_topk" -> aggTopk _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_approx_quantile" -> aggApproxQuantile _,
@@ -1461,6 +1496,18 @@ object Relational {
     "agg_histogram" -> """
       SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bin, COUNT(*) AS n
       FROM orders GROUP BY bin ORDER BY bin""",
+    "agg_histogram_eqdepth" -> """
+      WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.5)  AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders)
+      SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                  WHEN o_totalprice <= q2 THEN 1
+                  WHEN o_totalprice <= q3 THEN 2 ELSE 3 END AS bucket,
+             COUNT(*) AS n,
+             MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+      FROM orders, b GROUP BY bucket ORDER BY bucket""",
     "expr_explode" -> """
       SELECT word, COUNT(*) AS n FROM (
         SELECT unnest(string_split_regex(lower(text), '\s+')) AS word

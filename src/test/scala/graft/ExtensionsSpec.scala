@@ -796,6 +796,35 @@ class TextPipelineSpec extends AnyFunSuite {
       "fixture produced no duplicate segments — test is vacuous")
   }
 
+  test("dedup_segment_keep rebuilds docs consistently with dedup_segment") {
+    val counts = SparkEntry.queries("dedup_segment")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_kept")).toMap
+    val kept = SparkEntry.queries("dedup_segment_keep")(spark, sfDir).collect()
+    // docs with zero kept segments vanish; everything else agrees
+    assert(kept.length == counts.count(_._2 > 0))
+    kept.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Int]("n_kept") == counts(id))
+      // the rebuilt text is exactly n_kept 3-word segments in order
+      assert(r.getString(1).split(" ").length == 3 * counts(id))
+    }
+  }
+
+  test("agg_histogram_eqdepth buckets hold equal depth") {
+    val out = SparkEntry.queries("agg_histogram_eqdepth")(spark, sfDir).collect()
+    assert(out.map(_.getAs[Int]("bucket")).toSeq == Seq(0, 1, 2, 3))
+    val total = out.map(_.getAs[Long]("n")).sum
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n") - total / 4.0) <= 1.0,
+        s"bucket ${r.getAs[Int]("bucket")} depth ${r.getAs[Long]("n")} != ~${total / 4}")
+    }
+    // buckets are contiguous, non-overlapping ranges of actual data values
+    val sorted = out.sortBy(_.getAs[Int]("bucket"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_v") < b.getAs[Double]("min_v"))
+    }
+  }
+
   test("sample_mixture applies the tiered keep rates deterministically") {
     val raw = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text", "source").collect()
