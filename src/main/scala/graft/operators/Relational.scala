@@ -1288,6 +1288,25 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Distribution window functions (percent_rank / cume_dist / nth_value)
+    * — the rank-normalization tier on top of [[windowNavigation]]. The
+    * ordering key (acctbal, custkey) is unique, so ranks are total and
+    * the rational divisions (rank-1)/(n-1), rank/n are single exactly-
+    * rounded IEEE ops — bit-identical across engines. nth_value uses each
+    * engine's default running frame, which both define as RANGE UNBOUNDED
+    * PRECEDING..CURRENT ROW (null until the 3rd row of the partition).
+    */
+  private def windowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    cust(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("c_custkey"), 3).over(w).as("third_key"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   /** RANGE-frame window: a 30-minute trailing sum per user — the frame is
     * value-bounded (micros), not row-bounded, so ties and gaps behave
     * identically in any engine.
@@ -1379,7 +1398,8 @@ object Relational {
     "window_funcs" -> windowFuncs _,
     "window_rank" -> windowRank _,
     "window_navigation" -> windowNavigation _,
-    "window_range_frame" -> windowRangeFrame _
+    "window_range_frame" -> windowRangeFrame _,
+    "window_dist" -> windowDist _
   )
 
   private val D = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
@@ -1866,6 +1886,14 @@ object Relational {
       FROM lineitem WHERE l_orderkey <= 200
       WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
       ORDER BY l_orderkey, l_linenumber""",
+    "window_dist" -> """
+      SELECT c_mktsegment, c_custkey,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             nth_value(c_custkey, 3) OVER w AS third_key
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_mktsegment, c_custkey""",
     "window_range_frame" -> """
       WITH t AS (SELECT event_id, user_id, value,
                         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
