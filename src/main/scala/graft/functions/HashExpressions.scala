@@ -456,8 +456,11 @@ case class MaxRunCount(child: Expression)
   * a function library to a shared cluster.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.injectInto(ext)
+    // conf-gated plan guardrails (no-ops until opted in; see each rule)
+    ext.injectOptimizerRule(graft.plans.CartesianGuard.apply)
+  }
 }
 
 /** Distinct space-joined n-gram shingles of an ARRAY<STRING> of words →

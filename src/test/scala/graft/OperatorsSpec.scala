@@ -396,6 +396,29 @@ class PlanSpec extends AnyFunSuite {
     assert(df.filter(col("v_new").isNotNull).count() == 5)
   }
 
+  test("cartesian guard fails large unconditioned joins at plan time, allows small") {
+    // injected via GraftExtensions (injectOptimizerRule), off by default:
+    // with the conf unset, the same plan must optimize fine
+    val big1 = spark.range(10L * 1000 * 1000)
+    val big2 = spark.range(10L * 1000 * 1000)
+    big1.crossJoin(big2).queryExecution.optimizedPlan // no throw while off
+    spark.conf.set("spark.graft.guard.cartesian", "true")
+    try {
+      val e = intercept[Throwable] {
+        big1.crossJoin(big2).queryExecution.optimizedPlan
+      }
+      assert(e.getMessage != null && e.getMessage.contains("cartesian guard"),
+        s"wrong failure: $e")
+      // a small side is a legitimate broadcast nested-loop plan — allowed
+      big1.crossJoin(spark.range(10)).queryExecution.optimizedPlan
+      // conditioned joins are never touched
+      big1.join(big2.withColumnRenamed("id", "id2"),
+        org.apache.spark.sql.functions.col("id") ===
+        org.apache.spark.sql.functions.col("id2"))
+        .queryExecution.optimizedPlan
+    } finally spark.conf.unset("spark.graft.guard.cartesian")
+  }
+
   test("AQE coalesces over-partitioned shuffles at runtime") {
     import org.apache.spark.sql.functions.col
     // shuffle.partitions is sized for the big stages; small aggregates
