@@ -748,6 +748,30 @@ object Relational {
           col("exact_parts") * lit(0.05)).as("within_5pct"))
       .orderBy(col("l_linestatus"))
 
+  /** Sketch MERGE — the reason sketches beat exact distinct at 100 TB:
+    * each shard (here: order status) builds its own fixed-size HLL sketch
+    * independently, and the global answer is a union of sketches — no
+    * re-scan, no shuffle of distinct values, kilobytes moved per shard.
+    * This is how a fleet of daily ingestion jobs maintains corpus-wide
+    * distinct counts: store one sketch per day/shard, union on demand.
+    * Gate contract as in [[aggApproxDistinct]]: the oracle recomputes the
+    * exact global count and asserts the in-Spark band boolean literally
+    * TRUE — the union'd estimate must land within 5% of a count computed
+    * over DIFFERENT grouping boundaries than any single sketch saw.
+    */
+  private def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val perShard = li(s, d).groupBy(col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+    perShard
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        count(lit(1)).as("n_shards"))
+      .crossJoin(broadcast(
+        li(s, d).agg(countDistinct(col("l_partkey")).as("exact_parts"))))
+      .select(col("n_shards"), col("exact_parts"),
+        (abs(col("est") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.05)).as("within_5pct"))
+  }
+
   /** Sketch-tier driver gate, KLL-style quantiles: approx_percentile with
     * accuracy A guarantees rank error ≤ n/A, so the estimate must lie
     * between the exact percentiles at p ± 1/A — checked in-Spark, TRUE in
@@ -1371,6 +1395,7 @@ object Relational {
     "agg_topk" -> aggTopk _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_approx_quantile" -> aggApproxQuantile _,
+    "agg_sketch_merge" -> aggSketchMerge _,
     "profile_table" -> profileTable _,
     "expr_explode" -> exprExplode _,
     "sort_multi_key" -> sortMultiKey _,
@@ -1690,6 +1715,11 @@ object Relational {
       SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS exact_parts,
              TRUE AS within_5pct
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "agg_sketch_merge" -> """
+      SELECT COUNT(DISTINCT l_linestatus) AS n_shards,
+             COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS within_5pct
+      FROM lineitem""",
     "agg_approx_quantile" -> """
       SELECT l_returnflag,
              quantile_cont(l_quantity, 0.25) AS exact_p25,
