@@ -487,32 +487,54 @@ object Dedup {
     * per-group sort: that is how exact sub-document dedup stays linear
     * at 100 TB.
     */
-  private def dedupSegment(s: SparkSession, d: String): DataFrame = {
-    val segLen = 3
-    val base = docs(s, d)
+  /** Reusable segment table: (`doc_id`, `seg_idx`, `seg`) for every full
+    * non-overlapping `segLen`-word segment of each document. `docsDf`
+    * needs (`doc_id`, `text`); documents shorter than one segment
+    * contribute no rows (and are absent from every downstream result).
+    */
+  def segmentTable(docsDf: DataFrame, segLen: Int): DataFrame =
+    docsDf
       .select(col("doc_id"), TF.words(col("text")).as("ws"))
       .withColumn("nseg", expr(s"size(ws) div $segLen"))
-    val perDoc = base.select(col("doc_id"),
-      greatest(col("nseg"), lit(0)).cast("int").as("n_segs"))
-    val keepers = base
       .select(col("doc_id"),
         posexplode(when(col("nseg") > 0,
           expr(s"""transform(sequence(0, nseg - 1),
                    i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)))"""))
           .otherwise(array().cast("array<string>")))
           .as(Seq("seg_idx", "seg")))
+
+  /** Reusable keeper set: one row per DISTINCT segment with its
+    * globally-first occurrence — the skew-immune min-struct aggregate
+    * (see [[dedupSegment]]'s scaladoc for why this must never be a
+    * row_number window). Columns: `doc_id`, `seg_idx`, `seg`.
+    */
+  def segmentKeepers(docsDf: DataFrame, segLen: Int): DataFrame =
+    segmentTable(docsDf, segLen)
       .groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-      .groupBy(col("first.doc_id").as("doc_id"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.seg_idx").as("seg_idx"), col("seg"))
+
+  /** Per-doc segment-dedup counts over any (`doc_id`, `text`) frame. */
+  def segmentDedupCounts(docsDf: DataFrame, segLen: Int): DataFrame = {
+    val perDoc = docsDf
+      .select(col("doc_id"),
+        greatest(floor(size(TF.words(col("text"))) / lit(segLen)), lit(0))
+          .cast("int").as("n_segs"))
+    val kept = segmentKeepers(docsDf, segLen)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_kept"))
     perDoc.filter(col("n_segs") > 0) // sub-k-word docs have no segments
-      .join(keepers, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         (col("n_segs") - coalesce(col("n_kept"), lit(0))).cast("int")
           .as("n_dropped"))
       .orderBy(col("doc_id"))
   }
+
+  private def dedupSegment(s: SparkSession, d: String): DataFrame =
+    segmentDedupCounts(docs(s, d), 3)
 
   /** The materialized output of [[dedupSegment]] — the deduplicated corpus
     * itself (what Lee et al. actually train on): every document rebuilt
@@ -525,22 +547,8 @@ object Dedup {
     * Two shuffles total (segment agg, doc agg); fully-duplicated
     * documents vanish from the output, exactly like the oracle.
     */
-  private def dedupSegmentKeep(s: SparkSession, d: String): DataFrame = {
-    val segLen = 3
-    val kept = docs(s, d)
-      .select(col("doc_id"), TF.words(col("text")).as("ws"))
-      .withColumn("nseg", expr(s"size(ws) div $segLen"))
-      .select(col("doc_id"),
-        posexplode(when(col("nseg") > 0,
-          expr(s"""transform(sequence(0, nseg - 1),
-                   i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)))"""))
-          .otherwise(array().cast("array<string>")))
-          .as(Seq("seg_idx", "seg")))
-      .groupBy(col("seg"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-      .select(col("first.doc_id").as("doc_id"),
-        col("first.seg_idx").as("seg_idx"), col("seg"))
-    kept
+  private def dedupSegmentKeep(s: SparkSession, d: String): DataFrame =
+    segmentKeepers(docs(s, d), 3)
       .groupBy(col("doc_id"))
       .agg(
         concat_ws(" ", transform(
@@ -548,7 +556,6 @@ object Dedup {
           x => x.getField("seg"))).as("kept_text"),
         count(lit(1)).cast("int").as("n_kept"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,

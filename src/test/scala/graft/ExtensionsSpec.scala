@@ -796,6 +796,30 @@ class TextPipelineSpec extends AnyFunSuite {
       "fixture produced no duplicate segments — test is vacuous")
   }
 
+  test("segmentDedupCounts edge shapes: short docs, in-doc dups, case/space noise") {
+    import spark.implicits._
+    // shapes the fixture corpus cannot express: a doc shorter than one
+    // segment (vanishes), an exactly-one-segment doc, a doc whose
+    // duplicate segment is WITHIN itself, and normalization noise
+    val df = Seq(
+      (1L, "a b c d e f"),        // segs: "a b c", "d e f"
+      (2L, "a b c a b c x"),      // dup of its own first segment, + tail drop
+      (3L, "  A   b C "),         // normalizes to "a b c" → dup of doc 1's
+      (4L, "too short")           // < 3 words → no segments, absent
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.segmentDedupCounts(df, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out == Map(
+      1L -> ((2, 2, 0)), // both segments first
+      2L -> ((2, 0, 2)), // both its segments are "a b c", owned by doc 1
+      3L -> ((1, 0, 1))  // normalized dup of doc 1's first segment
+    ))
+    // the keeper set is exactly the distinct segments
+    val keepers = operators.Dedup.segmentKeepers(df, 3).collect()
+    assert(keepers.map(_.getAs[String]("seg")).sorted.toSeq ==
+      Seq("a b c", "a b c", "d e f").distinct.sorted)
+  }
+
   test("dedup_segment_keep rebuilds docs consistently with dedup_segment") {
     val counts = SparkEntry.queries("dedup_segment")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getAs[Int]("n_kept")).toMap
