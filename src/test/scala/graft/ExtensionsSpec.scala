@@ -869,6 +869,31 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample keeps per-domain rates, deterministically and stably") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = Map("src0" -> 0.3, "src1" -> 0.7, "src2" -> 0.0)
+    val kept = operators.TextAnalysis.mixtureSample(docs, "source", w)
+    val byDomain = kept.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weight 0 drops the domain entirely; unlisted domains keep everything
+    assert(!byDomain.contains("src2"))
+    assert(byDomain("src3") == totals("src3"))
+    // listed rates hold within binomial noise on the small fixture
+    for ((dom, wt) <- Seq("src0" -> 0.3, "src1" -> 0.7)) {
+      val rate = byDomain.getOrElse(dom, 0L).toDouble / totals(dom)
+      assert(math.abs(rate - wt) < 0.35, s"$dom rate $rate vs weight $wt")
+    }
+    // determinism + stability: the kept set is a pure function of text,
+    // so re-evaluating (different partitioning) yields the same ids
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = operators.TextAnalysis
+      .mixtureSample(docs.repartition(7), "source", w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("pack_sequences bins follow the per-source cumulative boundary") {
     val budget = 64
     val raw = Tables.load(spark, sfDir, "documents")
