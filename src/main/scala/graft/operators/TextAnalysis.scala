@@ -507,7 +507,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The END-TO-END pre-training corpus pipeline — every stage above
+    * composed in production order, reported as the funnel a real corpus
+    * run logs: raw → Gopher quality gate → segment-level dedup (documents
+    * REBUILT from their kept segments) → benchmark decontamination (the
+    * content-addressed '0'-carve of the deduped corpus stands in for the
+    * eval set; its docs leave the corpus, contaminated train docs drop,
+    * sub-shingle docs trivially pass) → domain-mixture resampling. Each
+    * stage consumes the PREVIOUS stage's output — dedup sees only
+    * quality-passing docs, decontamination hashes the REBUILT text — so
+    * the row gates stage composition, not just each kernel alone.
+    *
+    * Scale notes: the funnel recomputes stage lineage per summary row
+    * (fine at gate scale; a 100 TB run materializes each stage to
+    * parquet — the stages are the reusable APIs above, so that is just
+    * inserting writes between calls). Every stage is the shuffle shape
+    * its own scaladoc argues: map-only filters, the skew-immune keeper
+    * aggregate, one broadcast probe, one hash filter.
+    */
+  private def pipelineCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    val raw = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    // stage 1: quality gate (the text_gopher_quality rules)
+    val ws = TF.words(col("text"))
+    val nw = size(ws)
+    val awl = length(regexp_replace(TF.normText(col("text")), " ", ""))
+      .cast("double") / nw
+    val nStop = size(filter(ws,
+      x => x.isInCollection(Seq("the", "a", "is", "and", "of"))))
+    val quality = raw.filter(nw.between(10, 100000) &&
+      awl.between(2.0, 12.0) && (nStop >= 2))
+    // stage 2: segment dedup, documents rebuilt from kept segments
+    val rebuilt = Dedup.segmentKeepers(quality.select(col("doc_id"),
+        col("text")), 3)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg"))).as("kept_text"),
+        (count(lit(1)) * 3).cast("long").as("n_tok"))
+      .join(quality.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("carve", substring(md5(col("kept_text")), 1, 1))
+    // stage 3: decontaminate against the carve-'0' slice (the stand-in
+    // eval set); bench docs leave the corpus, contaminated docs drop
+    val train = rebuilt.filter(col("carve") =!= "0")
+    val contaminated = decontaminate(
+      train.select(col("doc_id"), col("kept_text").as("text")),
+      rebuilt.filter(col("carve") === "0")
+        .select(col("kept_text").as("text")))
+      .select(col("doc_id"))
+    val decontam = train.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 4: domain-mixture resampling on the surviving corpus
+    val grp = expr("cast(substring(source, 4) as int) div 5")
+    val mixture = decontam.filter(grp === 0 ||
+      substring(md5(col("kept_text")), 1, 2) <
+        when(grp === 1, lit("80")).when(grp === 2, lit("40"))
+          .otherwise(lit("20")))
+    def funnel(stage: Int, name: String, df: DataFrame, tok: Column) =
+      df.agg(count(lit(1)).as("n_docs"), sum(tok).cast("long").as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    funnel(0, "raw", raw, nw.cast("long"))
+      .unionAll(funnel(1, "quality", quality, nw.cast("long")))
+      .unionAll(funnel(2, "dedup", rebuilt, col("n_tok")))
+      .unionAll(funnel(3, "decontam", decontam, col("n_tok")))
+      .unionAll(funnel(4, "mixture", mixture, col("n_tok")))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus" -> pipelineCorpus _,
     "text_url_canon" -> textUrlCanon _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
@@ -533,6 +601,80 @@ object TextAnalysis {
   val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "pipeline_corpus" -> s"""
+      WITH raw AS (
+        SELECT doc_id, source, $NormSql AS norm,
+               string_split($NormSql, ' ') AS ws
+        FROM documents
+      ),
+      quality AS (
+        SELECT * FROM raw
+        WHERE len(ws) BETWEEN 10 AND 100000
+          AND CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(ws)
+              BETWEEN 2.0 AND 12.0
+          AND CAST(list_sum(list_transform(ws,
+                x -> CASE WHEN x IN ('the','a','is','and','of')
+                     THEN 1 ELSE 0 END)) AS INT) >= 2
+      ),
+      seg AS (
+        SELECT doc_id, source,
+               unnest(range(0, len(ws) // 3)) AS seg_idx,
+               unnest([ array_to_string(ws[3*i+1 : 3*i+3], ' ')
+                        for i in range(0, len(ws) // 3) ]) AS seg
+        FROM quality
+      ),
+      keepers AS (
+        SELECT doc_id, source, seg_idx, seg FROM (
+          SELECT doc_id, source, seg_idx, seg,
+                 ROW_NUMBER() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_idx) AS rn
+          FROM seg) WHERE rn = 1
+      ),
+      rebuilt AS (
+        SELECT doc_id, source,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text,
+               CAST(3 * COUNT(*) AS BIGINT) AS n_tok
+        FROM keepers GROUP BY doc_id, source
+      ),
+      rw AS (
+        SELECT *, string_split(kept_text, ' ') AS kws,
+               substr(md5(kept_text), 1, 1) AS carve
+        FROM rebuilt
+      ),
+      sh AS (
+        SELECT doc_id, source, n_tok, kept_text, carve,
+               list_distinct([ array_to_string(kws[i : i+4], ' ')
+                               for i in range(1, len(kws) - 3) ]) AS sh5
+        FROM rw WHERE len(kws) >= 5
+      ),
+      bench AS (SELECT DISTINCT unnest(sh5) AS s FROM sh WHERE carve = '0'),
+      decontam AS (
+        SELECT t.doc_id, t.source, t.n_tok, t.kept_text FROM sh t
+        WHERE t.carve <> '0'
+          AND NOT EXISTS (SELECT 1 FROM bench b, unnest(t.sh5) AS u(us)
+                          WHERE u.us = b.s)
+        UNION ALL
+        SELECT doc_id, source, n_tok, kept_text FROM rw
+        WHERE carve <> '0' AND len(kws) < 5
+      ),
+      mixture AS (
+        SELECT * FROM decontam
+        WHERE CAST(substr(source, 4) AS INT) // 5 = 0
+           OR substr(md5(kept_text), 1, 2) <
+              (CASE CAST(substr(source, 4) AS INT) // 5
+                    WHEN 1 THEN '80' WHEN 2 THEN '40' ELSE '20' END)
+      )
+      SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+             CAST(SUM(len(ws)) AS BIGINT) AS n_tokens FROM raw
+      UNION ALL
+      SELECT 1, 'quality', COUNT(*), CAST(SUM(len(ws)) AS BIGINT) FROM quality
+      UNION ALL
+      SELECT 2, 'dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM rebuilt
+      UNION ALL
+      SELECT 3, 'decontam', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM decontam
+      UNION ALL
+      SELECT 4, 'mixture', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM mixture
+      ORDER BY stage""",
     "text_url_canon" -> raw"""
       WITH t AS (
         SELECT doc_id,

@@ -869,6 +869,26 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_corpus funnel is monotone and consistent with its stages") {
+    val out = SparkEntry.queries("pipeline_corpus")(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("stage"))
+    assert(out.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("raw", "quality", "dedup", "decontam", "mixture"))
+    val docsN = out.map(_.getAs[Long]("n_docs"))
+    val toks = out.map(_.getAs[Long]("n_tokens"))
+    // every stage can only shrink the corpus
+    assert(docsN.zip(docsN.tail).forall { case (a, b) => b <= a }, docsN.toSeq)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, toks.toSeq)
+    // every stage stays non-vacuous on the fixture: it drops something
+    // and keeps something
+    assert(docsN.zip(docsN.tail).forall { case (a, b) => b < a }, docsN.toSeq)
+    assert(docsN.last > 0)
+    // stage 1 equals the standalone quality gate's keep count
+    val keepQ = SparkEntry.queries("text_gopher_quality")(spark, sfDir)
+      .filter(col("keep")).count()
+    assert(docsN(1) == keepQ)
+  }
+
   test("mixtureSample keeps per-domain rates, deterministically and stably") {
     val docs = Tables.load(spark, sfDir, "documents")
     val w = Map("src0" -> 0.3, "src1" -> 0.7, "src2" -> 0.0)
