@@ -525,43 +525,60 @@ object TextAnalysis {
     * its own scaladoc argues: map-only filters, the skew-immune keeper
     * aggregate, one broadcast probe, one hash filter.
     */
-  private def pipelineCorpus(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Dedup
-    val raw = docs(s, d).select(col("doc_id"), col("source"), col("text"))
-    // stage 1: quality gate (the text_gopher_quality rules)
+  /** Stage 1: the Gopher quality gate over (`doc_id`, `source`, `text`). */
+  def stageQuality(raw: DataFrame): DataFrame = {
     val ws = TF.words(col("text"))
     val nw = size(ws)
     val awl = length(regexp_replace(TF.normText(col("text")), " ", ""))
       .cast("double") / nw
     val nStop = size(filter(ws,
       x => x.isInCollection(Seq("the", "a", "is", "and", "of"))))
-    val quality = raw.filter(nw.between(10, 100000) &&
-      awl.between(2.0, 12.0) && (nStop >= 2))
-    // stage 2: segment dedup, documents rebuilt from kept segments
-    val rebuilt = Dedup.segmentKeepers(quality.select(col("doc_id"),
-        col("text")), 3)
+    raw.filter(nw.between(10, 100000) && awl.between(2.0, 12.0) &&
+      (nStop >= 2))
+  }
+
+  /** Stage 2: segment dedup with document rebuild — output
+    * (`doc_id`, `source`, `kept_text`, `n_tok`, `carve`).
+    */
+  def stageRebuild(quality: DataFrame, segLen: Int = 3): DataFrame =
+    Dedup.segmentKeepers(quality.select(col("doc_id"), col("text")), segLen)
       .groupBy(col("doc_id"))
       .agg(concat_ws(" ", transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           x => x.getField("seg"))).as("kept_text"),
-        (count(lit(1)) * 3).cast("long").as("n_tok"))
+        (count(lit(1)) * segLen).cast("long").as("n_tok"))
       .join(quality.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("carve", substring(md5(col("kept_text")), 1, 1))
-    // stage 3: decontaminate against the carve-'0' slice (the stand-in
-    // eval set); bench docs leave the corpus, contaminated docs drop
+
+  /** Stage 3: decontamination against the carve-'0' slice (the stand-in
+    * eval set); bench docs leave the corpus, contaminated docs drop,
+    * sub-shingle docs trivially pass.
+    */
+  def stageDecontam(rebuilt: DataFrame): DataFrame = {
     val train = rebuilt.filter(col("carve") =!= "0")
     val contaminated = decontaminate(
       train.select(col("doc_id"), col("kept_text").as("text")),
       rebuilt.filter(col("carve") === "0")
         .select(col("kept_text").as("text")))
       .select(col("doc_id"))
-    val decontam = train.join(contaminated, Seq("doc_id"), "left_anti")
-    // stage 4: domain-mixture resampling on the surviving corpus
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4: tiered domain-mixture resampling on the surviving corpus. */
+  def stageMixture(decontam: DataFrame): DataFrame = {
     val grp = expr("cast(substring(source, 4) as int) div 5")
-    val mixture = decontam.filter(grp === 0 ||
+    decontam.filter(grp === 0 ||
       substring(md5(col("kept_text")), 1, 2) <
         when(grp === 1, lit("80")).when(grp === 2, lit("40"))
           .otherwise(lit("20")))
+  }
+
+  /** The funnel summary over already-built stages (stage 0/1 count raw
+    * whitespace tokens; rebuilt stages carry `n_tok`).
+    */
+  def pipelineFunnel(raw: DataFrame, quality: DataFrame, rebuilt: DataFrame,
+                     decontam: DataFrame, mixture: DataFrame): DataFrame = {
+    val nw = size(TF.words(col("text")))
     def funnel(stage: Int, name: String, df: DataFrame, tok: Column) =
       df.agg(count(lit(1)).as("n_docs"), sum(tok).cast("long").as("n_tokens"))
         .select(lit(stage).as("stage"), lit(name).as("stage_name"),
@@ -572,6 +589,15 @@ object TextAnalysis {
       .unionAll(funnel(3, "decontam", decontam, col("n_tok")))
       .unionAll(funnel(4, "mixture", mixture, col("n_tok")))
       .orderBy(col("stage"))
+  }
+
+  private def pipelineCorpus(s: SparkSession, d: String): DataFrame = {
+    val raw = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    val quality = stageQuality(raw)
+    val rebuilt = stageRebuild(quality)
+    val decontam = stageDecontam(rebuilt)
+    val mixture = stageMixture(decontam)
+    pipelineFunnel(raw, quality, rebuilt, decontam, mixture)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -889,6 +889,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(docsN(1) == keepQ)
   }
 
+  test("pipeline stages materialized to parquet equal the lineage form") {
+    // the 100 TB claim made by pipeline_corpus's scaladoc, demonstrated:
+    // writing every stage out and reading it back changes nothing
+    import operators.TextAnalysis._
+    val base = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val raw = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    stageQuality(raw).write.parquet(s"$base/q")
+    val q = spark.read.parquet(s"$base/q")
+    stageRebuild(q).write.parquet(s"$base/r")
+    val r = spark.read.parquet(s"$base/r")
+    stageDecontam(r).write.parquet(s"$base/dc")
+    val dc = spark.read.parquet(s"$base/dc")
+    stageMixture(dc).write.parquet(s"$base/m")
+    val m = spark.read.parquet(s"$base/m")
+    val materialized = pipelineFunnel(raw, q, r, dc, m)
+      .collect().map(_.toSeq).toSeq
+    val lineage = SparkEntry.queries("pipeline_corpus")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(materialized == lineage)
+  }
+
   test("mixtureSample keeps per-domain rates, deterministically and stably") {
     val docs = Tables.load(spark, sfDir, "documents")
     val w = Map("src0" -> 0.3, "src1" -> 0.7, "src2" -> 0.0)
