@@ -396,6 +396,30 @@ class PlanSpec extends AnyFunSuite {
     assert(df.filter(col("v_new").isNotNull).count() == 5)
   }
 
+  test("corrupt file tolerance: ignoreCorruptFiles reads past a bad split") {
+    import org.apache.spark.sql.functions.lit
+    // at 100 TB some file in some batch IS eventually truncated/corrupt;
+    // the read contract must be explicit: fail loudly by default, skip
+    // loudly when the job opts in
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    spark.range(100).select(lit(1).as("v")).write.parquet(s"$dir/data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/data/part-corrupt.parquet"),
+      "this is not a parquet file".getBytes)
+    // default: the corrupt split must surface an error, not silent loss
+    intercept[Throwable] {
+      spark.read.parquet(s"$dir/data").count()
+    }
+    // opted in: the good rows all arrive
+    val saved = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(s"$dir/data").count() == 100)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("cartesian guard fails large unconditioned joins at plan time, allows small") {
     // injected via GraftExtensions (injectOptimizerRule), off by default:
     // with the conf unset, the same plan must optimize fine
