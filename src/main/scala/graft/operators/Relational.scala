@@ -1154,6 +1154,28 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Array-function surface (construct / distinct / intersect / contains /
+    * sort) over the tokenized document text — beyond the reference, which
+    * has no array type on the wire at all. Outputs stay hash-comparable:
+    * set RESULTS are emitted as sizes, membership booleans, and an
+    * ascending-sorted join (Spark's binary UTF8 compare and DuckDB's
+    * default binary collation order ASCII identically); raw
+    * engine-specific array ordering never leaves the query.
+    */
+  private def exprArrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val stop = array(Seq("the", "a", "of", "key", "table").map(lit): _*)
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(ws).as("n_words"),
+        size(array_distinct(ws)).as("n_distinct"),
+        size(array_intersect(array_distinct(ws), stop)).as("n_stop_kinds"),
+        array_contains(ws, "table").as("has_table"),
+        concat_ws(",", slice(array_sort(array_distinct(ws)), 1, 5))
+          .as("first5_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Regex surface — absent from the reference (SURVEY.md §2.8 lists regex
     * functions as a capability boundary); Spark-native extract/replace/
     * match. Patterns stay in the ASCII subset where Java regex (Spark) and
@@ -1408,6 +1430,7 @@ object Relational {
     "expr_hash" -> exprHash _,
     "expr_hash_ext" -> exprHashExt _,
     "expr_regex" -> exprRegex _,
+    "expr_array_funcs" -> exprArrayFuncs _,
     "expr_string_ext" -> exprStringExt _,
     "expr_bitwise" -> exprBitwise _,
     "expr_case_cast" -> exprCaseCast _,
@@ -1559,6 +1582,19 @@ object Relational {
         FROM documents)
       WHERE length(word) >= 4
       GROUP BY word ORDER BY n DESC, word LIMIT 25""",
+    "expr_array_funcs" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_words,
+             CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+             CAST(len(list_intersect(list_distinct(ws),
+               ['the','a','of','key','table'])) AS INT) AS n_stop_kinds,
+             list_contains(ws, 'table') AS has_table,
+             array_to_string(list_sort(list_distinct(ws))[1:5], ',')
+               AS first5_sorted
+      FROM t ORDER BY doc_id""",
     "expr_regex" -> """
       SELECT doc_id,
              regexp_extract(text, '^(\w+)', 1) AS first_word,
