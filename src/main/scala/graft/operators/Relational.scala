@@ -1176,6 +1176,46 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** MAP-type surface (construct / cardinality / key extraction / key
+    * listing) — like [[exprArrayFuncs]], emitted as scalars: DuckDB 1.0's
+    * `m['k']` extraction returns a LIST of matches (`[v]`), so the oracle
+    * indexes `[1]` while Spark's `element_at` returns the value directly;
+    * both sides join SORTED keys so map iteration order never reaches the
+    * hash compare.
+    */
+  private def exprMapFuncs(s: SparkSession, d: String): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val m = map(lit("tok"), size(ws), lit("chr"),
+      length(col("text")).cast(IntegerType))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(m).as("m_card"),
+        element_at(m, "tok").as("tok_v"),
+        element_at(m, "chr").as("chr_v"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Higher-order-function surface: lambda filter / fold / existential /
+    * transform over the tokenized text — the declarative per-row array
+    * algebra every pipeline operator above leans on, exercised as its own
+    * driver row. (Performance note lives in [[TextAnalysis]]: interpreted
+    * lambdas in a HOT path get replaced by native codegen kernels; the
+    * surface here is about semantics parity.)
+    */
+  private def exprLambda(s: SparkSession, d: String): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(filter(ws, w => length(w) > 4)).as("n_long"),
+        aggregate(ws, lit(0), (acc, w) => acc + length(w))
+          .as("total_chars"),
+        exists(ws, w => w === "table").as("has_table"),
+        concat_ws(",", slice(transform(ws, w => upper(w)), 1, 3))
+          .as("upper3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Regex surface — absent from the reference (SURVEY.md §2.8 lists regex
     * functions as a capability boundary); Spark-native extract/replace/
     * match. Patterns stay in the ASCII subset where Java regex (Spark) and
@@ -1431,6 +1471,8 @@ object Relational {
     "expr_hash_ext" -> exprHashExt _,
     "expr_regex" -> exprRegex _,
     "expr_array_funcs" -> exprArrayFuncs _,
+    "expr_map_funcs" -> exprMapFuncs _,
+    "expr_lambda" -> exprLambda _,
     "expr_string_ext" -> exprStringExt _,
     "expr_bitwise" -> exprBitwise _,
     "expr_case_cast" -> exprCaseCast _,
@@ -1582,6 +1624,32 @@ object Relational {
         FROM documents)
       WHERE length(word) >= 4
       GROUP BY word ORDER BY n DESC, word LIMIT 25""",
+    "expr_map_funcs" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws,
+               MAP(['tok','chr'],
+                   [CAST(len(string_split(lower(text), ' ')) AS INT),
+                    CAST(length(text) AS INT)]) AS m
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(cardinality(m) AS INT) AS m_card,
+             m['tok'][1] AS tok_v,
+             m['chr'][1] AS chr_v,
+             array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+      FROM t ORDER BY doc_id""",
+    "expr_lambda" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(list_filter(ws, w -> length(w) > 4)) AS INT) AS n_long,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS INT)
+               AS total_chars,
+             (len(list_filter(ws, w -> w = 'table')) > 0) AS has_table,
+             array_to_string(list_transform(ws, w -> upper(w))[1:3], ',')
+               AS upper3
+      FROM t ORDER BY doc_id""",
     "expr_array_funcs" -> """
       WITH t AS (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
