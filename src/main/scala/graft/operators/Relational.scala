@@ -1176,6 +1176,37 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** SQL LATERAL join — the correlated table-valued form (top-2 line items
+    * per order): Catalyst decorrelates the LIMIT-bearing subquery into a
+    * ranked window join, so nothing executes per-row despite the
+    * correlated syntax; identical SQL runs as the DuckDB oracle.
+    */
+  private def joinLateral(s: SparkSession, d: String): DataFrame = {
+    ord(s, d).createOrReplaceTempView("graft_lat_orders")
+    li(s, d).createOrReplaceTempView("graft_lat_lineitem")
+    s.sql("""
+      SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+      FROM graft_lat_orders o JOIN LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM graft_lat_lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+      ) t
+      WHERE o.o_orderkey < 500
+      ORDER BY o.o_orderkey, t.l_linenumber""")
+  }
+
+  /** Boolean aggregates (bool_and / bool_or) — the data-quality assertion
+    * tier ("EVERY row in the partition satisfies X") as grouped columns.
+    */
+  private def aggBool(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+        bool_or(col("l_discount") > lit(0.05)).as("any_deep_discount"),
+        bool_and(col("l_extendedprice") >= col("l_quantity"))
+          .as("price_covers_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** MAP-type surface (construct / cardinality / key extraction / key
     * listing) — like [[exprArrayFuncs]], emitted as scalars: DuckDB 1.0's
     * `m['k']` extraction returns a LIST of matches (`[v]`), so the oracle
@@ -1472,6 +1503,8 @@ object Relational {
     "expr_regex" -> exprRegex _,
     "expr_array_funcs" -> exprArrayFuncs _,
     "expr_map_funcs" -> exprMapFuncs _,
+    "join_lateral" -> joinLateral _,
+    "agg_bool" -> aggBool _,
     "expr_lambda" -> exprLambda _,
     "expr_string_ext" -> exprStringExt _,
     "expr_bitwise" -> exprBitwise _,
@@ -1624,6 +1657,22 @@ object Relational {
         FROM documents)
       WHERE length(word) >= 4
       GROUP BY word ORDER BY n DESC, word LIMIT 25""",
+    "join_lateral" -> """
+      SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+      FROM orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+      ) t
+      WHERE o.o_orderkey < 500
+      ORDER BY o.o_orderkey, t.l_linenumber""",
+    "agg_bool" -> """
+      SELECT l_returnflag,
+             bool_and(l_quantity > 0) AS all_qty_pos,
+             bool_or(l_discount > 0.05) AS any_deep_discount,
+             bool_and(l_extendedprice >= l_quantity) AS price_covers_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "expr_map_funcs" -> """
       WITH t AS (
         SELECT doc_id, string_split(lower(text), ' ') AS ws,
