@@ -396,6 +396,44 @@ class PlanSpec extends AnyFunSuite {
     assert(df.filter(col("v_new").isNotNull).count() == 5)
   }
 
+  test("content-addressed ids are stable under repartitioning; mii is not") {
+    import org.apache.spark.sql.functions._
+    // the determinism contract behind every carve/sample/dedup key in this
+    // repo: an id derived from CONTENT survives any partitioning, while
+    // monotonically_increasing_id bakes the partition layout into the
+    // value — rerun with different parallelism and every downstream join
+    // key silently changes
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    def miiIds(parts: Int) = docs.repartition(parts)
+      .withColumn("id", monotonically_increasing_id())
+      .select("doc_id", "id").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(miiIds(3) != miiIds(7), "mii unexpectedly stable — test is vacuous")
+    def hashIds(parts: Int) = docs.repartition(parts)
+      .withColumn("id", md5(col("text")))
+      .select("doc_id", "id").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(hashIds(3) == hashIds(7))
+  }
+
+  test("AQE converts a planned sort-merge join to broadcast at runtime") {
+    import org.apache.spark.sql.functions._
+    // static stats see the whole orders table (too big to broadcast); the
+    // runtime filter output is tiny, and AQE re-plans the join as a
+    // broadcast — the re-optimization that makes one static conf serve
+    // every selectivity at 100 TB
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val smallOrders = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 1000 === 0) // ~0.1% survives, unknown statically
+    val j = li.join(smallOrders, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE did not convert the join to broadcast:\n$p")
+  }
+
   test("corrupt file tolerance: ignoreCorruptFiles reads past a bad split") {
     import org.apache.spark.sql.functions.lit
     // at 100 TB some file in some batch IS eventually truncated/corrupt;
