@@ -1176,6 +1176,32 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** Recursive CTE (Spark 4.1's WITH RECURSIVE) — the gap-filled
+    * time-series pattern: generate the complete month spine from the data
+    * span, then left-join per-month order counts so empty months surface
+    * as explicit zeros instead of silently missing rows. Recursion depth
+    * is the month span (~80 levels — well inside Spark's recursion
+    * limit); identical SQL runs as the DuckDB oracle.
+    */
+  private def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    ord(s, d).createOrReplaceTempView("graft_rec_orders")
+    s.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('MONTH', MIN(o_orderdate)) FROM graft_rec_orders
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < (SELECT date_trunc('MONTH', MAX(o_orderdate))
+                   FROM graft_rec_orders)
+      )
+      SELECT CAST(m AS DATE) AS month,
+             COALESCE(o.n, 0) AS n_orders
+      FROM months LEFT JOIN (
+        SELECT date_trunc('MONTH', o_orderdate) AS om, COUNT(*) AS n
+        FROM graft_rec_orders GROUP BY 1
+      ) o ON months.m = o.om
+      ORDER BY month""")
+  }
+
   /** SQL LATERAL join — the correlated table-valued form (top-2 line items
     * per order): Catalyst decorrelates the LIMIT-bearing subquery into a
     * ranked window join, so nothing executes per-row despite the
@@ -1504,6 +1530,7 @@ object Relational {
     "expr_array_funcs" -> exprArrayFuncs _,
     "expr_map_funcs" -> exprMapFuncs _,
     "join_lateral" -> joinLateral _,
+    "sql_recursive_cte" -> sqlRecursiveCte _,
     "agg_bool" -> aggBool _,
     "expr_lambda" -> exprLambda _,
     "expr_string_ext" -> exprStringExt _,
@@ -1657,6 +1684,20 @@ object Relational {
         FROM documents)
       WHERE length(word) >= 4
       GROUP BY word ORDER BY n DESC, word LIMIT 25""",
+    "sql_recursive_cte" -> """
+      WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('MONTH', MIN(o_orderdate)) FROM orders
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < (SELECT date_trunc('MONTH', MAX(o_orderdate)) FROM orders)
+      )
+      SELECT CAST(m AS DATE) AS month,
+             COALESCE(o.n, 0) AS n_orders
+      FROM months LEFT JOIN (
+        SELECT date_trunc('MONTH', o_orderdate) AS om, COUNT(*) AS n
+        FROM orders GROUP BY 1
+      ) o ON months.m = o.om
+      ORDER BY month""",
     "join_lateral" -> """
       SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
       FROM orders o, LATERAL (
