@@ -1181,17 +1181,26 @@ object Relational {
     * span, then left-join per-month order counts so empty months surface
     * as explicit zeros instead of silently missing rows. Recursion depth
     * is the month span (~80 levels — well inside Spark's recursion
-    * limit); identical SQL runs as the DuckDB oracle.
+    * limit). The span BOUNDS are resolved once and inlined as literals:
+    * Spark executes each recursion level as its own sub-plan, so a
+    * correlated `(SELECT MAX(...))` in the step predicate re-scans the
+    * table EVERY level (80 scans — measured 13 s at sf0.1, the slowest
+    * query in the suite; 1.4 s inlined). Two timestamps through the
+    * driver is bounds metadata, the same class as IVF centroids — not a
+    * data collect.
     */
   private def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    val b = ord(s, d).agg(
+      date_trunc("MONTH", min(col("o_orderdate"))).cast("string"),
+      date_trunc("MONTH", max(col("o_orderdate"))).cast("string")).collect()(0)
+    val (lo, hi) = (b.getString(0), b.getString(1))
     ord(s, d).createOrReplaceTempView("graft_rec_orders")
-    s.sql("""
+    s.sql(s"""
       WITH RECURSIVE months(m) AS (
-        SELECT date_trunc('MONTH', MIN(o_orderdate)) FROM graft_rec_orders
+        SELECT TIMESTAMP '$lo' AS m
         UNION ALL
         SELECT m + INTERVAL 1 MONTH FROM months
-        WHERE m < (SELECT date_trunc('MONTH', MAX(o_orderdate))
-                   FROM graft_rec_orders)
+        WHERE m < TIMESTAMP '$hi'
       )
       SELECT CAST(m AS DATE) AS month,
              COALESCE(o.n, 0) AS n_orders
