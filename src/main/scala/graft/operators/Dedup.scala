@@ -164,6 +164,39 @@ object Dedup {
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashVerifiedPairsReleasable(s, d)._1.orderBy(col("doc_a"), col("doc_b"))
 
+  /** Edit-distance near-dup pairs — the character-level distance family
+    * (OCR noise, small in-place edits) next to the set-based Jaccard
+    * tiers: MinHash band candidates, then EXACT `levenshtein ≤ K` verify
+    * with the `|len(a)−len(b)| ≤ K` lower bound screened first (edit
+    * distance can never beat the length gap, and the length compare is
+    * O(1) against the O(n·m) DP). Recall argument is [[minhashLsh]]'s:
+    * lev ≤ K on these lengths forces near-identical shingle sets, so a
+    * banding miss needs a ~1e-14 coincidence; the oracle recomputes the
+    * pair set exactly from the length-screened cross join. At 100 TB the
+    * banding does what it does for Jaccard — candidates, never pairs².
+    */
+  private def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
+    val K = 10
+    GraftFunctions.register(s)
+    val sh = shingleSets(s, d).filter(size(col("sh")) > 0)
+    val bands = bandKeys(sh)
+    val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("h1"), col("h2"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("h1"),
+        col("h2")), Seq("band", "h1", "h2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val n = docs(s, d).select(col("doc_id"), TF.normText(col("text")).as("norm"))
+    candidates
+      .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
+      .filter(abs(length(col("na")) - length(col("nb"))) <= K)
+      .withColumn("edit_dist", levenshtein(col("na"), col("nb")))
+      .filter(col("edit_dist") <= K)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -- duplicate-cluster extraction (connected components) ----------------
 
   /** Near-dup CLUSTERS from the verified pair graph — the step that turns
@@ -563,6 +596,7 @@ object Dedup {
     "dedup_segment_keep" -> dedupSegmentKeep _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_edit_distance" -> dedupEditDistance _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep" -> dedupKeep _,
     "dedup_incremental" -> dedupIncremental _,
@@ -617,6 +651,16 @@ object Dedup {
              CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped
       FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_edit_distance" -> s"""
+      WITH n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
+                 FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.norm, b.norm) AS INT) AS edit_dist
+      FROM n a, n b
+      WHERE a.doc_id < b.doc_id
+        AND abs(length(a.norm) - length(b.norm)) <= 10
+        AND levenshtein(a.norm, b.norm) <= 10
+      ORDER BY doc_a, doc_b""",
     "dedup_segment_keep" -> s"""
       WITH w AS (
         SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS ws
