@@ -153,6 +153,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
   }
 
+  test("edit-distance banding finds exactly the brute-force lev<=10 pairs") {
+    // brute side: length-screened cross join with the same levenshtein
+    // predicate — any banding miss shows up as a set difference
+    val n = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+    val brute = n.select(col("doc_id").as("doc_a"), col("norm").as("na"))
+      .crossJoin(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(length(col("na")) - length(col("nb"))) <= 10 &&
+        levenshtein(col("na"), col("nb")) <= 10)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = operators.Dedup.queries("dedup_edit_distance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain lev<=10 near-dups")
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("simhash quarter blocking equals brute-force hamming<=3 exactly") {
     // pigeonhole blocking is provably exact for hamming<=3 on 4 quarters —
     // assert set equality against an all-pairs scan of the same (portable
