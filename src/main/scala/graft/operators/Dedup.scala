@@ -525,7 +525,8 @@ object Dedup {
     * needs (`doc_id`, `text`); documents shorter than one segment
     * contribute no rows (and are absent from every downstream result).
     */
-  def segmentTable(docsDf: DataFrame, segLen: Int): DataFrame =
+  def segmentTable(docsDf: DataFrame, segLen: Int): DataFrame = {
+    require(segLen > 0, s"segment length must be positive: $segLen")
     docsDf
       .select(col("doc_id"), TF.words(col("text")).as("ws"))
       .withColumn("nseg", expr(s"size(ws) div $segLen"))
@@ -535,6 +536,7 @@ object Dedup {
                    i -> concat_ws(' ', slice(ws, i * $segLen + 1, $segLen)))"""))
           .otherwise(array().cast("array<string>")))
           .as(Seq("seg_idx", "seg")))
+  }
 
   /** Reusable keeper set: one row per DISTINCT segment with its
     * globally-first occurrence — the skew-immune min-struct aggregate

@@ -407,6 +407,8 @@ object TextAnalysis {
     */
   def mixtureSample(docsDf: DataFrame, domainCol: String,
                     weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => !w.isNaN),
+      "mixture weights must not be NaN") // NaN would silently drop the domain
     val u = expr("cast(conv(substring(md5(text), 1, 4), 16, 10) as int)")
     val threshold = weights.foldLeft(lit(65536)) { case (acc, (dom, w)) =>
       when(col(domainCol) === dom,
