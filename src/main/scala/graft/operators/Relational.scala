@@ -485,6 +485,30 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** File-lineage reads: `input_file_name()` ties every row back to its
+    * source file — the primitive behind quarantine ("which file produced
+    * the bad rows?") and incremental-audit tooling at 100 TB. The row
+    * re-reads the partitioned-sink scratch table (shared, build-once) and
+    * proves the per-file row attribution by re-deriving each file's
+    * partition value FROM ITS PATH and aggregating — the counts must
+    * equal the table's own group-by, which is what the oracle computes.
+    */
+  private def scanFileLineage(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"part_orders_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "orders"))) { dir =>
+      Tables.load(s, d, "orders")
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(s"$dir/orders_by_status")
+    }
+    s.read.parquet(s"$dir/orders_by_status")
+      .select(regexp_extract(input_file_name(),
+        "o_orderstatus=([^/]+)/", 1).as("status_from_path"))
+      .groupBy(col("status_from_path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_from_path"))
+  }
+
   /** Bit-interleave two 16-bit ranks into a Morton (Z-order) value —
     * pure built-in bitwise ops, so the whole layout expression stays
     * inside whole-stage codegen.
@@ -1230,6 +1254,18 @@ object Relational {
       ORDER BY o.o_orderkey, t.l_linenumber""")
   }
 
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — flag-mask rollups
+    * (permission masks, feature flags, bloom-ish unions) as two-phase
+    * grouped aggregates.
+    */
+  private def aggBitwise(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_partkey")).as("mask_and"),
+        bit_or(col("l_partkey")).as("mask_or"),
+        bit_xor(col("l_partkey")).as("mask_xor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Boolean aggregates (bool_and / bool_or) — the data-quality assertion
     * tier ("EVERY row in the partition satisfies X") as grouped columns.
     */
@@ -1541,6 +1577,8 @@ object Relational {
     "join_lateral" -> joinLateral _,
     "sql_recursive_cte" -> sqlRecursiveCte _,
     "agg_bool" -> aggBool _,
+    "agg_bitwise" -> aggBitwise _,
+    "scan_file_lineage" -> scanFileLineage _,
     "expr_lambda" -> exprLambda _,
     "expr_string_ext" -> exprStringExt _,
     "expr_bitwise" -> exprBitwise _,
@@ -1716,6 +1754,16 @@ object Relational {
       ) t
       WHERE o.o_orderkey < 500
       ORDER BY o.o_orderkey, t.l_linenumber""",
+    "scan_file_lineage" -> """
+      SELECT o_orderstatus AS status_from_path, COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    "agg_bitwise" -> """
+      SELECT l_returnflag,
+             bit_and(l_partkey) AS mask_and,
+             bit_or(l_partkey) AS mask_or,
+             bit_xor(l_partkey) AS mask_xor,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_bool" -> """
       SELECT l_returnflag,
              bool_and(l_quantity > 0) AS all_qty_pos,
