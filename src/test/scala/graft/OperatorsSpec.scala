@@ -396,6 +396,45 @@ class PlanSpec extends AnyFunSuite {
     assert(df.filter(col("v_new").isNotNull).count() == 5)
   }
 
+  test("hash-agg fallback and input-split sizing change plans, never results") {
+    import org.apache.spark.sql.functions._
+    // spill-awareness contract: when per-group state outgrows memory the
+    // aggregate must degrade to the sort-based path with identical
+    // results — force the fallback at threshold 1 and compare
+    val baseline = SparkEntry.queries("text_vocab")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val saved = spark.conf.getOption(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    try {
+      val spilled = SparkEntry.queries("text_vocab")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(spilled == baseline)
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
+      case None => spark.conf.unset(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    }
+    // split sizing: tiny maxPartitionBytes multiplies input splits (how a
+    // 100 TB scan spreads over executors) without changing any value
+    val docs = Tables.load(spark, sfDir, "documents")
+    val wide = docs.rdd.getNumPartitions
+    val savedB = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      val narrow = Tables.load(spark, sfDir, "documents")
+      assert(narrow.rdd.getNumPartitions > wide,
+        s"split sizing had no effect: ${narrow.rdd.getNumPartitions} vs $wide")
+      assert(narrow.agg(sum(col("n_chars"))).collect()(0).getLong(0) ==
+        docs.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+    } finally savedB match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("content-addressed ids are stable under repartitioning; mii is not") {
     import org.apache.spark.sql.functions._
     // the determinism contract behind every carve/sample/dedup key in this
