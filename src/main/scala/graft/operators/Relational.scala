@@ -1278,6 +1278,46 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** VARIANT semi-structured type (Spark 4): `parse_json` once into a
+    * binary variant, then typed `variant_get` path extraction — the
+    * schema-on-read form that replaces per-path JSON re-parsing
+    * (`get_json_object` re-parses the string for every path; variant
+    * parses once and every extraction is a binary traversal). The
+    * `n_missing` column pins the schema-drift contract: an absent path is
+    * NULL, never an error — at 100 TB, producer drift must not abort the
+    * consumer.
+    */
+  private def exprVariant(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    ev.select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("variant_get(v, '$.absent', 'long')").as("missing"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("missing").isNull, 1).otherwise(0)).cast("long")
+          .as("n_missing"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Collated comparison (Spark 4 string collations): grouping under
+    * UTF8_LCASE merges case-variants of a key — the engine-level form of
+    * the lower()-normalization the text pipeline does manually. A mixed-
+    * case key column is constructed deterministically (half the rows
+    * lowercased); `lower()` of ANY group member renders the group key
+    * deterministically because members differ only by case.
+    */
+  private def exprCollation(s: SparkSession, d: String): DataFrame = {
+    val mixed = when(pmod(col("c_custkey"), lit(2)) === 0,
+      lower(col("c_mktsegment"))).otherwise(col("c_mktsegment"))
+    cust(s, d).select(mixed.as("seg"))
+      .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("segc"))
+      .agg(count(lit(1)).as("n"))
+      .select(lower(col("segc")).cast("string").as("segment"), col("n"))
+      .orderBy(col("segment"))
+  }
+
   /** MAP-type surface (construct / cardinality / key extraction / key
     * listing) — like [[exprArrayFuncs]], emitted as scalars: DuckDB 1.0's
     * `m['k']` extraction returns a LIST of matches (`[v]`), so the oracle
@@ -1574,6 +1614,8 @@ object Relational {
     "expr_regex" -> exprRegex _,
     "expr_array_funcs" -> exprArrayFuncs _,
     "expr_map_funcs" -> exprMapFuncs _,
+    "expr_variant" -> exprVariant _,
+    "expr_collation" -> exprCollation _,
     "join_lateral" -> joinLateral _,
     "sql_recursive_cte" -> sqlRecursiveCte _,
     "agg_bool" -> aggBool _,
@@ -1731,6 +1773,18 @@ object Relational {
         FROM documents)
       WHERE length(word) >= 4
       GROUP BY word ORDER BY n DESC, word LIMIT 25""",
+    "expr_variant" -> """
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             COUNT(*) AS n_missing
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "expr_collation" -> """
+      WITH t AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg
+        FROM customer)
+      SELECT lower(seg) AS segment, COUNT(*) AS n
+      FROM t GROUP BY lower(seg) ORDER BY segment""",
     "sql_recursive_cte" -> """
       WITH RECURSIVE months(m) AS (
         SELECT date_trunc('MONTH', MIN(o_orderdate)) FROM orders
