@@ -396,6 +396,22 @@ class PlanSpec extends AnyFunSuite {
     assert(df.filter(col("v_new").isNotNull).count() == 5)
   }
 
+  test("observe() metrics ride the main job without a second scan") {
+    import org.apache.spark.sql.functions._
+    // the audit pattern a production pipeline attaches to every stage:
+    // row counts and mass totals observed IN-FLIGHT on the same pass,
+    // instead of a .count() that re-runs the whole lineage
+    val obs = new org.apache.spark.sql.Observation("ingest_audit")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("n_chars")).as("chars"))
+    val written = docs.filter(col("n_chars") > 0).count()
+    assert(obs.get("rows").asInstanceOf[Long] >= written)
+    assert(obs.get("chars").asInstanceOf[Long] ==
+      Tables.load(spark, sfDir, "documents")
+        .agg(sum(col("n_chars"))).collect()(0).getLong(0))
+  }
+
   test("hash-agg fallback and input-split sizing change plans, never results") {
     import org.apache.spark.sql.functions._
     // spill-awareness contract: when per-group state outgrows memory the
