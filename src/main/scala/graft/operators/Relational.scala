@@ -485,6 +485,46 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TEXT source/sink round-trip — the line-oriented format raw corpus
+    * drops arrive in. Line files carry no ids and no order, so the gate
+    * compares order-free content aggregates recomputed by the oracle from
+    * the original table (fixture texts contain no newlines, so one doc =
+    * one line exactly).
+    */
+  private def sinkTextRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"text_docs_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "documents"))) { dir =>
+      Tables.load(s, d, "documents").select(col("text"))
+        .write.mode("overwrite").text(s"$dir/docs_txt")
+    }
+    s.read.text(s"$dir/docs_txt")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).cast("long").as("sum_chars"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(md5(col("value"))).as("min_md5"))
+  }
+
+  /** JSON (newline-delimited) SINK round-trip — the write side of the
+    * [[scan_ndjson]] source: typed columns survive the JSON encode/decode
+    * with schema-on-read.
+    */
+  private def sinkJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"json_docs_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "documents"))) { dir =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(s"$dir/docs_json")
+    }
+    s.read.json(s"$dir/docs_json")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** File-lineage reads: `input_file_name()` ties every row back to its
     * source file — the primitive behind quarantine ("which file produced
     * the bad rows?") and incremental-audit tooling at 100 TB. The row
@@ -1621,6 +1661,8 @@ object Relational {
     "agg_bool" -> aggBool _,
     "agg_bitwise" -> aggBitwise _,
     "scan_file_lineage" -> scanFileLineage _,
+    "sink_text_roundtrip" -> sinkTextRoundtrip _,
+    "sink_json_roundtrip" -> sinkJsonRoundtrip _,
     "expr_lambda" -> exprLambda _,
     "expr_string_ext" -> exprStringExt _,
     "expr_bitwise" -> exprBitwise _,
@@ -1808,6 +1850,17 @@ object Relational {
       ) t
       WHERE o.o_orderkey < 500
       ORDER BY o.o_orderkey, t.l_linenumber""",
+    "sink_text_roundtrip" -> """
+      SELECT COUNT(*) AS n_lines,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+             COUNT(DISTINCT text) AS n_distinct,
+             MIN(md5(text)) AS min_md5
+      FROM documents""",
+    "sink_json_roundtrip" -> """
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MAX(doc_id) AS max_doc
+      FROM documents GROUP BY lang ORDER BY lang""",
     "scan_file_lineage" -> """
       SELECT o_orderstatus AS status_from_path, COUNT(*) AS n
       FROM orders GROUP BY 1 ORDER BY 1""",
