@@ -269,8 +269,39 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** In-row recall gate for the approximate tiers (the sketch rows'
+    * error-band-boolean pattern): the approximate result's recall@k against
+    * the exact brute-force ranking — computed in the SAME job — is compared
+    * to a literal floor, and the row emits `(n_queries, k, recall_ok)`. The
+    * DuckDB oracle reproduces n_queries/k from the data and asserts
+    * `recall_ok` literally TRUE, so the approximate rows are hash-gated
+    * like every other row while staying approximate by contract: the gate
+    * pins the CONTRACT (recall ≥ floor at the production operating point),
+    * not the exact ranking, which the exact siblings
+    * ([[ivfFullProbe]]/[[pqFullRerank]]) already pin row-for-row.
+    */
+  private def recallGate(approx: DataFrame, exact: DataFrame,
+                         floor: Double): DataFrame =
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"),
+           (sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+      .select(col("n_queries"), lit(TopK).as("k"),
+        (col("recall") >= lit(floor)).as("recall_ok"))
+
+  /** Floors for [[recallGate]]. Measured recall@5 on the deterministic
+    * fixtures (decimal-summed k-means makes both exactly reproducible):
+    * IVF nprobe=2 = 0.84, PQ shortlist-50 = 0.76 at sf0.001. Floors sit at
+    * 0.6 — far enough below the operating point that a different fixture
+    * SF can't flake the gate, far enough above chance (TopK/corpus ≈ 0.008
+    * at sf0.01) that a broken index can't pass it.
+    */
+  private val IvfRecallFloor = 0.6
+  private val PqRecallFloor = 0.6
+
   private def ivfTopK(s: SparkSession, d: String): DataFrame =
-    ivfTopKWithProbes(s, d, NProbe)
+    recallGate(ivfTopKWithProbes(s, d, NProbe), bruteTopK(s, d), IvfRecallFloor)
 
   /** IVF at nprobe = NCells: every cell is probed, so recall is 1 BY
     * CONSTRUCTION and the result must equal the brute-force oracle
@@ -369,6 +400,9 @@ object Similarity {
     */
   def pqTopK(s: SparkSession, d: String): DataFrame =
     pqTopKWithShortlist(s, d, PqShortlist)
+
+  private def pqTopKGated(s: SparkSession, d: String): DataFrame =
+    recallGate(pqTopK(s, d), bruteTopK(s, d), PqRecallFloor)
 
   /** PQ top-k with a configurable shortlist width (public so the spec can
     * exercise it and so [[pqFullRerank]] can set shortlist = corpus size).
@@ -570,7 +604,7 @@ object Similarity {
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
     "ann_ivf_full_probe" -> ivfFullProbe _,
-    "ann_pq_topk" -> (pqTopK _),
+    "ann_pq_topk" -> (pqTopKGated _),
     "ann_pq_full_rerank" -> pqFullRerank _,
     "dedup_embedding_threshold" -> embeddingThreshold _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _
@@ -594,8 +628,20 @@ object Similarity {
       WHERE rnk <= $TopK
       ORDER BY qid, rnk"""
 
+  /** Oracle for the recall-gated approximate rows ([[recallGate]]):
+    * n_queries and k are reproduced from the data / the row contract, and
+    * the in-Spark recall-floor boolean is asserted literally TRUE — the
+    * same gate contract as the sketch rows' error bands.
+    */
+  private val RecallGateOracleSql = s"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST($TopK AS INT) AS k,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < $NQueries"""
+
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> BruteOracleSql,
+    "ann_ivf_topk" -> RecallGateOracleSql,
+    "ann_pq_topk" -> RecallGateOracleSql,
     "ann_ivf_full_probe" -> BruteOracleSql,
     "ann_pq_full_rerank" -> BruteOracleSql,
     "dedup_embedding_threshold" -> s"""

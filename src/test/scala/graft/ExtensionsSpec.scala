@@ -330,7 +330,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("pq production shortlist: exact re-rank cosines and high recall vs brute") {
-    val pq = operators.Similarity.queries("ann_pq_topk")(spark, sfDir).collect()
+    val pq = operators.Similarity.pqTopK(spark, sfDir).collect()
     val brute = operators.Similarity.queries("ann_brute_topk")(spark, sfDir)
       .collect()
     // (a) re-rank exactness: every returned cosine equals the exact value
