@@ -178,7 +178,8 @@ object Dedup {
   private def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
     val K = 10
     GraftFunctions.register(s)
-    val sh = shingleSets(s, d).filter(size(col("sh")) > 0)
+    val shAll = shingleSets(s, d)
+    val sh = shAll.filter(size(col("sh")) > 0)
     val bands = bandKeys(sh)
     val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
         col("h1"), col("h2"))
@@ -187,13 +188,35 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val n = docs(s, d).select(col("doc_id"), TF.normText(col("text")).as("norm"))
-    candidates
+    val banded = candidates
       .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
       .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
       .filter(abs(length(col("na")) - length(col("nb"))) <= K)
       .withColumn("edit_dist", levenshtein(col("na"), col("nb")))
       .filter(col("edit_dist") <= K)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+    // docs below the shingle width (< 3 words after normalization) carry
+    // no bands, so banding can never surface their pairs; they are tiny
+    // by construction, so an exact broadcast path pairs each against
+    // every LENGTH-COMPATIBLE doc (the same O(1) screen) — recall 1 for
+    // the sub-width stratum at |tiny|×|short-docs| cost, not n². Disjoint
+    // from the banded branch (those pairs have shingles on both sides),
+    // so the union never double-counts across branches; the distinct
+    // collapses the two orderings a tiny–tiny pair arrives in.
+    val tiny = shAll.filter(size(col("sh")) === 0).select(col("doc_id"))
+      .join(n, Seq("doc_id"))
+    val tinyPairs = broadcast(
+        tiny.select(col("doc_id").as("ida"), col("norm").as("na")))
+      .join(n.select(col("doc_id").as("idb"), col("norm").as("nb")),
+        col("ida") =!= col("idb") &&
+          abs(length(col("na")) - length(col("nb"))) <= K)
+      .withColumn("edit_dist", levenshtein(col("na"), col("nb")))
+      .filter(col("edit_dist") <= K)
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"),
+              col("edit_dist"))
+      .distinct()
+    banded.unionByName(tinyPairs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

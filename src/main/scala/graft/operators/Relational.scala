@@ -1192,18 +1192,18 @@ object Relational {
     * aggregate, broadcast back, and binning is a map-only comparison +
     * two-phase count — at scale the exact percentile swaps for
     * `approx_percentile` and nothing else changes. Cross-engine hash
-    * safety: an interpolated boundary lies strictly BETWEEN two data
-    * values (or exactly ON a tied value), so `<=` bucketing is identical
-    * in both engines even where their interpolation formulae round a ulp
-    * apart — and the output carries only actual data values (counts,
-    * per-bucket min/max), never the interpolated boundaries themselves.
+    * safety: boundaries are DISCRETE percentiles (`percentile_disc` /
+    * `quantile_disc`), i.e. actual data values by construction — an
+    * interpolated (`percentile_cont`) boundary landing exactly ON a data
+    * value in one engine and a ulp away in the other would flip that
+    * row's `<=` bucket and silently diverge n/min_v/max_v.
     */
   private def aggHistogramEqDepth(s: SparkSession, d: String): DataFrame = {
     val o = ord(s, d)
     val b = o.agg(
-      expr("percentile(o_totalprice, 0.25)").as("q1"),
-      expr("percentile(o_totalprice, 0.5)").as("q2"),
-      expr("percentile(o_totalprice, 0.75)").as("q3"))
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("q1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("q3"))
     o.crossJoin(broadcast(b))
       .select(
         when(col("o_totalprice") <= col("q1"), 0)
@@ -1799,9 +1799,9 @@ object Relational {
       FROM orders GROUP BY bin ORDER BY bin""",
     "agg_histogram_eqdepth" -> """
       WITH b AS (
-        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
-               quantile_cont(o_totalprice, 0.5)  AS q2,
-               quantile_cont(o_totalprice, 0.75) AS q3
+        SELECT quantile_disc(o_totalprice, 0.25) AS q1,
+               quantile_disc(o_totalprice, 0.5)  AS q2,
+               quantile_disc(o_totalprice, 0.75) AS q3
         FROM orders)
       SELECT CASE WHEN o_totalprice <= q1 THEN 0
                   WHEN o_totalprice <= q2 THEN 1

@@ -395,21 +395,22 @@ object TextAnalysis {
       .orderBy(col("source"))
 
   /** Library form of [[sampleMixture]]: keep each row of `docsDf` (needs
-    * `text` and `domainCol`) with the probability its domain's mixture
-    * weight assigns, via the content-addressed carve — the first 4 md5
-    * hex digits read as a 16-bit integer give a uniform u ∈ [0, 65536)
-    * that is a pure function of the TEXT, so membership never depends on
-    * partitioning, cluster size, or corpus growth, and re-running the mix
-    * after new ingestion never flips a previously-kept document. Weights
-    * quantize to 1/65536 steps (a weight ≥ 1 keeps everything); unlisted
-    * domains keep everything. Map-only: one hash + one comparison per
-    * row, no RNG state, no shuffle.
+    * `contentCol` and `domainCol`) with the probability its domain's
+    * mixture weight assigns, via the content-addressed carve — the first
+    * 4 md5 hex digits read as a 16-bit integer give a uniform
+    * u ∈ [0, 65536) that is a pure function of the CONTENT, so membership
+    * never depends on partitioning, cluster size, or corpus growth, and
+    * re-running the mix after new ingestion never flips a previously-kept
+    * document. Weights quantize to 1/65536 steps (a weight ≥ 1 keeps
+    * everything); unlisted domains keep everything. Map-only: one hash +
+    * one comparison per row, no RNG state, no shuffle.
     */
   def mixtureSample(docsDf: DataFrame, domainCol: String,
-                    weights: Map[String, Double]): DataFrame = {
+                    weights: Map[String, Double],
+                    contentCol: String = "text"): DataFrame = {
     require(weights.values.forall(w => !w.isNaN),
       "mixture weights must not be NaN") // NaN would silently drop the domain
-    val u = expr("cast(conv(substring(md5(text), 1, 4), 16, 10) as int)")
+    val u = conv(substring(md5(col(contentCol)), 1, 4), 16, 10).cast("int")
     val threshold = weights.foldLeft(lit(65536)) { case (acc, (dom, w)) =>
       when(col(domainCol) === dom,
         lit(math.min(math.max(w, 0.0), 1.0) * 65536).cast("int"))

@@ -37,6 +37,15 @@ case class CartesianGuard(spark: SparkSession) extends Rule[LogicalPlan] {
       if (t > 0) t else 10L * 1024 * 1024
     }
     plan.foreach {
+      // an explicit broadcast hint on either side is the user saying "I
+      // know this side is small" — honoring it keeps the error message's
+      // own advice ("broadcast() a side you know is small") true even
+      // when the optimizer's stats estimate disagrees
+      case Join(left, right, joinType, None, hint)
+          if hint.leftHint.exists(_.strategy.contains(
+               org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+             hint.rightHint.exists(_.strategy.contains(
+               org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) =>
       case Join(left, right, joinType, None, _) =>
         val (l, r) = (left.stats.sizeInBytes, right.stats.sizeInBytes)
         if (l > threshold && r > threshold)

@@ -455,7 +455,7 @@ class SimilaritySpec extends AnyFunSuite {
       val c = centers(i % 8)
       (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    val dir = SparkTestSession.tempDir("graft_planted")
     spark.createDataFrame(vecs).toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
@@ -538,7 +538,7 @@ class StreamingSpec extends AnyFunSuite {
     // re-appending the corpus — the property that makes a crashed 100 TB
     // ingestion restartable instead of double-counting
     import org.apache.spark.sql.streaming.Trigger
-    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val base = SparkTestSession.tempDir("graft_ckpt")
     // the memory sink cannot recover from a checkpoint — the durable
     // parquet sink is the one a real ingestion uses anyway
     def run(): Long = {
@@ -912,7 +912,7 @@ class TextPipelineSpec extends AnyFunSuite {
     // the 100 TB claim made by pipeline_corpus's scaladoc, demonstrated:
     // writing every stage out and reading it back changes nothing
     import operators.TextAnalysis._
-    val base = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val base = SparkTestSession.tempDir("graft_pipe")
     val raw = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     stageQuality(raw).write.parquet(s"$base/q")

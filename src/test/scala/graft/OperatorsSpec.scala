@@ -89,7 +89,7 @@ class OperatorsSpec extends AnyFunSuite {
         .select(col("event_id"))
     val zDf = box(spark.read.parquet(
       operators.Relational.zorderedEventsDir(spark, sfDir)))
-    val base = java.nio.file.Files.createTempDirectory("graft_zorder_ctl").toString
+    val base = SparkTestSession.tempDir("graft_zorder_ctl")
     streaming.Streaming.events(spark, sfDir)
       .repartition(32).write.mode("overwrite").parquet(s"$base/events_rand")
     val ctl = box(spark.read.parquet(s"$base/events_rand"))
@@ -183,7 +183,7 @@ class OperatorsSpec extends AnyFunSuite {
     import graft.context.{Compression, SessionContext}
     val ctx = new SessionContext(spark)
     val src = Tables.load(spark, sfDir, "nation")
-    val base = java.nio.file.Files.createTempDirectory("graft_ctx_rt").toString
+    val base = SparkTestSession.tempDir("graft_ctx_rt")
     ctx.writeOrc(src, s"$base/nation_orc", Compression.Zstd)
     ctx.writeJson(src, s"$base/nation_json")
     ctx.registerOrc("nation_orc_rt", s"$base/nation_orc")
@@ -384,7 +384,7 @@ class PlanSpec extends AnyFunSuite {
     // a 100 TB table grows columns over its lifetime; new ingestion days
     // carry new fields and the old files must read back as NULLs — the
     // mergeSchema union is the contract that makes additive evolution safe
-    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val dir = SparkTestSession.tempDir("graft_evo")
     spark.range(5).select(col("id"), lit(1L).as("v_old"))
       .write.parquet(s"$dir/day=1")
     spark.range(5).select(col("id"), lit(2L).as("v_old"),
@@ -494,7 +494,7 @@ class PlanSpec extends AnyFunSuite {
     // at 100 TB some file in some batch IS eventually truncated/corrupt;
     // the read contract must be explicit: fail loudly by default, skip
     // loudly when the job opts in
-    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val dir = SparkTestSession.tempDir("graft_corrupt")
     spark.range(100).select(lit(1).as("v")).write.parquet(s"$dir/data")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/data/part-corrupt.parquet"),

@@ -23,6 +23,24 @@ object SparkTestSession {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Temp dir recursively deleted when the test JVM exits — bare
+    * `createTempDirectory` call sites accumulated parquet litter across
+    * runs (ADVICE r6). A shutdown hook (not `deleteOnExit`, which only
+    * removes EMPTY dirs) so test bodies stay linear, no try/finally.
+    */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 }
 
 class TpchSpec extends AnyFunSuite {
