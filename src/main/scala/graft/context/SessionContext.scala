@@ -148,6 +148,10 @@ object SessionContext {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // nanosecond-precision parquet timestamps (as the driver fixtures
+      // carry) surface as LongType instead of an illegal-type error —
+      // same setting every other entry point of this repo runs with
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -63,7 +63,25 @@ object Dedup {
   // -- exact n-gram Jaccard via inverted index ---------------------------
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d).cache()
+    // Exact-duplicate pre-collapse: identical normalized text ⇒ identical
+    // shingle set ⇒ identical Jaccard against EVERYTHING (and exactly 1.0
+    // within the group), so the candidate/verify machinery only ever needs
+    // one representative per distinct text; member pairs are re-expanded
+    // afterwards from the group table. This is the standard corpus-
+    // pipeline ordering (exact dedup before near-dup) made internal to the
+    // operator: replica-heavy corpora multiply every posting list, so
+    // skipping the collapse turns the prefix index's Σdf² term quadratic
+    // in the replication factor (measured: the ×10-replica SF≈1 canary
+    // dropped 59.4 s → expansion-bound seconds with the collapse). The
+    // md5 group key keeps the groupBy shuffle skinny (16 bytes, not the
+    // document); a cross-text collision needs 2^-128.
+    val keyed = docs(s, d).select(col("doc_id"),
+      md5(TF.normText(col("text"))).as("gk"))
+    val groups = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
+    val members = keyed.join(groups, Seq("gk"))
+    val sh = shingleSets(s, d)
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"))
+      .cache()
     // Prefix filtering (Chaudhuri et al., ICDE 2006 / ppjoin): under a
     // global shingle order (rarest first), any pair with J ≥ t must share
     // one of each member's first floor((1-t)·|sh|)+1 shingles. Indexing
@@ -99,14 +117,36 @@ object Dedup {
     // explosion costs more than the verify join it saves, and inflating the
     // self-join's shuffle rows by an array payload is also the wrong trade
     // at 100 TB. Keeping the two skinny id-keyed joins is the faster shape.
-    candidates
+    val repPairs = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", lit(1.0) * col("common") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("jaccard"))
+    // re-expand representative pairs to member pairs (groups are disjoint,
+    // so least/greatest canonicalization never double-counts), and emit
+    // the intra-group pairs — identical sets, Jaccard exactly 1.0 — for
+    // every ≥3-word duplicate group. Both stages are output-bound: they
+    // produce exactly the rows the exact pair set contains, no more.
+    val cross = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("ida")),
+        Seq("rep_a"))
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("idb")),
+        Seq("rep_b"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+    // only docs that shingle (≥3 words) participate, same as the oracle
+    val withSh = members
+      .join(sh.filter(size(col("sh")) > 0).select(col("doc_id").as("rep")),
+        Seq("rep"), "left_semi")
+    val intra = withSh.select(col("gk"), col("doc_id").as("ida"))
+      .join(withSh.select(col("gk"), col("doc_id").as("idb")), Seq("gk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

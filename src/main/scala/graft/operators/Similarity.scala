@@ -291,11 +291,12 @@ object Similarity {
         (col("recall") >= lit(floor)).as("recall_ok"))
 
   /** Floors for [[recallGate]]. Measured recall@5 on the deterministic
-    * fixtures (decimal-summed k-means makes both exactly reproducible):
-    * IVF nprobe=2 = 0.84, PQ shortlist-50 = 0.76 at sf0.001. Floors sit at
-    * 0.6 — far enough below the operating point that a different fixture
-    * SF can't flake the gate, far enough above chance (TopK/corpus ≈ 0.008
-    * at sf0.01) that a broken index can't pass it.
+    * fixtures (decimal-summed k-means makes them exactly reproducible):
+    * IVF nprobe=2 = 0.84 / 0.80 / 0.88 and PQ at the scaled shortlist =
+    * 0.76 / 0.84 / 0.88 across sf0.001/0.01/0.1. Floors sit at 0.6 — far
+    * enough below every operating point that a different fixture SF can't
+    * flake the gate, far enough above chance (TopK/corpus ≤ 0.01) that a
+    * broken index can't pass it.
     */
   private val IvfRecallFloor = 0.6
   private val PqRecallFloor = 0.6
@@ -398,8 +399,22 @@ object Similarity {
     * the stored vectors for the exact cosine re-rank — at 100 TB that is
     * the difference between scanning 8 bytes/vector and 512.
     */
-  def pqTopK(s: SparkSession, d: String): DataFrame =
-    pqTopKWithShortlist(s, d, PqShortlist)
+  /** Production PQ row. The shortlist scales as max(50, n/10): with a
+    * FIXED codebook budget (m×ksub = 8×16) the ADC rank noise admits a
+    * corpus-proportional number of impostors above a true neighbor, so a
+    * constant shortlist silently loses recall as the corpus grows
+    * (measured recall@5 at shortlist 50: 0.76 at n=500 but 0.50 at
+    * n=2000; at n/10 it holds 0.76/0.84/0.88 across the fixtures). A
+    * production system turns the same dial the other way too — scale the
+    * codebook with the corpus and keep the shortlist near-constant;
+    * either way the exact re-rank stays a user-budgeted linear fraction,
+    * and the in-row recall gate is what catches the drift.
+    */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val (_, codesPath) = buildPqIndex(s, d)
+    val n = s.read.parquet(codesPath).count()
+    pqTopKWithShortlist(s, d, math.max(PqShortlist, (n / 10).toInt))
+  }
 
   private def pqTopKGated(s: SparkSession, d: String): DataFrame =
     recallGate(pqTopK(s, d), bruteTopK(s, d), PqRecallFloor)

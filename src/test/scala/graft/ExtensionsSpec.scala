@@ -250,6 +250,36 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_docs") ==
       r.getAs[Long]("n_unique") + r.getAs[Long]("n_dupes"))
   }
+
+  test("jaccard exact-duplicate pre-collapse expands to the full pair set") {
+    // replicate the corpus once (exact copies at doc_id+offset) and check
+    // the operator's collapse→index→expand path produces EXACTLY the
+    // brute expansion of the base answer: every base pair (a,b,j) becomes
+    // the 4 member pairs at the same j, and every ≥3-word doc gains its
+    // (d, d+off, 1.0) replica pair. This pins the property that made the
+    // ×10-replica SF≈1 canary linear instead of quadratic in the
+    // replication factor.
+    val off = 1000000L
+    val base = Tables.load(spark, sfDir, "documents")
+    val dir = SparkTestSession.tempDir("graft_jacrep")
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + off))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def key(j: Double) = BigDecimal(j).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val basePairs = operators.Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), key(r.getDouble(2))))
+    val eligible = base.select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("nm"))
+      .filter(size(split(col("nm"), " ")) >= 3)
+      .collect().map(_.getLong(0))
+    val want = (basePairs.flatMap { case (a, b, j) =>
+      for (x <- Seq(a, a + off); y <- Seq(b, b + off))
+        yield (math.min(x, y), math.max(x, y), j)
+    } ++ eligible.map(d => (d, d + off, key(1.0)))).toSet
+    val got = operators.Dedup.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), key(r.getDouble(2)))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

@@ -528,6 +528,11 @@ class PlanSpec extends AnyFunSuite {
         s"wrong failure: $e")
       // a small side is a legitimate broadcast nested-loop plan — allowed
       big1.crossJoin(spark.range(10)).queryExecution.optimizedPlan
+      // an explicit broadcast() hint is the user vouching for a side the
+      // stats estimate can't see is small — the guard honors it, so its
+      // own error-message advice actually works (ADVICE r6)
+      big1.crossJoin(org.apache.spark.sql.functions.broadcast(big2))
+        .queryExecution.optimizedPlan
       // conditioned joins are never touched
       big1.join(big2.withColumnRenamed("id", "id2"),
         org.apache.spark.sql.functions.col("id") ===

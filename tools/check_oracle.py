@@ -2,13 +2,30 @@
 """Local replica of the driver's correctness gate: run Verify's parquet
 dumps against the DuckDB oracle (oracle_sql.json) on the same sf dir.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--skip-n2]
+
+--skip-n2 excludes the oracles whose DUCKDB side is quadratic (exact
+pair-set cross joins / list-intersection self-joins) — the Spark side of
+every one of them is sub-quadratic, it is only the oracle formulation
+that can't scale. This is the sf0.1 gate tier: everything else must
+still be green at 10x the regular gate SF.
 """
 import json, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# oracle SQL (not Spark) is n^2 in the corpus: exact jaccard / lev /
+# cosine pair sets, recursive closure over the pair graph, and the
+# brute-force ANN ranking the recall gates reuse
+N2_ORACLES = {
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_edit_distance",
+    "dedup_clusters", "dedup_keep", "dedup_incremental",
+    "dedup_embedding_threshold", "dedup_embedding_cos", "dedup_embedding_lsh",
+    "text_decontaminate",
+    "ann_brute_topk", "ann_ivf_full_probe", "ann_pq_full_rerank",
+}
 
 
 def canon(rows, cols):
@@ -27,14 +44,17 @@ def canon(rows, cols):
     return [c for c in sorted(cols)], out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip_n2=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    skipped = [n for n in sorted(oracle) if skip_n2 and n in N2_ORACLES]
+    for n in skipped:
+        print(f"SKIP {n} (n^2 oracle, excluded at this tier)")
+    for name in sorted(n for n in oracle if n not in skipped):
         sql = oracle[name]
         try:
             want = con.execute(sql)
@@ -71,9 +91,10 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    skip_note = f", {len(skipped)} skipped (n^2 oracle)" if skipped else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skip_note} ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], "--skip-n2" in sys.argv[3:]))
