@@ -549,6 +549,96 @@ object Relational {
       .orderBy(col("status_from_path"))
   }
 
+  /** Logical-plan wire-format round-trip, DataFrame-built — the analog of
+    * the reference's protobuf serde layer and its `roundtrip_test!` units
+    * (rust/core/src/serde/logical_plan/mod.rs:56-920): the query below is
+    * analyzed, serialized to the JSON wire form of
+    * [[graft.plans.PlanSerde]], parsed back, recompiled through the
+    * public DataFrame API, and it is the DESERIALIZED plan whose result
+    * the DuckDB oracle grades — so a semantic drift anywhere in
+    * extract/serialize/parse/compile fails the hash gate, exactly what
+    * the reference's serde tests assert with `plan == from_proto(
+    * to_proto(plan))`. Covers scan, equi-join, filter, grouped aggregate
+    * (incl. DISTINCT), sort, and limit nodes plus literal/binary/cast/
+    * alias expressions — the reference's LogicalPlanNode one-of surface
+    * (ballista.proto:180-283).
+    */
+  private def planSerdeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val l = li(s, d)
+    val o = ord(s, d)
+    val orig = l.join(o, l("l_orderkey") === o("o_orderkey"), "inner")
+      .filter(col("o_orderstatus") === "F" && col("l_quantity") < 30.0)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+      .limit(5)
+    graft.plans.PlanSerde.roundTrip(s, d, orig)
+  }
+
+  /** Same wire round-trip entered from SQL — the reference's client path
+    * (SQL text → logical plan → proto → scheduler,
+    * rust/client/src/context.rs:154-166): parse with Catalyst, analyze
+    * against a registered view, then trip the ANALYZED plan through the
+    * wire format. Exercises timestamp literals (epoch-micros on the
+    * wire), BETWEEN desugaring, and a global aggregate alongside the
+    * grouped one in [[planSerdeRoundtrip]].
+    */
+  private def planSerdeSql(s: SparkSession, d: String): DataFrame = {
+    li(s, d).createOrReplaceTempView("lineitem_serde")
+    val orig = s.sql("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue,
+             COUNT(*) AS n
+      FROM lineitem_serde
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+    graft.plans.PlanSerde.roundTrip(s, d, orig)
+  }
+
+  /** Per-FILE column statistics — the reference DECLARES this surface
+    * (PartitionStats/ColumnStats: num_rows, min/max/null_count/
+    * distinct_count per column, ballista.proto:473-485) and never
+    * populates it (`ColumnStats` is written by no reference code path);
+    * here it is computed for real: a partition-clustered write (one file
+    * per status by `repartition(partition col)` — at 100 TB this is the
+    * standard clustered-layout write, and stats collection stays a
+    * single map-side pass grouped by `input_file_name()`), then per-file
+    * num_rows/min/max/null_count/distinct_count. One file per partition
+    * value makes per-file stats equal per-status stats, which is what
+    * lets DuckDB oracle-check values the reference never produces.
+    */
+  private def profilePartitionStats(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"pstats_orders_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "orders"))) { dir =>
+      Tables.load(s, d, "orders")
+        .repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(s"$dir/orders_clustered")
+    }
+    s.read.parquet(s"$dir/orders_clustered")
+      .groupBy(input_file_name().as("file"),
+        col("o_orderstatus").cast(StringType).as("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("num_rows"),
+        round(min(col("o_totalprice")), 4).as("min_price"),
+        round(max(col("o_totalprice")), 4).as("max_price"),
+        (count(lit(1)) - count(col("o_orderpriority"))).as("null_count"),
+        countDistinct(col("o_custkey")).as("distinct_cust"))
+      .drop("file")
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Bit-interleave two 16-bit ranks into a Morton (Z-order) value —
     * pure built-in bitwise ops, so the whole layout expression stays
     * inside whole-stage codegen.
@@ -1661,6 +1751,9 @@ object Relational {
     "agg_bool" -> aggBool _,
     "agg_bitwise" -> aggBitwise _,
     "scan_file_lineage" -> scanFileLineage _,
+    "plan_serde_roundtrip" -> planSerdeRoundtrip _,
+    "plan_serde_sql" -> planSerdeSql _,
+    "profile_partition_stats" -> profilePartitionStats _,
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
     "sink_json_roundtrip" -> sinkJsonRoundtrip _,
     "expr_lambda" -> exprLambda _,
@@ -1864,6 +1957,36 @@ object Relational {
     "scan_file_lineage" -> """
       SELECT o_orderstatus AS status_from_path, COUNT(*) AS n
       FROM orders GROUP BY 1 ORDER BY 1""",
+    "plan_serde_roundtrip" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(*) AS n,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_quantity) AS max_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F' AND l_quantity < 30
+      GROUP BY l_returnflag ORDER BY l_returnflag LIMIT 5""",
+    "plan_serde_sql" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "profile_partition_stats" -> """
+      SELECT o_orderstatus,
+             COUNT(*) AS num_rows,
+             ROUND(MIN(o_totalprice), 4) AS min_price,
+             ROUND(MAX(o_totalprice), 4) AS max_price,
+             COUNT(*) - COUNT(o_orderpriority) AS null_count,
+             COUNT(DISTINCT o_custkey) AS distinct_cust
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_bitwise" -> """
       SELECT l_returnflag,
              bit_and(l_partkey) AS mask_and,

@@ -1,0 +1,471 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Raised when a plan or expression falls outside the wire subset. */
+class PlanSerdeException(msg: String) extends RuntimeException(msg)
+
+/** Logical-plan wire format + round-trip serde — the analog of the
+  * reference's protobuf plan serialization layer, which is its one test
+  * layer with no direct counterpart in a Spark build (Catalyst ships
+  * plans to executors natively, so none of this is needed to RUN
+  * queries; it exists to prove the same property the reference's serde
+  * unit tests prove: a logical plan survives a trip through an
+  * engine-independent wire form with its semantics intact).
+  *
+  * Reference mapping (rust/core/proto/ballista.proto):
+  *  - `LogicalPlanNode` one-of — scan :196-202, projection :204-207,
+  *    selection :209-212, aggregate :214-217, join :266-278,
+  *    limit :280-283, sort :157-161 — maps to [[WPlan]].
+  *  - `LogicalExprNode` one-of :14-45 (column, literal, binary op,
+  *    alias, IS NULL, NOT, CAST, aggregate call, scalar fn) maps to
+  *    [[WExpr]].
+  *  - the round-trip unit tests (rust/core/src/serde/logical_plan/
+  *    mod.rs:56-920, `roundtrip_test!` macro asserting
+  *    `plan == from_proto(to_proto(plan))`) map to the fixpoint +
+  *    result-equality checks in `PlanSerdeSpec` and the
+  *    `plan_serde_*` oracle rows.
+  *
+  * Three directions are implemented:
+  *  - [[fromLogical]]: Catalyst ANALYZED plan → wire ADT (the
+  *    reference's `to_proto`). Supports the reference's §2 logical
+  *    surface; anything outside raises [[PlanSerdeException]] naming
+  *    the node — the same contract as the reference's
+  *    `BallistaError::NotImplemented`.
+  *  - [[toJson]] / [[fromJson]]: wire ADT ↔ canonical JSON text (the
+  *    wire encoding; JSON rather than protobuf because the POINT is
+  *    engine-independence, not byte-compatibility — `toJson(fromJson
+  *    (j)) == j` exactly).
+  *  - [[compile]]: wire ADT → DataFrame against a scale-factor dir
+  *    (the reference's `from_proto` + DataFrame construction), built
+  *    purely from the public DataFrame/Column API so the deserialized
+  *    plan re-enters Catalyst like any user query and optimizes
+  *    normally (pushdown, broadcast, AQE — nothing about the trip
+  *    through the wire format disables an optimization).
+  *
+  * Scale note: serde runs on the DRIVER over plan trees (KBs), never
+  * over data; the compiled plan executes distributed exactly as if the
+  * user had written it directly.
+  */
+object PlanSerde {
+
+  // ------------------------------------------------------------------
+  // wire ADT
+  // ------------------------------------------------------------------
+
+  sealed trait WExpr
+  final case class WCol(name: String) extends WExpr
+  /** dtype ∈ {long, double, string, bool, date, timestamp, null:<t>};
+    * value is the canonical string form (epoch days / micros for
+    * date/timestamp — exactly what Catalyst's `Literal` stores).
+    */
+  final case class WLit(dtype: String, value: String) extends WExpr
+  /** op ∈ the reference's 13 binary ops (ballista.proto:47-61):
+    * and, or, eq, neq, lt, lteq, gt, gteq, plus, minus, multiply,
+    * divide, modulus.
+    */
+  final case class WBinary(op: String, left: WExpr, right: WExpr) extends WExpr
+  final case class WNot(child: WExpr) extends WExpr
+  final case class WIsNull(child: WExpr) extends WExpr
+  final case class WIsNotNull(child: WExpr) extends WExpr
+  final case class WCast(child: WExpr, to: String) extends WExpr
+  final case class WAlias(child: WExpr, name: String) extends WExpr
+  /** fn ∈ {min, max, sum, avg, count, count_star} (ballista.proto:121-132). */
+  final case class WAggCall(fn: String, arg: Option[WExpr],
+                            distinct: Boolean) extends WExpr
+  /** Whitelisted scalar functions by Catalyst prettyName. */
+  final case class WScalarFn(fn: String, args: Seq[WExpr]) extends WExpr
+  final case class WSortKey(child: WExpr, asc: Boolean,
+                            nullsFirst: Boolean) extends WExpr
+
+  sealed trait WPlan
+  final case class WScan(table: String) extends WPlan
+  final case class WProjection(input: WPlan, exprs: Seq[WExpr]) extends WPlan
+  final case class WSelection(input: WPlan, predicate: WExpr) extends WPlan
+  final case class WAggregate(input: WPlan, groups: Seq[WExpr],
+                              aggs: Seq[WExpr]) extends WPlan
+  /** joinType ∈ {inner, left, right, full, leftsemi, leftanti};
+    * equi-keys only, like the reference's HashJoinNode.
+    */
+  final case class WJoin(left: WPlan, right: WPlan, joinType: String,
+                         leftKeys: Seq[String],
+                         rightKeys: Seq[String]) extends WPlan
+  final case class WSort(input: WPlan, keys: Seq[WSortKey]) extends WPlan
+  final case class WLimit(input: WPlan, n: Long) extends WPlan
+
+  private val ScalarWhitelist = Set(
+    "year", "month", "day", "lower", "upper", "abs", "round", "sqrt",
+    "length", "concat", "coalesce", "substring")
+
+  // ------------------------------------------------------------------
+  // Catalyst analyzed plan -> wire (the reference's to_proto)
+  // ------------------------------------------------------------------
+
+  def fromLogical(plan: LogicalPlan): WPlan = plan match {
+    case s: SubqueryAlias => fromLogical(s.child)
+    case v: View => fromLogical(v.child)
+    case p: Project => WProjection(fromLogical(p.child),
+      p.projectList.map(fromExpr))
+    case f: Filter => WSelection(fromLogical(f.child), fromExpr(f.condition))
+    case a: Aggregate =>
+      // analyzed aggregateExpressions repeat the grouping attrs; the wire
+      // form (like the reference's AggregateNode group_expr/aggr_expr
+      // split) carries them once in `groups` and only the genuine
+      // aggregate calls in `aggs`
+      val aggs = a.aggregateExpressions.filter(e =>
+        e.exists(_.isInstanceOf[AggregateExpression]))
+      WAggregate(fromLogical(a.child), a.groupingExpressions.map(fromExpr),
+        aggs.map(fromExpr))
+    case j: Join =>
+      val jt = j.joinType.sql.toLowerCase.replace(" ", "")
+      val cond = j.condition.getOrElse(throw new PlanSerdeException(
+        "unsupported: non-equi join without condition"))
+      val (lk, rk) = equiKeys(cond, j.left, j.right)
+      WJoin(fromLogical(j.left), fromLogical(j.right), jt, lk, rk)
+    case s: Sort if s.global =>
+      WSort(fromLogical(s.child), s.order.map(o => WSortKey(
+        fromExpr(o.child), o.direction == Ascending,
+        o.nullOrdering == NullsFirst)))
+    case g: GlobalLimit => (g.limitExpr, g.child) match {
+      case (Literal(n: Int, IntegerType), l: LocalLimit) =>
+        WLimit(fromLogical(l.child), n.toLong)
+      case _ => throw new PlanSerdeException(
+        s"unsupported limit shape: ${g.simpleString(2)}")
+    }
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        val root = fs.location.rootPaths.headOption.map(_.getName)
+          .getOrElse(throw new PlanSerdeException("scan with no root path"))
+        WScan(root.stripSuffix(".parquet"))
+      case other => throw new PlanSerdeException(
+        s"unsupported relation: ${other.getClass.getSimpleName}")
+    }
+    case other => throw new PlanSerdeException(
+      s"unsupported logical node: ${other.nodeName} (wire subset covers " +
+      "scan/project/filter/aggregate/equi-join/sort/limit)")
+  }
+
+  /** Decompose a conjunction of column equalities into side-resolved key
+    * lists (the reference stores join keys as column-name pairs,
+    * ballista.proto:271-274).
+    */
+  private def equiKeys(cond: Expression, left: LogicalPlan,
+                       right: LogicalPlan): (Seq[String], Seq[String]) = {
+    def loop(e: Expression): Seq[(String, String)] = e match {
+      case And(a, b) => loop(a) ++ loop(b)
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (left.outputSet.contains(a) && right.outputSet.contains(b))
+          Seq(a.name -> b.name)
+        else if (left.outputSet.contains(b) && right.outputSet.contains(a))
+          Seq(b.name -> a.name)
+        else throw new PlanSerdeException(
+          s"join key not resolvable to one side each: ${e.sql}")
+      case other => throw new PlanSerdeException(
+        s"unsupported join condition (equi-conjunction only): ${other.sql}")
+    }
+    val pairs = loop(cond)
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  def fromExpr(e: Expression): WExpr = e match {
+    case a: AttributeReference => WCol(a.name)
+    case Alias(child, name) => WAlias(fromExpr(child), name)
+    case l: Literal => fromLiteral(l)
+    case c: Cast => WCast(fromExpr(c.child), c.dataType.catalogString)
+    case Not(child) => WNot(fromExpr(child))
+    case IsNull(child) => WIsNull(fromExpr(child))
+    case IsNotNull(child) => WIsNotNull(fromExpr(child))
+    // analyzed plans keep BETWEEN as a RuntimeReplaceable node (it only
+    // desugars at optimization); the wire form carries the desugared
+    // conjunction, like the reference's planner which has no Between node
+    case b: Between =>
+      WBinary("and",
+        WBinary("gteq", fromExpr(b.input), fromExpr(b.lower)),
+        WBinary("lteq", fromExpr(b.input), fromExpr(b.upper)))
+    case ae: AggregateExpression =>
+      val (fn, arg) = ae.aggregateFunction match {
+        case s: Sum => ("sum", Some(s.child))
+        case m: Min => ("min", Some(m.child))
+        case m: Max => ("max", Some(m.child))
+        case a: Average => ("avg", Some(a.child))
+        case Count(Seq(Literal(1, IntegerType))) => ("count_star", None)
+        case c: Count if c.children.size == 1 => ("count", Some(c.children.head))
+        case other => throw new PlanSerdeException(
+          s"unsupported aggregate: ${other.prettyName}")
+      }
+      WAggCall(fn, arg.map(fromExpr), ae.isDistinct)
+    case b: BinaryOperator if binOpName.contains(b.getClass.getSimpleName) =>
+      WBinary(binOpName(b.getClass.getSimpleName), fromExpr(b.left),
+        fromExpr(b.right))
+    case s if ScalarWhitelist.contains(s.prettyName) =>
+      WScalarFn(s.prettyName, s.children.map(fromExpr))
+    case other => throw new PlanSerdeException(
+      s"unsupported expression: ${other.getClass.getSimpleName} (${other.sql})")
+  }
+
+  private val binOpName: Map[String, String] = Map(
+    "And" -> "and", "Or" -> "or", "EqualTo" -> "eq",
+    "LessThan" -> "lt", "LessThanOrEqual" -> "lteq",
+    "GreaterThan" -> "gt", "GreaterThanOrEqual" -> "gteq",
+    "Add" -> "plus", "Subtract" -> "minus", "Multiply" -> "multiply",
+    "Divide" -> "divide", "Remainder" -> "modulus")
+
+  private def fromLiteral(l: Literal): WLit = (l.value, l.dataType) match {
+    case (null, t) => WLit(s"null:${t.catalogString}", "")
+    case (v: Boolean, BooleanType) => WLit("bool", v.toString)
+    case (v: Byte, ByteType) => WLit("long", v.toString)
+    case (v: Short, ShortType) => WLit("long", v.toString)
+    case (v: Int, IntegerType) => WLit("long", v.toString)
+    case (v: Long, LongType) => WLit("long", v.toString)
+    case (v: Float, FloatType) => WLit("double", v.toDouble.toString)
+    case (v: Double, DoubleType) => WLit("double", v.toString)
+    case (v: Decimal, _: DecimalType) => WLit("double", v.toDouble.toString)
+    case (v, StringType) => WLit("string", v.toString)
+    case (v: Int, DateType) => WLit("date", v.toString)
+    case (v: Long, TimestampType) => WLit("timestamp", v.toString)
+    case (v, t) => throw new PlanSerdeException(
+      s"unsupported literal type: ${t.catalogString} ($v)")
+  }
+
+  // ------------------------------------------------------------------
+  // wire -> DataFrame (the reference's from_proto + query build)
+  // ------------------------------------------------------------------
+
+  def compile(s: SparkSession, dir: String, p: WPlan): DataFrame = p match {
+    case WScan(t) => graft.Tables.load(s, dir, t)
+    case WProjection(in, es) =>
+      compile(s, dir, in).select(es.map(toColumn): _*)
+    case WSelection(in, pred) =>
+      compile(s, dir, in).filter(toColumn(pred))
+    case WAggregate(in, groups, aggs) =>
+      val df = compile(s, dir, in)
+      val aggCols = aggs.map(toColumn)
+      if (aggCols.isEmpty) throw new PlanSerdeException("aggregate with no aggs")
+      else if (groups.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(groups.map(toColumn): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    case WJoin(l, r, jt, lk, rk) =>
+      val ldf = compile(s, dir, l)
+      val rdf = compile(s, dir, r)
+      val cond = lk.zip(rk).map { case (a, b) => ldf(a) === rdf(b) }
+        .reduce(_ && _)
+      ldf.join(rdf, cond, jt)
+    case WSort(in, keys) =>
+      compile(s, dir, in).orderBy(keys.map { k =>
+        val c = toColumn(k.child)
+        (k.asc, k.nullsFirst) match {
+          case (true, true) => c.asc_nulls_first
+          case (true, false) => c.asc_nulls_last
+          case (false, true) => c.desc_nulls_first
+          case (false, false) => c.desc_nulls_last
+        }
+      }: _*)
+    case WLimit(in, n) => compile(s, dir, in).limit(n.toInt)
+  }
+
+  def toColumn(e: WExpr): Column = e match {
+    case WCol(n) => col(n)
+    case l: WLit => toLiteral(l)
+    case WBinary(op, a, b) =>
+      val (l, r) = (toColumn(a), toColumn(b))
+      op match {
+        case "and" => l && r
+        case "or" => l || r
+        case "eq" => l === r
+        case "neq" => l =!= r
+        case "lt" => l < r
+        case "lteq" => l <= r
+        case "gt" => l > r
+        case "gteq" => l >= r
+        case "plus" => l + r
+        case "minus" => l - r
+        case "multiply" => l * r
+        case "divide" => l / r
+        case "modulus" => l % r
+        case other => throw new PlanSerdeException(s"unknown binary op: $other")
+      }
+    case WNot(c) => !toColumn(c)
+    case WIsNull(c) => toColumn(c).isNull
+    case WIsNotNull(c) => toColumn(c).isNotNull
+    case WCast(c, to) => toColumn(c).cast(to)
+    case WAlias(c, n) => toColumn(c).as(n)
+    case WAggCall(fn, arg, distinct) => (fn, arg, distinct) match {
+      case ("count_star", None, false) => count(lit(1))
+      case ("count", Some(a), false) => count(toColumn(a))
+      case ("count", Some(a), true) => countDistinct(toColumn(a))
+      case ("sum", Some(a), false) => sum(toColumn(a))
+      case ("sum", Some(a), true) => sum_distinct(toColumn(a))
+      case ("min", Some(a), _) => min(toColumn(a))
+      case ("max", Some(a), _) => max(toColumn(a))
+      case ("avg", Some(a), false) => avg(toColumn(a))
+      case _ => throw new PlanSerdeException(s"unsupported agg call: $fn")
+    }
+    case WScalarFn(fn, args) if ScalarWhitelist.contains(fn) =>
+      call_function(fn, args.map(toColumn): _*)
+    case WScalarFn(fn, _) =>
+      throw new PlanSerdeException(s"scalar fn not in whitelist: $fn")
+    case k: WSortKey => throw new PlanSerdeException(
+      s"sort key outside sort: $k")
+  }
+
+  private def toLiteral(l: WLit): Column = l.dtype match {
+    case "bool" => lit(l.value.toBoolean)
+    case "long" => lit(l.value.toLong)
+    case "double" => lit(l.value.toDouble)
+    case "string" => lit(l.value)
+    // date/timestamp carry Catalyst's internal representation (epoch
+    // days / micros); both rebuild through foldable public functions, so
+    // ConstantFolding collapses them back to literals before pushdown
+    case "date" => date_from_unix_date(lit(l.value.toInt))
+    case "timestamp" => timestamp_micros(lit(l.value.toLong))
+    case t if t.startsWith("null:") =>
+      lit(null).cast(t.stripPrefix("null:"))
+    case other => throw new PlanSerdeException(s"unknown literal type: $other")
+  }
+
+  // ------------------------------------------------------------------
+  // wire <-> JSON (canonical: toJson(fromJson(j)) == j)
+  // ------------------------------------------------------------------
+
+  def toJson(p: WPlan): String = JsonMethods.compact(JsonMethods.render(planJ(p)))
+
+  def fromJson(s: String): WPlan = planOf(JsonMethods.parse(s))
+
+  private def planJ(p: WPlan): JObject = p match {
+    case WScan(t) => JObject("node" -> JString("scan"), "table" -> JString(t))
+    case WProjection(in, es) => JObject("node" -> JString("projection"),
+      "input" -> planJ(in), "exprs" -> JArray(es.map(exprJ).toList))
+    case WSelection(in, pr) => JObject("node" -> JString("selection"),
+      "input" -> planJ(in), "predicate" -> exprJ(pr))
+    case WAggregate(in, g, a) => JObject("node" -> JString("aggregate"),
+      "input" -> planJ(in), "groups" -> JArray(g.map(exprJ).toList),
+      "aggs" -> JArray(a.map(exprJ).toList))
+    case WJoin(l, r, jt, lk, rk) => JObject("node" -> JString("join"),
+      "left" -> planJ(l), "right" -> planJ(r), "join_type" -> JString(jt),
+      "left_keys" -> JArray(lk.map(JString(_)).toList),
+      "right_keys" -> JArray(rk.map(JString(_)).toList))
+    case WSort(in, ks) => JObject("node" -> JString("sort"),
+      "input" -> planJ(in), "keys" -> JArray(ks.map(exprJ).toList))
+    case WLimit(in, n) => JObject("node" -> JString("limit"),
+      "input" -> planJ(in), "n" -> JLong(n))
+  }
+
+  private def exprJ(e: WExpr): JObject = e match {
+    case WCol(n) => JObject("expr" -> JString("col"), "name" -> JString(n))
+    case WLit(t, v) => JObject("expr" -> JString("lit"),
+      "type" -> JString(t), "value" -> JString(v))
+    case WBinary(op, l, r) => JObject("expr" -> JString("binary"),
+      "op" -> JString(op), "left" -> exprJ(l), "right" -> exprJ(r))
+    case WNot(c) => JObject("expr" -> JString("not"), "child" -> exprJ(c))
+    case WIsNull(c) => JObject("expr" -> JString("is_null"), "child" -> exprJ(c))
+    case WIsNotNull(c) =>
+      JObject("expr" -> JString("is_not_null"), "child" -> exprJ(c))
+    case WCast(c, t) => JObject("expr" -> JString("cast"),
+      "child" -> exprJ(c), "to" -> JString(t))
+    case WAlias(c, n) => JObject("expr" -> JString("alias"),
+      "child" -> exprJ(c), "name" -> JString(n))
+    case WAggCall(f, a, d) => JObject(List(
+      "expr" -> JString("agg"), "fn" -> JString(f)) ++
+      a.map(x => "arg" -> (exprJ(x): JValue)).toList ++
+      List("distinct" -> JBool(d)))
+    case WScalarFn(f, as) => JObject("expr" -> JString("fn"),
+      "fn" -> JString(f), "args" -> JArray(as.map(exprJ).toList))
+    case WSortKey(c, asc, nf) => JObject("expr" -> JString("sort_key"),
+      "child" -> exprJ(c), "asc" -> JBool(asc), "nulls_first" -> JBool(nf))
+  }
+
+  private def str(j: JValue, field: String): String = j \ field match {
+    case JString(s) => s
+    case other => throw new PlanSerdeException(
+      s"wire json: expected string '$field', got $other")
+  }
+
+  private def arr(j: JValue, field: String): List[JValue] = j \ field match {
+    case JArray(xs) => xs
+    case other => throw new PlanSerdeException(
+      s"wire json: expected array '$field', got $other")
+  }
+
+  private def planOf(j: JValue): WPlan = str(j, "node") match {
+    case "scan" => WScan(str(j, "table"))
+    case "projection" =>
+      WProjection(planOf(j \ "input"), arr(j, "exprs").map(exprOf))
+    case "selection" => WSelection(planOf(j \ "input"), exprOf(j \ "predicate"))
+    case "aggregate" => WAggregate(planOf(j \ "input"),
+      arr(j, "groups").map(exprOf), arr(j, "aggs").map(exprOf))
+    case "join" =>
+      def keys(f: String) = arr(j, f).map {
+        case JString(k) => k
+        case o => throw new PlanSerdeException(s"wire json: $f entry $o")
+      }
+      WJoin(planOf(j \ "left"), planOf(j \ "right"),
+        str(j, "join_type"), keys("left_keys"), keys("right_keys"))
+    case "sort" => WSort(planOf(j \ "input"), arr(j, "keys").map(exprOf(_) match {
+      case k: WSortKey => k
+      case other => throw new PlanSerdeException(s"sort key expected, got $other")
+    }))
+    case "limit" => j \ "n" match {
+      case JLong(n) => WLimit(planOf(j \ "input"), n)
+      case JInt(n) => WLimit(planOf(j \ "input"), n.toLong)
+      case other => throw new PlanSerdeException(s"limit n: $other")
+    }
+    case other => throw new PlanSerdeException(s"unknown plan node: $other")
+  }
+
+  private def exprOf(j: JValue): WExpr = str(j, "expr") match {
+    case "col" => WCol(str(j, "name"))
+    case "lit" => WLit(str(j, "type"), str(j, "value"))
+    case "binary" =>
+      WBinary(str(j, "op"), exprOf(j \ "left"), exprOf(j \ "right"))
+    case "not" => WNot(exprOf(j \ "child"))
+    case "is_null" => WIsNull(exprOf(j \ "child"))
+    case "is_not_null" => WIsNotNull(exprOf(j \ "child"))
+    case "cast" => WCast(exprOf(j \ "child"), str(j, "to"))
+    case "alias" => WAlias(exprOf(j \ "child"), str(j, "name"))
+    case "agg" =>
+      val arg = j \ "arg" match {
+        case JNothing => None
+        case x => Some(exprOf(x))
+      }
+      val d = j \ "distinct" match {
+        case JBool(b) => b
+        case _ => false
+      }
+      WAggCall(str(j, "fn"), arg, d)
+    case "fn" => WScalarFn(str(j, "fn"), arr(j, "args").map(exprOf))
+    case "sort_key" =>
+      val asc = j \ "asc" match { case JBool(b) => b; case _ => true }
+      val nf = j \ "nulls_first" match { case JBool(b) => b; case _ => asc }
+      WSortKey(exprOf(j \ "child"), asc, nf)
+    case other => throw new PlanSerdeException(s"unknown expr node: $other")
+  }
+
+  // ------------------------------------------------------------------
+  // end-to-end round trip
+  // ------------------------------------------------------------------
+
+  /** DataFrame → analyzed plan → wire → JSON → wire → DataFrame, with the
+    * fixpoint enforced (serialize(parse(json)) == json) — the executable
+    * form of the reference's `roundtrip_test!`. Returns the DESERIALIZED
+    * DataFrame, so downstream correctness checks grade the plan that came
+    * OUT of the wire, not the one that went in.
+    */
+  def roundTrip(s: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    val wire = fromLogical(df.queryExecution.analyzed)
+    val json = toJson(wire)
+    val back = fromJson(json)
+    if (back != wire) throw new PlanSerdeException(
+      "round-trip mismatch: parse(toJson(wire)) != wire")
+    if (toJson(back) != json) throw new PlanSerdeException(
+      "round-trip mismatch: toJson not a fixpoint")
+    compile(s, dir, back)
+  }
+}
