@@ -1628,6 +1628,55 @@ object Relational {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Strictly-ORDERED funnel (view → click → purchase): each step counts
+    * only events after the user's previous-step time. Built as chained
+    * user_id aggregations with the step time threaded through the group
+    * key. Measured plan shape (sf0.01): every aggregate is map-side
+    * partial, so each of the three shuffles moves ≤ one row per user per
+    * map task — never raw events — and the two step-table joins broadcast
+    * (they'd sort-merge on the shared user_id key above the threshold).
+    * Cost is Θ(steps) scans of events with per-scan partial aggregation;
+    * no windows, no per-user event collection (a collect_list funnel
+    * dies on hot users). Null step times cascade (`ts > NULL` is never
+    * true), so strictness needs no extra predicates.
+    */
+  private def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts") > col("t_view"), col("ts"))).as("t_click"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t_click"), col("ts"))).as("t_purchase"))
+    s3.agg(count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_click_after_view"),
+      count(col("t_purchase")).as("n_purchase_after_click"))
+  }
+
+  /** Cohort retention: users grouped by first-activity day, distinct
+    * actives per (cohort, day-offset). Same single-key shape as
+    * [[eventsFunnel]]: one user_id aggregate for the cohort day, one
+    * id-keyed join back, then a two-phase distinct count — day-offset
+    * day arithmetic happens at day grain where the ns→µs fixture
+    * truncation can never move a timestamp across a boundary.
+    */
+  private def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    ev.join(firstDay, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(to_date(col("ts")), col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Window navigation surface: lag/lead with defaults, first/last over a
     * growing frame, ntile bucketing — per-partition, one sort, no skew.
     */
@@ -1711,6 +1760,8 @@ object Relational {
     "join_bucketed" -> joinBucketed _,
     "join_salted" -> joinSalted _,
     "sessionize_batch" -> sessionizeBatch _,
+    "events_funnel" -> eventsFunnel _,
+    "events_retention" -> eventsRetention _,
     "layout_zorder" -> layoutZorder _,
     "sink_partitioned" -> sinkPartitioned _,
     "sink_partition_overwrite" -> sinkPartitionOverwrite _,
@@ -2165,6 +2216,42 @@ object Relational {
       SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "events_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type='view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_view
+        FROM events GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, s1.t_view,
+               MIN(CASE WHEN event_type='click'
+                         AND CAST(ts AS TIMESTAMP) > t_view
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_click
+        FROM events e JOIN s1 USING(user_id) GROUP BY 1, 2
+      ), s3 AS (
+        SELECT e.user_id, s2.t_view, s2.t_click,
+               MIN(CASE WHEN event_type='purchase'
+                         AND CAST(ts AS TIMESTAMP) > t_click
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events e JOIN s2 USING(user_id) GROUP BY 1, 2, 3
+      )
+      SELECT COUNT(*) AS n_users,
+             COUNT(t_view) AS n_view,
+             COUNT(t_click) AS n_click_after_view,
+             COUNT(t_purchase) AS n_purchase_after_click
+      FROM s3""",
+    "events_retention" -> """
+      WITH fd AS (
+        SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+      )
+      SELECT fd.cohort_day,
+             CAST(date_diff('day', fd.cohort_day,
+                            CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS INT)
+               AS day_offset,
+             COUNT(DISTINCT e.user_id) AS active_users
+      FROM events e JOIN fd USING(user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "sink_partitioned" -> s"""
       SELECT o_orderpriority, COUNT(*) AS n, ${ds("o_totalprice")} AS sum_price
       FROM orders WHERE o_orderstatus = 'F'
