@@ -115,6 +115,30 @@ object TextAnalysis {
         min(col("doc_id")).as("min_doc"))
       .orderBy(col("lang"))
 
+  /** Leakage-aware train/val/test split: the split key is the SOURCE,
+    * not the document, so near-duplicates and shared boilerplate WITHIN
+    * a source can never straddle splits (the classic eval-leak that a
+    * per-document random split causes). Same content-addressed carve as
+    * [[sampleHash]] — membership is a pure function of md5(source)
+    * compared against fixed-width lowercase-hex thresholds (~80/10/10),
+    * so the assignment is engine-, partitioning-, and corpus-growth-
+    * stable: adding documents never moves an existing source between
+    * splits. Map-only until the final small aggregate; disjointness is
+    * by construction (split is a FUNCTION of source).
+    */
+  private def sampleSplitGrouped(s: SparkSession, d: String): DataFrame = {
+    val hex = substring(md5(col("source")), 1, 4)
+    docs(s, d)
+      .withColumn("split",
+        when(hex < "cccc", "train").when(hex < "e666", "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
   /** Balanced training-shard packing: the distributed stand-in for
     * first-fit-decreasing (which is inherently sequential — and a single
     * global row_number window would funnel every row through ONE
@@ -608,6 +632,7 @@ object TextAnalysis {
     "text_url_canon" -> textUrlCanon _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
+    "sample_split_grouped" -> sampleSplitGrouped _,
     "sample_mixture" -> sampleMixture _,
     "pack_shards" -> packShards _,
     "pack_sequences" -> packSequences _,
@@ -745,6 +770,16 @@ object TextAnalysis {
       WHERE substr(md5(text), 1, 2) <
             (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
       GROUP BY lang ORDER BY lang""",
+    "sample_split_grouped" -> """
+      WITH t AS (
+        SELECT *, CASE WHEN substr(md5(source), 1, 4) < 'cccc' THEN 'train'
+                       WHEN substr(md5(source), 1, 4) < 'e666' THEN 'val'
+                       ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM t GROUP BY split ORDER BY split""",
     "sample_mixture" -> """
       WITH t AS (
         SELECT *, CAST(substr(source, 4) AS INT) // 5 AS grp FROM documents
