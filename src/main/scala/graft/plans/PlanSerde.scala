@@ -32,7 +32,16 @@ class PlanSerdeException(msg: String) extends RuntimeException(msg)
   *    mod.rs:56-920, `roundtrip_test!` macro asserting
   *    `plan == from_proto(to_proto(plan))`) map to the fixpoint +
   *    result-equality checks in `PlanSerdeSpec` and the
-  *    `plan_serde_*` oracle rows.
+  *    `plan_serde_*` oracle rows. Per reference test case:
+  *    repartition `:58` → the repartition spec; null/typed scalars
+  *    `:123-586` → the literal-projection spec; join `:696` / sort
+  *    `:722` → the join + aggregate specs; empty relation `:746` →
+  *    the one-row spec; full plan `:764` + expression variants
+  *    `:789-920` → the oracle rows. No analog (and none possible in
+  *    Spark's model): CREATE EXTERNAL TABLE `:625` (a catalog
+  *    side-effect here, not a plan; covered operationally by
+  *    `ddl_external_table`) and explain `:659` (an action, not a
+  *    plan node).
   *
   * Three directions are implemented:
   *  - [[fromLogical]]: Catalyst ANALYZED plan → wire ADT (the
@@ -100,6 +109,16 @@ object PlanSerde {
                          rightKeys: Seq[String]) extends WPlan
   final case class WSort(input: WPlan, keys: Seq[WSortKey]) extends WPlan
   final case class WLimit(input: WPlan, n: Long) extends WPlan
+  /** Round-robin (exprs empty) or hash repartition — the reference's
+    * RepartitionNode (ballista.proto:219-230, serde test mod.rs:58).
+    */
+  final case class WRepartition(input: WPlan, n: Int,
+                                exprs: Seq[WExpr]) extends WPlan
+  /** 1-row, 0-column relation under literal projections (`SELECT 1`) —
+    * the reference's EmptyRelationNode (ballista.proto:232-234, serde
+    * test mod.rs:746).
+    */
+  case object WOneRow extends WPlan
 
   private val ScalarWhitelist = Set(
     "year", "month", "day", "lower", "upper", "abs", "round", "sqrt",
@@ -140,6 +159,16 @@ object PlanSerde {
       case _ => throw new PlanSerdeException(
         s"unsupported limit shape: ${g.simpleString(2)}")
     }
+    case r: Repartition =>
+      if (!r.shuffle) throw new PlanSerdeException(
+        "unsupported: coalesce (shuffle=false) has no wire node")
+      WRepartition(fromLogical(r.child), r.numPartitions, Nil)
+    case r: RepartitionByExpression =>
+      WRepartition(fromLogical(r.child),
+        r.optNumPartitions.getOrElse(throw new PlanSerdeException(
+          "unsupported: repartition by expression without partition count")),
+        r.partitionExpressions.map(fromExpr))
+    case _: OneRowRelation => WOneRow
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
         val root = fs.location.rootPaths.headOption.map(_.getName)
@@ -269,6 +298,10 @@ object PlanSerde {
         }
       }: _*)
     case WLimit(in, n) => compile(s, dir, in).limit(n.toInt)
+    case WRepartition(in, n, Nil) => compile(s, dir, in).repartition(n)
+    case WRepartition(in, n, es) =>
+      compile(s, dir, in).repartition(n, es.map(toColumn): _*)
+    case WOneRow => s.range(1).drop("id")
   }
 
   def toColumn(e: WExpr): Column = e match {
@@ -356,6 +389,10 @@ object PlanSerde {
       "input" -> planJ(in), "keys" -> JArray(ks.map(exprJ).toList))
     case WLimit(in, n) => JObject("node" -> JString("limit"),
       "input" -> planJ(in), "n" -> JLong(n))
+    case WRepartition(in, n, es) => JObject("node" -> JString("repartition"),
+      "input" -> planJ(in), "n" -> JLong(n.toLong),
+      "exprs" -> JArray(es.map(exprJ).toList))
+    case WOneRow => JObject("node" -> JString("one_row"))
   }
 
   private def exprJ(e: WExpr): JObject = e match {
@@ -417,6 +454,14 @@ object PlanSerde {
       case JInt(n) => WLimit(planOf(j \ "input"), n.toLong)
       case other => throw new PlanSerdeException(s"limit n: $other")
     }
+    case "repartition" =>
+      val n = j \ "n" match {
+        case JLong(x) => x.toInt
+        case JInt(x) => x.toInt
+        case other => throw new PlanSerdeException(s"repartition n: $other")
+      }
+      WRepartition(planOf(j \ "input"), n, arr(j, "exprs").map(exprOf))
+    case "one_row" => WOneRow
     case other => throw new PlanSerdeException(s"unknown plan node: $other")
   }
 

@@ -58,6 +58,19 @@ class PlanSerdeSpec extends AnyFunSuite {
          WHERE l_discount BETWEEN 0.05 AND 0.07 GROUP BY l_returnflag"""))
   }
 
+  test("repartition round-trips, round-robin and hash (ref mod.rs:58)") {
+    assertTrip(Tables.load(spark, sfDir, "nation").repartition(4))
+    assertTrip(Tables.load(spark, sfDir, "nation")
+      .repartition(4, col("n_regionkey")))
+  }
+
+  test("literal projection over one-row relation round-trips, null and " +
+      "date scalars included (ref mod.rs:746, :123-586)") {
+    assertTrip(spark.sql(
+      """SELECT 1 AS one, 'x' AS s, CAST(NULL AS DOUBLE) AS d,
+                DATE '2024-05-17' AS dt, true AS b"""))
+  }
+
   test("wire json is stable and human-auditable") {
     val w = WSelection(WScan("lineitem"),
       WBinary("lt", WCol("l_quantity"), WLit("double", "24.0")))
