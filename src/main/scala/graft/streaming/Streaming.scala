@@ -161,6 +161,51 @@ object Streaming {
       .orderBy(col("click_event"), col("purchase_event"))
   }
 
+  /** LEFT OUTER stream-stream interval join executed end-to-end — the
+    * semantically hardest join mode the streaming engine offers: an
+    * unmatched left row can only be emitted (null-padded) when the
+    * WATERMARK proves no future right row can ever match it, i.e. outer
+    * results are produced by STATE EVICTION, not by the join probe. A
+    * bounded AvailableNow run advances the final GLOBAL watermark to
+    * min(max click ts, max purchase ts) − 1 h (the multi-watermark
+    * policy takes the min over inputs), which evicts-and-emits every
+    * unmatched click older than that minus the 30-minute join interval;
+    * clicks younger than that horizon are still legitimately parked in
+    * state when the source drains, so the row (and its oracle)
+    * restricts to clicks ≤ that horizon minus a 1-minute safety margin
+    * — the provably-evicted region. The cutoff is a 1-row driver bound
+    * fetch inlined as a literal, the same pattern as the recursive-CTE
+    * bounds. At 100 TB nothing changes: state stays watermark-bounded
+    * on both sides and the emission contract is the same eviction rule.
+    */
+  private def streamExecIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val minMax = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+      .agg(min(col("m"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(
+      minMax.getTime - (60 + 30 + 1) * 60L * 1000)
+    val ev = readEventStream(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_event"))
+      .withWatermark("c_ts", "1 hour")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_event"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purch,
+        col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .filter(col("c_ts") <= lit(cutoff))
+      .select(col("click_event"), col("purchase_event"),
+        col("c_user").as("user_id"))
+    runToMemory(s, "graft_exec_ssj_outer", joined, "append")
+      .orderBy(col("click_event"), col("purchase_event"))
+  }
+
   /** Streaming dedup (dropDuplicatesWithinWatermark) executed end-to-end.
     * Which representative row survives is arrival-dependent, so the row
     * returns only the key set — deterministic, and exactly batch DISTINCT.
@@ -202,6 +247,7 @@ object Streaming {
     "stream_json_props" -> streamJsonProps _,
     "stream_exec_window_agg" -> streamExecWindowAgg _,
     "stream_exec_interval_join" -> streamExecIntervalJoin _,
+    "stream_exec_interval_join_outer" -> streamExecIntervalJoinOuter _,
     "stream_exec_dedup" -> streamExecDedup _,
     "stream_exec_session" -> streamExecSession _
   )
@@ -245,6 +291,24 @@ object Streaming {
             FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id
        AND c.ts BETWEEN p.ts AND p.ts + INTERVAL 30 MINUTE
+      ORDER BY click_event, purchase_event""",
+    // outer rows equal the batch left join on the provably-evicted
+    // region: clicks at or below the final global watermark
+    // (min of the two streams' max ts, - 1h) minus the 30-minute join
+    // interval and a 1-minute safety margin
+    "stream_exec_interval_join_outer" -> """
+      SELECT c.event_id AS click_event, p.event_id AS purchase_event,
+             c.user_id AS user_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND c.ts BETWEEN p.ts AND p.ts + INTERVAL 30 MINUTE
+      WHERE c.ts <= (SELECT MIN(m) - INTERVAL 91 MINUTE FROM (
+                       SELECT event_type, MAX(CAST(ts AS TIMESTAMP)) AS m
+                       FROM events WHERE event_type IN ('click', 'purchase')
+                       GROUP BY event_type))
       ORDER BY click_event, purchase_event""",
     "stream_exec_dedup" -> """
       SELECT DISTINCT user_id, event_type FROM events

@@ -326,6 +326,40 @@ class PlanSpec extends AnyFunSuite {
       s"status filter not pushed to partition pruning:\n$p")
   }
 
+  test("dynamic partition pruning: dim filter reaches the fact scan at runtime") {
+    // The 100 TB star-join staple: the fact side is partition-laid-out on
+    // the join key, the dim side carries the selective filter, and the
+    // runtime must turn the dim's build-side values into fact PARTITION
+    // pruning (not a post-scan filter). useStats=false so the tiny
+    // fixture's row counts can't talk the optimizer out of it.
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestSession.tempDir("graft_dpp")
+    Tables.load(spark, sfDir, "orders")
+      .write.partitionBy("o_orderstatus").mode("overwrite")
+      .parquet(s"$dir/fact")
+    val saved = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio")).distinct()
+        .filter(col("prio") === "1-URGENT")
+      val joined = fact.join(dim, fact("o_orderstatus") === dim("status"))
+      val n = joined.count()
+      assert(n > 0, "fixture join came back empty")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"no dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+    } finally saved match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+      case None => spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
   test("AQE splits a deliberately skewed sort-merge join (skew=true)") {
     // At 100× scale, skew — not average throughput — is what kills the join
     // tier; prove the runtime mitigation actually engages: ~98% of lineitem
