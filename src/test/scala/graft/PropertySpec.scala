@@ -153,3 +153,94 @@ object KernelProperties extends Properties("graft.kernels") {
       java.lang.Long.toUnsignedString(x) == asUnsigned.toString
     }
 }
+
+/** Wire-format serde bijection over randomized plan trees — the
+  * property-based generalization of the reference's ~25 hand-written
+  * `roundtrip_test!` cases (rust/core/src/serde/logical_plan/mod.rs):
+  * instead of 25 points, every generated tree (arbitrary-unicode
+  * literals and names included, to stress JSON escaping) must satisfy
+  * `fromJson(toJson(p)) == p` with `toJson` a fixpoint. Pure driver-side
+  * serde — no Spark session involved.
+  */
+object PlanSerdeProperties extends Properties("graft.planserde") {
+  import graft.plans.PlanSerde._
+
+  private val anyStr: Gen[String] =
+    for {
+      n <- Gen.chooseNum(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('"', '\\', '\n', '\t', 'é', '中', ' ', ':')))
+      emoji <- Gen.oneOf("", "🦆") // valid surrogate pair only
+    } yield cs.mkString + emoji
+
+  private val genLit: Gen[WExpr] = Gen.oneOf(
+    Gen.choose(-1000000L, 1000000L).map(v => WLit("long", v.toString)),
+    Gen.choose(-1e6, 1e6).map(v => WLit("double", v.toString)),
+    anyStr.map(s => WLit("string", s)),
+    Gen.oneOf(true, false).map(b => WLit("bool", b.toString)),
+    Gen.choose(0, 20000).map(d => WLit("date", d.toString)),
+    Gen.choose(0L, 2000000000000000L).map(us => WLit("timestamp", us.toString)),
+    Gen.oneOf("double", "string", "bigint").map(t => WLit(s"null:$t", "")))
+
+  private val genCol: Gen[WExpr] =
+    Gen.oneOf("l_quantity", "o_totalprice", "user_id", "text").map(WCol(_))
+
+  private val binOps = Seq("and", "or", "eq", "neq", "lt", "lteq", "gt",
+    "gteq", "plus", "minus", "multiply", "divide", "modulus")
+
+  private def genExpr(depth: Int): Gen[WExpr] =
+    if (depth <= 0) Gen.oneOf(genLit, genCol)
+    else Gen.frequency(
+      3 -> genLit,
+      3 -> genCol,
+      3 -> (for {
+        op <- Gen.oneOf(binOps)
+        l <- genExpr(depth - 1); r <- genExpr(depth - 1)
+      } yield WBinary(op, l, r)),
+      1 -> genExpr(depth - 1).map(WNot(_)),
+      1 -> genExpr(depth - 1).map(WIsNull(_)),
+      1 -> genExpr(depth - 1).map(WIsNotNull(_)),
+      1 -> (for { e <- genExpr(depth - 1); t <- Gen.oneOf("double", "string",
+        "decimal(18,4)") } yield WCast(e, t)),
+      1 -> (for { e <- genExpr(depth - 1); n <- anyStr } yield WAlias(e, n)),
+      1 -> (for {
+        fn <- Gen.oneOf("sum", "min", "max", "avg", "count")
+        a <- genExpr(depth - 1); d <- Gen.oneOf(true, false)
+      } yield WAggCall(fn, Some(a), d)),
+      1 -> Gen.const(WAggCall("count_star", None, distinct = false)),
+      1 -> (for {
+        fn <- Gen.oneOf("lower", "abs", "round", "coalesce")
+        n <- Gen.choose(1, 2); as <- Gen.listOfN(n, genExpr(depth - 1))
+      } yield WScalarFn(fn, as)))
+
+  private def genPlan(depth: Int): Gen[WPlan] =
+    if (depth <= 0) Gen.oneOf(Gen.const(WScan("lineitem")),
+      Gen.const(WScan("events")), Gen.const(WOneRow))
+    else Gen.frequency(
+      2 -> genPlan(0),
+      2 -> (for { in <- genPlan(depth - 1); n <- Gen.choose(1, 5)
+        es <- Gen.listOfN(n, genExpr(2)) } yield WProjection(in, es)),
+      2 -> (for { in <- genPlan(depth - 1); p <- genExpr(2) }
+        yield WSelection(in, p)),
+      1 -> (for { in <- genPlan(depth - 1); g <- Gen.listOfN(2, genExpr(1))
+        a <- Gen.listOfN(2, genExpr(1)) } yield WAggregate(in, g, a)),
+      1 -> (for { l <- genPlan(depth - 1); r <- genPlan(depth - 1)
+        jt <- Gen.oneOf("inner", "leftouter", "leftsemi")
+        k <- Gen.choose(1, 2); lk <- Gen.listOfN(k, anyStr)
+        rk <- Gen.listOfN(k, anyStr) } yield WJoin(l, r, jt, lk, rk)),
+      1 -> (for { in <- genPlan(depth - 1); n <- Gen.choose(1, 3)
+        ks <- Gen.listOfN(n, for { e <- genExpr(1); a <- Gen.oneOf(true, false)
+          nf <- Gen.oneOf(true, false) } yield WSortKey(e, a, nf))
+      } yield WSort(in, ks)),
+      1 -> (for { in <- genPlan(depth - 1); n <- Gen.choose(0L, 1000000L) }
+        yield WLimit(in, n)),
+      1 -> (for { in <- genPlan(depth - 1); n <- Gen.choose(1, 64)
+        k <- Gen.choose(0, 2); es <- Gen.listOfN(k, genExpr(1)) }
+        yield WRepartition(in, n, es)))
+
+  property("fromJson(toJson(p)) == p and toJson is a fixpoint") =
+    forAll(genPlan(3)) { p =>
+      val j = toJson(p)
+      fromJson(j) == p && toJson(fromJson(j)) == j
+    }
+}
