@@ -1677,6 +1677,30 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Time-series gap fill: carry the last observed purchase value
+    * forward (and the next one backward) across each user's event
+    * stream — `last/first(..., ignoreNulls)` over running frames, the
+    * IGNORE NULLS navigation tier the plain window rows don't touch.
+    * One user_id partition sort serves BOTH directions (the backward
+    * frame reuses the same ordering); values pass through untouched, so
+    * doubles hash-compare exactly. Window ordering uses the µs-truncated
+    * timestamp on both engines (ties broken by event_id) so the ns
+    * fixture precision can't reorder rows across engines.
+    */
+  private def windowFillForward(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+      .filter(col("user_id") < 20)
+    val sparse = when(col("event_type") === "purchase", col("value"))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wf = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.select(col("user_id"), col("event_id"),
+        last(sparse, ignoreNulls = true).over(wf).as("fill_forward"),
+        first(sparse, ignoreNulls = true).over(wb).as("fill_backward"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Window navigation surface: lag/lead with defaults, first/last over a
     * growing frame, ntile bucketing — per-partition, one sort, no skew.
     */
@@ -1761,6 +1785,7 @@ object Relational {
     "join_salted" -> joinSalted _,
     "sessionize_batch" -> sessionizeBatch _,
     "events_funnel" -> eventsFunnel _,
+    "window_fill_forward" -> windowFillForward _,
     "events_retention" -> eventsRetention _,
     "layout_zorder" -> layoutZorder _,
     "sink_partitioned" -> sinkPartitioned _,
@@ -2240,6 +2265,22 @@ object Relational {
              COUNT(t_click) AS n_click_after_view,
              COUNT(t_purchase) AS n_purchase_after_click
       FROM s3""",
+    "window_fill_forward" -> """
+      SELECT user_id, event_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS fill_forward,
+             first_value(CASE WHEN event_type = 'purchase' THEN value END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fill_backward
+      FROM events WHERE user_id < 20
+      ORDER BY user_id, event_id""",
     "events_retention" -> """
       WITH fd AS (
         SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
