@@ -262,8 +262,109 @@ object Streaming {
       "complete")
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Typed event row for the custom-state machine: `ts` (timestamp) rides
+    * along because the event-time timeout needs a watermarked column in
+    * the plan; the arithmetic uses `ts_us` to keep µs precision (a
+    * `java.sql.Timestamp` would round-trip through ms).
+    */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                        event_id: Long, value: Double)
+  /** Open-session state: sums are exact long cents (the DECIMAL(18,2)
+    * convention in integer form) so float order-of-addition can never
+    * diverge from the oracle.
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long,
+                                 sumCents: Long)
+  case class SessionOut(user_id: Long, start_us: Long, last_us: Long,
+                                n: Long, sum_value: Double)
+
+  private val GapUs = 30L * 60 * 1000000L
+
+  private def cents(v: Double): Long =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  /** The sessionization state machine: the per-key session either extends
+    * (gap < 30 min), closes-and-emits (a successor event proves the gap),
+    * or times out (the WATERMARK proves no successor can arrive within the
+    * gap). Batch iterators are unordered by contract, so the function
+    * sorts its slice; per-key slices are single-user event runs — bounded
+    * in practice and the same per-key-memory contract Spark's own
+    * `session_window` state store makes.
+    */
+  private def sessionFn(user: Long, it: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession])
+      : Iterator[SessionOut] =
+    if (state.hasTimedOut) {
+      val s0 = state.get
+      state.remove()
+      Iterator.single(SessionOut(user, s0.startUs, s0.lastUs, s0.n,
+        s0.sumCents / 100.0))
+    } else {
+      val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var open = state.getOption
+      for (e <- evs) {
+        val c = cents(e.value)
+        open match {
+          case Some(s0) if e.ts_us - s0.lastUs < GapUs =>
+            open = Some(OpenSession(s0.startUs, e.ts_us, s0.n + 1,
+              s0.sumCents + c))
+          case Some(s0) =>
+            out += SessionOut(user, s0.startUs, s0.lastUs, s0.n,
+              s0.sumCents / 100.0)
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1L, c))
+          case None =>
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1L, c))
+        }
+      }
+      open.foreach { s0 =>
+        state.update(s0)
+        state.setTimeoutTimestamp(s0.lastUs / 1000L + GapUs / 1000L)
+      }
+      out.iterator
+    }
+
+  /** Sessionization as an EXPLICIT state machine via
+    * `flatMapGroupsWithState` (append mode, event-time timeout) — the
+    * custom-state API tier `session_window` can't reach: arbitrary
+    * per-key state (here an open-session struct), inline emission when a
+    * successor event closes a session, and WATERMARK-DRIVEN timeout
+    * emission for sessions nothing ever follows. Like the outer interval
+    * join, final-session emission is an eviction contract: a bounded
+    * AvailableNow run advances the watermark to max ts − 1 min, timing
+    * out sessions whose last event is ≥ 31 min older; the row (and
+    * oracle) restrict to session_last ≤ max ts − 32 min — the
+    * provably-emitted region (1-min safety margin) — via a 1-row driver
+    * bound fetch inlined as a literal. State is one small struct per
+    * ACTIVE key, watermark-evicted — the 100 TB shape. Oracle: the batch
+    * gaps-and-islands CTE with the same cutoff, computed in SQL.
+    */
+  private def streamExecCustomState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val maxTs = events(s, d).filter(col("user_id") < 20)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoffUs = maxTs.getTime * 1000L - 32L * 60 * 1000000L
+    val typed = readEventStream(s, d).filter(col("user_id") < 20)
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[Ev]
+    val sessions = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionFn)
+    runToMemory(s, "graft_exec_custom", sessions.toDF(), "append")
+      .filter(col("last_us") <= lit(cutoffUs))
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg _,
+    "stream_exec_custom_state" -> streamExecCustomState _,
     "stream_session_agg" -> streamSessionAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_json_props" -> streamJsonProps _,
@@ -336,6 +437,32 @@ object Streaming {
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""",
     "stream_session_agg" -> SessionAggSql,
+    // the custom-state machine equals batch gaps-and-islands on the
+    // provably-emitted region: sessions whose last event is at or below
+    // the final watermark (max ts − 1 min) minus the 30-min gap and a
+    // 1-minute safety margin
+    "stream_exec_custom_state" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 20),
+      sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked),
+      agg AS (
+        SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               MAX(CAST(ts AS TIMESTAMP)) AS session_last, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, sid)
+      SELECT user_id, session_start, n, sum_value FROM agg
+      WHERE session_last <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 32 MINUTE
+                             FROM events WHERE user_id < 20)
+      ORDER BY user_id, session_start""",
     // merging session windows drained under AvailableNow equal the batch
     // gaps-and-islands sessionization exactly
     "stream_exec_session" -> SessionAggSql,
