@@ -229,6 +229,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered decontamination — the scale tier for when the
+    * bench shingle SET outgrows [[decontaminate]]'s broadcast bound. The
+    * result is still EXACT: a Bloom filter has no false negatives, so
+    * probing it map-side yields a candidate superset, and the residual
+    * exact join against the real shingle set recovers the truth — only
+    * now the corpus side of that shuffle carries true hits + fpp·probes
+    * instead of every corpus shingle. The bits are what travel: 50M
+    * shingles at 1% fpp is ~60 MB of bloom vs GBs of strings, so the
+    * broadcast holds an order of magnitude past the string-set bound,
+    * and the shuffle shrinks ~100× (at 1% fpp) on a clean corpus. The
+    * probe is a driver-broadcast `BloomFilter.mightContainString` UDF —
+    * the one places a UDF earns its keep: Spark's bloom expression is
+    * engine-internal (runtime join filters), and the probe is a flat
+    * boolean per row with no builtin equivalent.
+    */
+  def decontaminateBloom(trainDocs: DataFrame, benchDocs: DataFrame,
+                         n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val s = trainDocs.sparkSession
+    GraftFunctions.register(s)
+    val bench = benchDocs
+      .select(explode(
+        GraftFunctions.word_shingles(TF.words(col("text")), n)).as("shingle"))
+      .distinct()
+    val bf = bench.stat.bloomFilter("shingle", math.max(bench.count(), 1L), fpp)
+    val bc = s.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((x: String) => x != null && bc.value.mightContainString(x))
+    trainDocs.select(col("doc_id"),
+        explode(GraftFunctions.word_shingles(TF.words(col("text")), n))
+          .as("shingle"))
+      .filter(mightContain(col("shingle")))
+      .join(bench, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture instantiation of [[decontaminateBloom]] — same 1/16
+    * content-addressed carve as [[textDecontaminate]], same oracle (the
+    * bloom tier is exact by construction, so the two rows sharing one
+    * oracle IS the claim being checked).
+    */
+  private def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("text")), 1, 1).as("carve"))
+    decontaminateBloom(
+      base.filter(col("carve") =!= "0").select(col("doc_id"), col("text")),
+      base.filter(col("carve") === "0").select(col("text")))
+  }
+
   /** Benchmark decontamination — the training-pipeline step that scrubs
     * eval-set leakage before training (GPT-3 §B / PaLM-style n-gram
     * overlap). Fixture instantiation of [[decontaminate]]: this repo has
@@ -639,6 +689,7 @@ object TextAnalysis {
     "text_gopher_quality" -> textGopherQuality _,
     "text_clean" -> textClean _,
     "text_decontaminate" -> textDecontaminate _,
+    "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_repetition" -> textRepetition _,
     "text_tfidf" -> textTfidf _,
     "text_vocab" -> textVocab _,
@@ -653,6 +704,23 @@ object TextAnalysis {
 
   /** Shared DuckDB-side normalization (mirrors TextFunctions.normText). */
   val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  private val DecontamSql = s"""
+      WITH w AS (
+        SELECT doc_id, substr(md5(text), 1, 1) AS carve,
+               string_split($NormSql, ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, carve,
+               list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                               ' ' || w[i+3] || ' ' || w[i+4]
+                 for i in range(1, len(w)-3) ]) AS sh
+        FROM w WHERE len(w) >= 5),
+      bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE carve = '0'),
+      train AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE carve <> '0')
+      SELECT t.doc_id, COUNT(*) AS n_hits
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "pipeline_corpus" -> s"""
@@ -858,22 +926,9 @@ object TextAnalysis {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
                '\s+', ' ', 'g')), 1, 40) AS clean_head
       FROM documents ORDER BY doc_id""",
-    "text_decontaminate" -> s"""
-      WITH w AS (
-        SELECT doc_id, substr(md5(text), 1, 1) AS carve,
-               string_split($NormSql, ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id, carve,
-               list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
-                               ' ' || w[i+3] || ' ' || w[i+4]
-                 for i in range(1, len(w)-3) ]) AS sh
-        FROM w WHERE len(w) >= 5),
-      bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE carve = '0'),
-      train AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE carve <> '0')
-      SELECT t.doc_id, COUNT(*) AS n_hits
-      FROM train t JOIN bench b USING (shingle)
-      GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "text_decontaminate" -> DecontamSql,
+    // the bloom tier is exact by construction — one shared oracle IS the claim
+    "text_decontaminate_bloom" -> DecontamSql,
     "text_repetition" -> s"""
       WITH w AS (
         SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),

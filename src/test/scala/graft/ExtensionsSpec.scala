@@ -761,6 +761,41 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "bench side must broadcast")
   }
 
+  test("bloom decontaminate tier equals the exact tier and the prefilter prunes") {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("text")), 1, 1).as("carve"))
+    val train = base.filter(col("carve") =!= "0").select(col("doc_id"), col("text"))
+    val bench = base.filter(col("carve") === "0").select(col("text"))
+    // exactness: bloom prefilter + residual join == the broadcast-set tier
+    val exact = operators.TextAnalysis.decontaminate(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    val bloom = operators.TextAnalysis.decontaminateBloom(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    assert(bloom == exact, "bloom tier must be exact (no false negatives)")
+    // the scale claim: at 1% fpp the residual join's probe side carries
+    // candidates, not the corpus — survivors ≈ true hits + fpp·probes. On
+    // this fixture the true hit count is tiny, so candidates must be well
+    // under the total corpus shingle volume (a ≥ 50% pass proves the
+    // prefilter did nothing).
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val totalShingles = train.select(explode(
+        GraftFunctions.word_shingles(
+          graft.functions.TextFunctions.words(col("text")), 5)).as("sh"))
+    val bf = bench.select(explode(
+        GraftFunctions.word_shingles(
+          graft.functions.TextFunctions.words(col("text")), 5)).as("sh"))
+      .distinct()
+    val bfFilter = bf.stat.bloomFilter("sh", math.max(bf.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bfFilter)
+    val survive = udf((x: String) => x != null && bc.value.mightContainString(x))
+    val nTotal = totalShingles.count()
+    val nCand = totalShingles.filter(survive(col("sh"))).count()
+    assert(nCand < nTotal / 2,
+      s"bloom prefilter must prune the probe side ($nCand of $nTotal survived)")
+  }
+
   test("decontaminate size guard: oversized bench side is never forced to broadcast") {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     val bench = docs.select(col("text"))
