@@ -509,6 +509,31 @@ object Relational {
     * [[scan_ndjson]] source: typed columns survive the JSON encode/decode
     * with schema-on-read.
     */
+  /** XML write→read round-trip — Spark 4's NATIVE xml datasource (the
+    * spark-xml connector folded into the engine), closing the format
+    * matrix at csv/json/parquet/orc/text/xml. Same aggregate contract as
+    * the other round-trips: the oracle sees only the original table, so a
+    * green row proves the sink+scan preserved every value. `rowTag` is
+    * the xml source's one mandatory option; schema is re-inferred on read
+    * (the harder direction — typed values must survive the string form).
+    */
+  private def sinkXmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"xml_docs_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "documents"))) { dir =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").option("rowTag", "doc")
+        .format("xml").save(s"$dir/docs_xml")
+    }
+    s.read.option("rowTag", "doc").format("xml").load(s"$dir/docs_xml")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
   private def sinkJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = graft.Scratch.ensure(s,
       s"json_docs_v1_${graft.Scratch.sanitize(d)}_" +
@@ -1832,6 +1857,7 @@ object Relational {
     "profile_partition_stats" -> profilePartitionStats _,
     "sink_text_roundtrip" -> sinkTextRoundtrip _,
     "sink_json_roundtrip" -> sinkJsonRoundtrip _,
+    "sink_xml_roundtrip" -> sinkXmlRoundtrip _,
     "expr_lambda" -> exprLambda _,
     "expr_string_ext" -> exprStringExt _,
     "expr_bitwise" -> exprBitwise _,
@@ -2026,6 +2052,11 @@ object Relational {
              MIN(md5(text)) AS min_md5
       FROM documents""",
     "sink_json_roundtrip" -> """
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MAX(doc_id) AS max_doc
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "sink_xml_roundtrip" -> """
       SELECT lang, COUNT(*) AS n,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              MAX(doc_id) AS max_doc
