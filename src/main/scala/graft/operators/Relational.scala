@@ -1726,6 +1726,43 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Time-weighted linear interpolation of the sparse purchase series at
+    * every event timestamp — the arithmetic completion of
+    * [[windowFillForward]]: carry BOTH neighbors and blend by elapsed
+    * time. All four navigation values (prev/next value and µs timestamp)
+    * come off the SAME per-user sort — one window node pair, no extra
+    * exchange. Cross-engine double parity is by construction: timestamps
+    * are exact µs longs, both engines evaluate the identical tree
+    * `prev + (next − prev) × (Δt ÷ span)` (long subtraction exact,
+    * long→double conversion and each IEEE op correctly rounded, no FMA on
+    * either side), so the doubles hash-compare bit-identically. Ends
+    * degrade to nearest-neighbor carry; a row that IS an observation gets
+    * Δt = 0 → its own value.
+    */
+  private def windowInterpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+      .filter(col("user_id") < 20)
+    val sparseV = when(col("event_type") === "purchase", col("value"))
+    val sparseT = when(col("event_type") === "purchase", unix_micros(col("ts")))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wf = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(sparseV, ignoreNulls = true).over(wf)
+    val prevT = last(sparseT, ignoreNulls = true).over(wf)
+    val nextV = first(sparseV, ignoreNulls = true).over(wb)
+    val nextT = first(sparseT, ignoreNulls = true).over(wb)
+    val frac = (unix_micros(col("ts")) - prevT).cast("double") /
+      (nextT - prevT).cast("double")
+    val interp = when(prevT.isNotNull && nextT.isNotNull,
+        when(nextT === prevT, prevV)
+          .otherwise(prevV + (nextV - prevV) * frac))
+      .when(prevT.isNotNull, prevV)
+      .otherwise(nextV)
+    ev.select(col("user_id"), col("event_id"), interp.as("value_interp"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Window navigation surface: lag/lead with defaults, first/last over a
     * growing frame, ntile bucketing — per-partition, one sort, no skew.
     */
@@ -1811,6 +1848,7 @@ object Relational {
     "sessionize_batch" -> sessionizeBatch _,
     "events_funnel" -> eventsFunnel _,
     "window_fill_forward" -> windowFillForward _,
+    "window_interpolate" -> windowInterpolate _,
     "events_retention" -> eventsRetention _,
     "layout_zorder" -> layoutZorder _,
     "sink_partitioned" -> sinkPartitioned _,
@@ -2312,6 +2350,35 @@ object Relational {
                AS fill_backward
       FROM events WHERE user_id < 20
       ORDER BY user_id, event_id""",
+    "window_interpolate" -> """
+      WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS sv
+        FROM events WHERE user_id < 20),
+      w AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+          last_value(sv IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+          last_value(CASE WHEN sv IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+          first_value(sv IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+          first_value(CASE WHEN sv IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        FROM base)
+      SELECT user_id, event_id,
+        CASE WHEN prev_t IS NOT NULL AND next_t IS NOT NULL THEN
+               CASE WHEN next_t = prev_t THEN prev_v
+                    ELSE prev_v + (next_v - prev_v) *
+                         (CAST(t_us - prev_t AS DOUBLE) /
+                          CAST(next_t - prev_t AS DOUBLE)) END
+             WHEN prev_t IS NOT NULL THEN prev_v
+             ELSE next_v END AS value_interp
+      FROM w ORDER BY user_id, event_id""",
     "events_retention" -> """
       WITH fd AS (
         SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
