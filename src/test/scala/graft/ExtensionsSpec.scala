@@ -540,6 +540,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toList == batch.toList)
   }
 
+  test("custom-state row exercises BOTH emission paths; timeout region non-vacuous") {
+    // A user whose LAST event precedes the cutoff has a final session no
+    // successor event can ever close — it can only be emitted by the
+    // event-time TIMEOUT. The fixture must contain such users (else the
+    // timeout path is gated vacuously), and for each one the row must
+    // emit their complete session set (inline-closed sessions AND the
+    // timed-out final one), matching the batch gaps-and-islands answer.
+    val ev = streaming.Streaming.events(spark, sfDir)
+      .filter(col("user_id") < 20).select(col("user_id"), col("ts"))
+    val globalMax = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(globalMax.getTime - 32L * 60 * 1000)
+    val timeoutUsers = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("m")).filter(col("m") <= lit(cutoff))
+      .collect().map(_.getLong(0)).toSet
+    assert(timeoutUsers.nonEmpty,
+      "fixture must contain users whose final session only a timeout can emit")
+    val got = SparkEntry.queries("stream_exec_custom_state")(spark, sfDir)
+      .collect().filter(r => timeoutUsers(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("stream_session_agg")(spark, sfDir)
+      .collect().filter(r => timeoutUsers(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"timeout-region users must emit their full session set (${got.size} vs ${want.size})")
+  }
+
   test("Trigger.AvailableNow backfills all existing data then stops on its own") {
     // the operational backfill mode: process everything that currently
     // exists in bounded micro-batches, then self-terminate — a catch-up
