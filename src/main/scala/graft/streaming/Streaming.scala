@@ -292,38 +292,92 @@ object Streaming {
     * in practice and the same per-key-memory contract Spark's own
     * `session_window` state store makes.
     */
+  private def closed(user: Long, s0: OpenSession): SessionOut =
+    SessionOut(user, s0.startUs, s0.lastUs, s0.n, s0.sumCents / 100.0)
+
+  /** The shared per-key fold: batch iterators are unordered by contract,
+    * so sort the slice, then extend/close sessions by the 30-min gap.
+    * Returns (sessions closed by a successor event, still-open session).
+    * Per-key slices are single-user event runs — bounded in practice and
+    * the same per-key-memory contract Spark's own `session_window` state
+    * store makes.
+    */
+  private def foldSessions(user: Long, it: Iterator[Ev],
+      init: Option[OpenSession]): (Seq[SessionOut], Option[OpenSession]) = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var open = init
+    for (e <- evs) {
+      val c = cents(e.value)
+      open match {
+        case Some(s0) if e.ts_us - s0.lastUs < GapUs =>
+          open = Some(OpenSession(s0.startUs, e.ts_us, s0.n + 1,
+            s0.sumCents + c))
+        case Some(s0) =>
+          out += closed(user, s0)
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1L, c))
+        case None =>
+          open = Some(OpenSession(e.ts_us, e.ts_us, 1L, c))
+      }
+    }
+    (out.toSeq, open)
+  }
+
   private def sessionFn(user: Long, it: Iterator[Ev],
       state: org.apache.spark.sql.streaming.GroupState[OpenSession])
       : Iterator[SessionOut] =
     if (state.hasTimedOut) {
       val s0 = state.get
       state.remove()
-      Iterator.single(SessionOut(user, s0.startUs, s0.lastUs, s0.n,
-        s0.sumCents / 100.0))
+      Iterator.single(closed(user, s0))
     } else {
-      val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var open = state.getOption
-      for (e <- evs) {
-        val c = cents(e.value)
-        open match {
-          case Some(s0) if e.ts_us - s0.lastUs < GapUs =>
-            open = Some(OpenSession(s0.startUs, e.ts_us, s0.n + 1,
-              s0.sumCents + c))
-          case Some(s0) =>
-            out += SessionOut(user, s0.startUs, s0.lastUs, s0.n,
-              s0.sumCents / 100.0)
-            open = Some(OpenSession(e.ts_us, e.ts_us, 1L, c))
-          case None =>
-            open = Some(OpenSession(e.ts_us, e.ts_us, 1L, c))
-        }
-      }
+      val (out, open) = foldSessions(user, it, state.getOption)
       open.foreach { s0 =>
         state.update(s0)
         state.setTimeoutTimestamp(s0.lastUs / 1000L + GapUs / 1000L)
       }
       out.iterator
     }
+
+  /** The SAME session machine as [[sessionFn]] on Spark 4's
+    * `transformWithState` — the arbitrary-state successor API: named state
+    * variables behind a handle, EXPLICIT registered timers instead of one
+    * implicit timeout slot, and a RocksDB-backed state store (the provider
+    * the API requires — also the backend per-key state outgrowing executor
+    * heap needs at 100 TB). Timer hygiene: each extension deletes the
+    * session's previous timer and registers the new expiry, so exactly one
+    * timer is live per open session and [[handleExpiredTimer]] never sees
+    * a stale expiry (the `expiryMs` guard is belt-and-braces).
+    */
+  private class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    private def expiryMs(s0: OpenSession): Long =
+      s0.lastUs / 1000L + GapUs / 1000L
+    override def handleInputRows(user: Long, it: Iterator[Ev],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val init = if (open.exists()) Some(open.get()) else None
+      init.foreach(s0 => getHandle.deleteTimer(expiryMs(s0)))
+      val (out, cur) = foldSessions(user, it, init)
+      cur.foreach { s0 =>
+        open.update(s0)
+        getHandle.registerTimer(expiryMs(s0))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (open.exists() && expiryMs(open.get()) == info.getExpiryTimeInMs) {
+        val s0 = open.get()
+        open.clear()
+        Iterator.single(closed(user, s0))
+      } else Iterator.empty
+  }
 
   /** Sessionization as an EXPLICIT state machine via
     * `flatMapGroupsWithState` (append mode, event-time timeout) — the
@@ -340,9 +394,12 @@ object Streaming {
     * ACTIVE key, watermark-evicted — the 100 TB shape. Oracle: the batch
     * gaps-and-islands CTE with the same cutoff, computed in SQL.
     */
-  private def streamExecCustomState(s: SparkSession, d: String): DataFrame = {
+  /** (typed watermarked event stream, provably-emitted-region cutoff in
+    * µs) — shared by both custom-state rows.
+    */
+  private def sessionStreamParts(s: SparkSession, d: String)
+      : (org.apache.spark.sql.Dataset[Ev], Long) = {
     import s.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val maxTs = events(s, d).filter(col("user_id") < 20)
       .agg(max(col("ts"))).head.getTimestamp(0)
     val cutoffUs = maxTs.getTime * 1000L - 32L * 60 * 1000000L
@@ -351,20 +408,58 @@ object Streaming {
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
       .as[Ev]
-    val sessions = typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(sessionFn)
-    runToMemory(s, "graft_exec_custom", sessions.toDF(), "append")
-      .filter(col("last_us") <= lit(cutoffUs))
+    (typed, cutoffUs)
+  }
+
+  private def sessionRows(sink: DataFrame, cutoffUs: Long): DataFrame =
+    sink.filter(col("last_us") <= lit(cutoffUs))
       .select(col("user_id"),
         timestamp_micros(col("start_us")).as("session_start"),
         col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
+
+  private def streamExecCustomState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val (typed, cutoffUs) = sessionStreamParts(s, d)
+    val sessions = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionFn)
+    sessionRows(
+      runToMemory(s, "graft_exec_custom", sessions.toDF(), "append"),
+      cutoffUs)
+  }
+
+  /** [[SessionProcessor]] executed end-to-end: same machine, same oracle,
+    * run through `transformWithState` + explicit timers + the RocksDB
+    * state store (provider set for this query only, restored after — the
+    * API requires it, and it is the backend that holds when per-key state
+    * outgrows executor heap at 100 TB).
+    */
+  private def streamExecTwsSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val (typed, cutoffUs) = sessionStreamParts(s, d)
+    val sessions = typed.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink =
+      try runToMemory(s, "graft_exec_tws", sessions.toDF(), "append")
+      finally saved match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    sessionRows(sink, cutoffUs)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg _,
     "stream_exec_custom_state" -> streamExecCustomState _,
+    "stream_exec_tws_session" -> streamExecTwsSession _,
     "stream_session_agg" -> streamSessionAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_json_props" -> streamJsonProps _,
@@ -397,6 +492,29 @@ object Streaming {
       SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""
+
+  private val CustomStateSql = """
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 20),
+      sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked),
+      agg AS (
+        SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               MAX(CAST(ts AS TIMESTAMP)) AS session_last, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, sid)
+      SELECT user_id, session_start, n, sum_value FROM agg
+      WHERE session_last <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 32 MINUTE
+                             FROM events WHERE user_id < 20)
       ORDER BY user_id, session_start"""
 
   val oracles: Map[String, String] = Map(
@@ -437,32 +555,12 @@ object Streaming {
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""",
     "stream_session_agg" -> SessionAggSql,
-    // the custom-state machine equals batch gaps-and-islands on the
+    // the custom-state machines equal batch gaps-and-islands on the
     // provably-emitted region: sessions whose last event is at or below
     // the final watermark (max ts − 1 min) minus the 30-min gap and a
     // 1-minute safety margin
-    "stream_exec_custom_state" -> """
-      WITH marked AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= INTERVAL 30 MINUTE
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events WHERE user_id < 20),
-      sessions AS (
-        SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        FROM marked),
-      agg AS (
-        SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-               MAX(CAST(ts AS TIMESTAMP)) AS session_last, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM sessions GROUP BY user_id, sid)
-      SELECT user_id, session_start, n, sum_value FROM agg
-      WHERE session_last <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 32 MINUTE
-                             FROM events WHERE user_id < 20)
-      ORDER BY user_id, session_start""",
+    "stream_exec_custom_state" -> CustomStateSql,
+    "stream_exec_tws_session" -> CustomStateSql,
     // merging session windows drained under AvailableNow equal the batch
     // gaps-and-islands sessionization exactly
     "stream_exec_session" -> SessionAggSql,

@@ -566,6 +566,30 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout-region users must emit their full session set (${got.size} vs ${want.size})")
   }
 
+  test("transformWithState session row matches the fMGWS machine; timer path non-vacuous") {
+    // Same non-vacuity contract as the fMGWS spec — users whose final
+    // session only an EXPIRED TIMER can emit must exist and be complete —
+    // plus full-output equality between the two API generations: the
+    // StatefulProcessor (named state + registered timers, RocksDB store)
+    // and flatMapGroupsWithState must agree row-for-row.
+    val ev = streaming.Streaming.events(spark, sfDir)
+      .filter(col("user_id") < 20).select(col("user_id"), col("ts"))
+    val globalMax = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(globalMax.getTime - 32L * 60 * 1000)
+    val timerUsers = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("m")).filter(col("m") <= lit(cutoff))
+      .collect().map(_.getLong(0)).toSet
+    assert(timerUsers.nonEmpty,
+      "fixture must contain users whose final session only a timer can emit")
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toSeq.toList).toSet
+    val tws = rows("stream_exec_tws_session")
+    assert(tws == rows("stream_exec_custom_state"),
+      "transformWithState and flatMapGroupsWithState machines must agree")
+    assert(tws.exists(r => timerUsers(r.head.asInstanceOf[Long])),
+      "timer-emitted region must be present in the tws output")
+  }
+
   test("Trigger.AvailableNow backfills all existing data then stops on its own") {
     // the operational backfill mode: process everything that currently
     // exists in bounded micro-batches, then self-terminate — a catch-up
