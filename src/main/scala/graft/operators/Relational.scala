@@ -1702,6 +1702,143 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** SCD Type-2 dimension build from a change log: collapse each user's
+    * event-type stream into versioned validity intervals
+    * `[valid_from, valid_to)` with an open-ended (NULL valid_to) current
+    * version — the keep-history sibling of the SCD-1 `dedup_keep_latest`
+    * row. Islands come from the gaps-and-islands idiom (change flag →
+    * running sum); both window passes share ONE `(user_id)` partition
+    * sort, the interval close is a `lead` over the already-collapsed
+    * version rows, and nothing is global — per-key linear, skew bounded
+    * by a single key's history, the 100 TB CDC-to-dimension shape.
+    * Timestamps are the µs-truncated fixture convention (see
+    * [[windowFillForward]]) so `valid_from`/`valid_to` compare exactly.
+    */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val chg = when(prev.isNull || prev =!= col("event_type"), 1L)
+      .otherwise(0L)
+    val versioned = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), chg.as("chg"))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("version"))
+    val islands = versioned.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+           min(col("ts")).as("valid_from"),
+           count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    islands.select(col("user_id"), col("version"), col("state"),
+        col("valid_from"),
+        lead(col("valid_from"), 1).over(wv).as("valid_to"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Fixed-grid downsampling: snap every event to its 15-minute bucket
+    * and aggregate — the resample-to-grid step every time-series feature
+    * pipeline starts with. The bucket key is pure integer arithmetic on
+    * the µs epoch (`us − us mod 900e6`), identical on both engines, so
+    * the grid is exact by construction (no engine-specific
+    * date-truncation semantics involved). One hash aggregate on the
+    * bucket key; map-side partial combine collapses the fan-in before
+    * the shuffle, so at 100 TB the exchange carries one row per
+    * (partition × live bucket), not per event.
+    */
+  private def tsResample(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val us = unix_micros(col("ts"))
+    val bucket = (us - pmod(us, lit(900000000L))).as("bucket_us")
+    ev.select(bucket, col("user_id"), col("value"))
+      .groupBy(col("bucket_us"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"),
+           dsum(col("value")).as("sum_value"))
+      .select(timestamp_micros(col("bucket_us")).as("bucket_start"),
+        col("n"), col("n_users"), col("sum_value"))
+      .orderBy(col("bucket_start"))
+  }
+
+  /** Rule-driven data-quality expectation audit — the admission gate a
+    * training corpus passes before anything downstream trusts it: one
+    * row per declared expectation with its violation count and verdict.
+    * All row-level rules ride ONE single-pass aggregate (conditional
+    * sums), the uniqueness rule folds into the same aggregate as
+    * `count − countDistinct`, and the per-rule rows come from exploding
+    * a literal array of structs over the 1-row result — one scan, one
+    * reduction, zero joins at any scale. The fixture makes the audit
+    * non-vacuous: `n_chars_max_400` and `lang_allowed` FAIL (real
+    * violation counts), the other four pass.
+    */
+  private def qualityExpectations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val audited = docs.agg(
+      count(lit(1)).as("n_checked"),
+      viol(col("doc_id").isNull).as("v_id_null"),
+      viol(col("text").isNull || length(col("text")) === 0)
+        .as("v_text_empty"),
+      viol(col("n_chars") =!= length(col("text"))).as("v_len_mismatch"),
+      viol(col("n_chars") > 400).as("v_len_max"),
+      viol(!col("lang").isin("en", "de", "fr", "es")).as("v_lang"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v_id_dup"))
+    val rules = array(
+      struct(lit("doc_id_not_null").as("rule"),
+        col("v_id_null").as("n_violations")),
+      struct(lit("doc_id_unique").as("rule"),
+        col("v_id_dup").as("n_violations")),
+      struct(lit("lang_allowed").as("rule"),
+        col("v_lang").as("n_violations")),
+      struct(lit("n_chars_consistent").as("rule"),
+        col("v_len_mismatch").as("n_violations")),
+      struct(lit("n_chars_max_400").as("rule"),
+        col("v_len_max").as("n_violations")),
+      struct(lit("text_not_empty").as("rule"),
+        col("v_text_empty").as("n_violations")))
+    audited.select(col("n_checked"), explode(rules).as("r"))
+      .select(col("r.rule").as("rule"), col("n_checked"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+      .orderBy(col("rule"))
+  }
+
+  /** Small-file compaction — the operational fix for the canonical
+    * 100 TB table ailment (a streaming or over-parallel writer leaves
+    * thousands of KB-scale files; every subsequent scan pays per-file
+    * open/footer cost). Sequence: fragment lineitem into 64 shards,
+    * size the compacted layout from the actual on-disk bytes
+    * (`ceil(total / 8 MiB)` — a driver METADATA listing, never data),
+    * rewrite through `coalesce(n)` (shuffle-free narrow coalescence —
+    * compaction moves bytes once, through IO, not twice through an
+    * exchange), and aggregate the compacted copy. The oracle runs on
+    * the ORIGINAL parquet, so byte-lossless compaction is part of what
+    * is checked; [[layoutCompactTarget]] exposes the sizing for the
+    * file-count spec.
+    */
+  def layoutCompactTarget(dir: String, targetBytes: Long): Int = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    math.max(1, math.ceil(
+      files.map(_.length()).sum.toDouble / targetBytes).toInt)
+  }
+
+  private def layoutCompact(s: SparkSession, d: String): DataFrame = {
+    val smallDir = scratch("compact_small")
+    val outDir = scratch("compact_out")
+    li(s, d).repartition(64).write.mode("overwrite").parquet(smallDir)
+    val nOut = layoutCompactTarget(smallDir, 8L * 1024 * 1024)
+    s.read.parquet(smallDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Time-series gap fill: carry the last observed purchase value
     * forward (and the next one backward) across each user's event
     * stream — `last/first(..., ignoreNulls)` over running frames, the
@@ -1850,6 +1987,10 @@ object Relational {
     "window_fill_forward" -> windowFillForward _,
     "window_interpolate" -> windowInterpolate _,
     "events_retention" -> eventsRetention _,
+    "scd2_history" -> scd2History _,
+    "ts_resample" -> tsResample _,
+    "quality_expectations" -> qualityExpectations _,
+    "layout_compact" -> layoutCompact _,
     "layout_zorder" -> layoutZorder _,
     "sink_partitioned" -> sinkPartitioned _,
     "sink_partition_overwrite" -> sinkPartitionOverwrite _,
@@ -2379,6 +2520,72 @@ object Relational {
              WHEN prev_t IS NOT NULL THEN prev_v
              ELSE next_v END AS value_interp
       FROM w ORDER BY user_id, event_id""",
+    "scd2_history" -> """
+      WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      versioned AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM marked),
+      islands AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               MIN(event_type) AS state, MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM versioned GROUP BY user_id, version)
+      SELECT user_id, version, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+             n_events
+      FROM islands ORDER BY user_id, version""",
+    "ts_resample" -> """
+      WITH b AS (
+        SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(CAST(ts AS TIMESTAMP)) % 900000000)
+                 AS bucket_start,
+               user_id, value
+        FROM events)
+      SELECT bucket_start, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM b GROUP BY 1 ORDER BY 1""",
+    "quality_expectations" -> """
+      WITH t AS (
+        SELECT COUNT(*) AS n_checked,
+          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_id_null,
+          CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_text_empty,
+          CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_len_mismatch,
+          CAST(SUM(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_len_max,
+          CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+          COUNT(*) - COUNT(DISTINCT doc_id) AS v_id_dup
+        FROM documents)
+      SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        SELECT 'doc_id_not_null' AS rule, n_checked,
+               v_id_null AS n_violations FROM t
+        UNION ALL SELECT 'doc_id_unique', n_checked, v_id_dup FROM t
+        UNION ALL SELECT 'lang_allowed', n_checked, v_lang FROM t
+        UNION ALL SELECT 'n_chars_consistent', n_checked, v_len_mismatch
+          FROM t
+        UNION ALL SELECT 'n_chars_max_400', n_checked, v_len_max FROM t
+        UNION ALL SELECT 'text_not_empty', n_checked, v_text_empty FROM t)
+      ORDER BY rule""",
+    "layout_compact" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_retention" -> """
       WITH fd AS (
         SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day

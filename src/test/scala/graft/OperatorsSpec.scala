@@ -212,6 +212,76 @@ class OperatorsSpec extends AnyFunSuite {
     val nd = rows.head.getAs[Long]("n_distinct")
     assert(n > nd) // overlap exists by construction (nationkey<5 ⊂ <10)
   }
+
+  test("scd2_history intervals are contiguous, alternating, one open per user") {
+    // the structural SCD-2 contract the value-level oracle can't state:
+    // versions are 1..k gap-free, consecutive versions never share a
+    // state (else the island collapse failed), each valid_to equals the
+    // NEXT version's valid_from (half-open tiling, no gaps/overlaps),
+    // and exactly the last version per user is open (NULL valid_to)
+    val rows = operators.Relational.queries("scd2_history")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), if (r.isNullAt(4)) null else r.getTimestamp(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    for ((u, vs0) <- rows) {
+      val vs = vs0.sortBy(_._2)
+      assert(vs.map(_._2).toList == (1L to vs.length).toList,
+        s"user $u versions not contiguous")
+      for (w <- vs.sliding(2) if w.length == 2) {
+        val (a, b) = (w(0), w(1))
+        assert(a._3 != b._3, s"user $u consecutive versions share state")
+        assert(a._5 == b._4, s"user $u interval tiling broken")
+      }
+      assert(vs.count(_._5 == null) == 1 && vs.last._5 == null,
+        s"user $u must have exactly the final version open")
+    }
+  }
+
+  test("ts_resample buckets are 15-minute aligned and partition the events") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.queries("ts_resample")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val us = r.getTimestamp(0).getTime * 1000L +
+        (r.getTimestamp(0).getNanos / 1000) % 1000
+      assert(us % 900000000L == 0, s"bucket ${r.getTimestamp(0)} unaligned")
+    }
+    val total = graft.streaming.Streaming.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "bucket counts must partition the event set")
+  }
+
+  test("quality_expectations is non-vacuous: both verdicts occur, dup rule cross-checks") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.queries("quality_expectations")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    val byRule = rows.map(r => r._1 -> r).toMap
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "fixture must exercise BOTH pass and fail verdicts")
+    for ((_, v, pass) <- rows) assert(pass == (v == 0L))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dup = docs.count() - docs.select(col("doc_id")).distinct().count()
+    assert(byRule("doc_id_unique")._2 == dup)
+  }
+
+  test("layout_compact shrinks the file count to the byte-derived target") {
+    // the operational claim the content oracle can't see: 64 fragment
+    // files come back as ceil(bytes/8MiB) compacted files
+    operators.Relational.queries("layout_compact")(spark, sfDir).collect()
+    def parquets(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val smallDir = "/root/repo/target/scratch/compact_small"
+    val nSmall = parquets(smallDir)
+    val nOut = parquets("/root/repo/target/scratch/compact_out")
+    assert(nSmall == 64, s"fragmentation stage wrote $nSmall files")
+    assert(nOut ==
+      operators.Relational.layoutCompactTarget(smallDir, 8L * 1024 * 1024),
+      "compacted file count must equal the byte-derived target")
+    assert(nOut < nSmall, "compaction must reduce the file count")
+  }
 }
 
 /** Plan-shape assertions — the SURVEY §5 layer (b): the optimizations we
