@@ -54,6 +54,11 @@ object Scratch {
     f.delete(): Unit
   }
 
+  /** Remove a scratch path entirely (for layouts that are rebuilt from
+    * zero on every run rather than cached behind a `_BUILT` marker).
+    */
+  def purge(path: String): Unit = deleteRecursively(new java.io.File(path))
+
   /** Returns `<root>/<key>`, running `build(tmpDir)` first unless the
     * marker from a previous build is present. The build writes into a
     * process-private temp dir that is atomically renamed into place, so a

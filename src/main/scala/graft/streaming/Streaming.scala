@@ -456,10 +456,46 @@ object Streaming {
     sessionRows(sink, cutoffUs)
   }
 
+  /** `foreachBatch` — the bring-your-own-sink tier a production pipeline
+    * ends in when the destination isn't a first-class sink (JDBC
+    * upserts, multi-table fan-out, external indexes). Exactly-once is
+    * COMPOSED, not assumed: the replayable file source re-offers a
+    * failed micro-batch under the SAME batchId, and the writer is
+    * idempotent per batchId — each batch lands in its own `batch_id=N`
+    * partition with overwrite mode, so a replay overwrites its previous
+    * output instead of double-appending (the recovery contract the
+    * foreachBatch docs specify). The row reads the partition tree back
+    * and aggregates; the oracle sees only the original events table, so
+    * losslessness of the whole custom write path is what the gate
+    * checks. [[foreachBatchWriter]] is public so the spec can re-fire a
+    * batch and prove replay idempotence.
+    */
+  def foreachBatchWriter(out: String): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      df.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+
+  def foreachBatchOut(s: SparkSession): String =
+    graft.Scratch.root(s) + "/stream_fb_out"
+
+  private def streamExecForeachBatch(s: SparkSession, d: String): DataFrame = {
+    val out = foreachBatchOut(s)
+    graft.Scratch.purge(out)
+    val q = readEventStream(s, d).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(foreachBatchWriter(out))
+      .start()
+    require(q.awaitTermination(300000), "foreachBatch did not terminate")
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg _,
     "stream_exec_custom_state" -> streamExecCustomState _,
     "stream_exec_tws_session" -> streamExecTwsSession _,
+    "stream_exec_foreach_batch" -> streamExecForeachBatch _,
     "stream_session_agg" -> streamSessionAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_json_props" -> streamJsonProps _,
@@ -523,6 +559,12 @@ object Streaming {
     // mode aggregation / inner interval join / key-set dedup are all
     // exactly their batch equivalents once the bounded source drains
     "stream_exec_window_agg" -> WindowAggSql,
+    // the foreachBatch partition tree holds exactly the drained source,
+    // so aggregating it equals aggregating the original table
+    "stream_exec_foreach_batch" -> """
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_exec_interval_join" -> """
       SELECT c.event_id AS click_event, p.event_id AS purchase_event,
              c.user_id AS user_id

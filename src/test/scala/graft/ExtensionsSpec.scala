@@ -590,6 +590,32 @@ class StreamingSpec extends AnyFunSuite {
       "timer-emitted region must be present in the tws output")
   }
 
+  test("foreachBatch writer is idempotent per batchId: a replay changes nothing") {
+    // run the row once (drains the source through the batchId-keyed
+    // writer), snapshot the aggregate, then re-fire batch 0's writer
+    // with the exact content the source offered it — the failure-replay
+    // scenario. Overwrite-per-batchId must leave the output IDENTICAL;
+    // an append-style writer would double batch 0's rows.
+    val row = SparkEntry.queries("stream_exec_foreach_batch")(spark, sfDir)
+    val before = row.collect().map(_.toSeq.toList).toList
+    val out = streaming.Streaming.foreachBatchOut(spark)
+    val dir0 = s"$out/batch_id=0"
+    assert(new java.io.File(dir0).isDirectory, "batch 0 partition must exist")
+    val schema = spark.read.parquet(dir0).schema
+    val content0 = spark.read.parquet(dir0).collect().toSeq
+    streaming.Streaming.foreachBatchWriter(out)(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(content0, 2), schema), 0L)
+    val after = spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq.toList).toList
+    assert(after == before, "replaying batch 0 must not change the output")
+  }
+
   test("Trigger.AvailableNow backfills all existing data then stops on its own") {
     // the operational backfill mode: process everything that currently
     // exists in bounded micro-batches, then self-terminate — a catch-up
