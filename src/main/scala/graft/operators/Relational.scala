@@ -1739,6 +1739,31 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Autoregressive training-pair generation: each event becomes a
+    * (context, label) example where the context is the user's previous
+    * three event types IN ORDER — the sequence-model data-prep shape
+    * (next-token prediction over behavioral streams). `collect_list`
+    * over a bounded `ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING` frame
+    * keeps frame order, so the context array is deterministic; rows
+    * without a full context are dropped by `row_number`. Both window
+    * values share ONE per-user sort, the frame bounds the state to three
+    * elements per row, and nothing is global — linear at any corpus
+    * size.
+    */
+  private def eventsSeqPairs(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+        collect_list(col("event_type")).over(w.rowsBetween(-3, -1))
+          .as("context"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") > 3)
+      .select(col("user_id"), col("event_id"), col("context"),
+        col("event_type").as("label"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Fixed-grid downsampling: snap every event to its 15-minute bucket
     * and aggregate — the resample-to-grid step every time-series feature
     * pipeline starts with. The bucket key is pure integer arithmetic on
@@ -1761,6 +1786,32 @@ object Relational {
       .select(timestamp_micros(col("bucket_us")).as("bucket_start"),
         col("n"), col("n_users"), col("sum_value"))
       .orderBy(col("bucket_start"))
+  }
+
+  /** Incremental rollup maintenance: a per-day partial-aggregate table
+    * is materialized once (the job that runs as each day's partition
+    * arrives), and the serving query MERGES partials instead of
+    * rescanning raw history — the pattern that keeps a 100 TB metric
+    * query reading MB of partials instead of the corpus. Works because
+    * count and decimal sum are re-aggregable (associative decompositions:
+    * `count = Σ partial counts`, `sum = Σ partial exact-decimal sums` —
+    * no precision drift across the two levels); the oracle aggregates
+    * the RAW table directly, so the decomposition's exactness is what
+    * the gate checks.
+    */
+  private def aggIncrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val partialDir = scratch("agg_partials")
+    graft.streaming.Streaming.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
+      .write.mode("overwrite").parquet(partialDir)
+    s.read.parquet(partialDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+           sum(col("sum_dec")).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
   }
 
   /** Rule-driven data-quality expectation audit — the admission gate a
@@ -1988,8 +2039,10 @@ object Relational {
     "window_interpolate" -> windowInterpolate _,
     "events_retention" -> eventsRetention _,
     "scd2_history" -> scd2History _,
+    "events_seq_pairs" -> eventsSeqPairs _,
     "ts_resample" -> tsResample _,
     "quality_expectations" -> qualityExpectations _,
+    "agg_incremental_rollup" -> aggIncrementalRollup _,
     "layout_compact" -> layoutCompact _,
     "layout_zorder" -> layoutZorder _,
     "sink_partitioned" -> sinkPartitioned _,
@@ -2545,6 +2598,20 @@ object Relational {
                AS valid_to,
              n_events
       FROM islands ORDER BY user_id, version""",
+    "events_seq_pairs" -> """
+      WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      w AS (
+        SELECT user_id, event_id, event_type,
+          list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+            AS context,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS rn
+        FROM base)
+      SELECT user_id, event_id, context, event_type AS label
+      FROM w WHERE rn > 3 ORDER BY user_id, event_id""",
     "ts_resample" -> """
       WITH b AS (
         SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
@@ -2581,6 +2648,10 @@ object Relational {
         UNION ALL SELECT 'n_chars_max_400', n_checked, v_len_max FROM t
         UNION ALL SELECT 'text_not_empty', n_checked, v_text_empty FROM t)
       ORDER BY rule""",
+    "agg_incremental_rollup" -> """
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "layout_compact" -> """
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

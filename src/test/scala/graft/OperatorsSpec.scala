@@ -254,6 +254,14 @@ class OperatorsSpec extends AnyFunSuite {
       "bucket counts must partition the event set")
   }
 
+  test("events_seq_pairs contexts are always exactly the 3-event window") {
+    val rows = operators.Relational.queries("events_seq_pairs")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getSeq[String](2).length == 3),
+      "every emitted pair must carry a FULL 3-event context")
+  }
+
   test("quality_expectations is non-vacuous: both verdicts occur, dup rule cross-checks") {
     import org.apache.spark.sql.functions._
     val rows = operators.Relational.queries("quality_expectations")(spark, sfDir)
