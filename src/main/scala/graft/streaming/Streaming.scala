@@ -456,6 +456,35 @@ object Streaming {
     sessionRows(sink, cutoffUs)
   }
 
+  /** The SAME session machine through the TYPED batch API —
+    * `Dataset[Ev].groupByKey(...).flatMapGroups` over case-class
+    * Encoders: the per-key imperative tier for logic an aggregate
+    * composition would obscure. Reuses [[foldSessions]] verbatim, so ONE
+    * fold now serves three execution paths (batch flatMapGroups, fMGWS,
+    * transformWithState) and all three are gated against the same
+    * gaps-and-islands SQL family; batch has no watermark, so the final
+    * open session closes at end-of-group and EVERY session is emitted
+    * (the `sessionize_batch` oracle, unrestricted). Per-key memory is
+    * one user's event run — the same contract the streaming rows make.
+    */
+  private def sessionizeTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val typed = events(s, d).filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroups { (u: Long, it: Iterator[Ev]) =>
+        val (done, open) = foldSessions(u, it, None)
+        done.iterator ++ open.map(closed(u, _)).iterator
+      }
+      .toDF()
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** `foreachBatch` — the bring-your-own-sink tier a production pipeline
     * ends in when the destination isn't a first-class sink (JDBC
     * upserts, multi-table fan-out, external indexes). Exactly-once is
@@ -496,6 +525,7 @@ object Streaming {
     "stream_exec_custom_state" -> streamExecCustomState _,
     "stream_exec_tws_session" -> streamExecTwsSession _,
     "stream_exec_foreach_batch" -> streamExecForeachBatch _,
+    "sessionize_typed" -> sessionizeTyped _,
     "stream_session_agg" -> streamSessionAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_json_props" -> streamJsonProps _,
@@ -597,6 +627,9 @@ object Streaming {
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""",
     "stream_session_agg" -> SessionAggSql,
+    // the typed flatMapGroups machine closes every session at
+    // end-of-group, so it equals the unrestricted batch sessionization
+    "sessionize_typed" -> SessionAggSql,
     // the custom-state machines equal batch gaps-and-islands on the
     // provably-emitted region: sessions whose last event is at or below
     // the final watermark (max ts − 1 min) minus the 30-min gap and a

@@ -590,6 +590,18 @@ class StreamingSpec extends AnyFunSuite {
       "timer-emitted region must be present in the tws output")
   }
 
+  test("typed flatMapGroups sessionization equals the session_window answer") {
+    // three implementations of one semantic — session_window aggregate,
+    // typed flatMapGroups (this row), and the SQL oracle — must agree;
+    // here the two Spark paths are compared row-for-row directly
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val typed = rows("sessionize_typed")
+    assert(typed.nonEmpty)
+    assert(typed == rows("stream_session_agg"),
+      "flatMapGroups and session_window must produce identical sessions")
+  }
+
   test("foreachBatch writer is idempotent per batchId: a replay changes nothing") {
     // run the row once (drains the source through the batchId-keyed
     // writer), snapshot the aggregate, then re-fire batch 0's writer
