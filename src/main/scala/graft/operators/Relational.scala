@@ -1264,6 +1264,28 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Top-k ROWS per group via the rank-filter window idiom — kept
+    * deliberately in the `row_number() ≤ k` form because Spark 4 plans
+    * it through `WindowGroupLimit`: a partial per-partition group limit
+    * runs BELOW the shuffle, so each map task forwards at most k rows
+    * per group instead of the group's full contents — the engine's own
+    * heap-pushdown answer to top-k-per-group (the aggregated-summary
+    * variant is [[aggTopk]]'s bounded-heap UDAF). Plan-asserted in
+    * `PlanSpec`; the (price, orderkey, linenumber) ordering is total, so
+    * the rows are deterministic.
+    */
+  private def windowTopkRows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    li(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("rnk"))
+  }
+
   /** PIVOT: long→wide conditional aggregation (no analog anywhere in the
     * reference). The oracle expresses the identical semantics as CASE
     * aggregation, which also documents exactly what pivot computes.
@@ -2060,6 +2082,7 @@ object Relational {
     "agg_histogram" -> aggHistogram _,
     "agg_histogram_eqdepth" -> aggHistogramEqDepth _,
     "agg_topk" -> aggTopk _,
+    "window_topk_rows" -> windowTopkRows _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_sketch_merge" -> aggSketchMerge _,
@@ -2598,6 +2621,16 @@ object Relational {
                AS valid_to,
              n_events
       FROM islands ORDER BY user_id, version""",
+    "window_topk_rows" -> """
+      WITH r AS (
+        SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+               l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                 AS rnk
+        FROM lineitem)
+      SELECT * FROM r WHERE rnk <= 3
+      ORDER BY l_returnflag, l_linestatus, rnk""",
     "events_seq_pairs" -> """
       WITH base AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type

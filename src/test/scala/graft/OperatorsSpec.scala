@@ -666,6 +666,20 @@ class PlanSpec extends AnyFunSuite {
       s"AQE did not coalesce the small shuffle:\n$p")
   }
 
+  test("window_topk_rows plans a partial WindowGroupLimit below the shuffle") {
+    // the rank-filter idiom must trigger Spark 4's WindowGroupLimit
+    // pushdown: a Partial group limit below the exchange caps each map
+    // task at k rows per group, so the shuffle carries O(k·groups) rows,
+    // not the corpus — the property that makes the idiom 100 TB-safe
+    val df = SparkEntry.queries("window_topk_rows")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-filter did not plan a WindowGroupLimit pushdown:\n$p")
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      s"expected BOTH partial and final WindowGroupLimit nodes:\n$p")
+  }
+
   test("profile_table plan has no Expand; dedup_segment has no per-group sort") {
     // profile_table: six countDistincts in ONE aggregate would become a
     // 7-projection Expand multiplying every row before the shuffle — the
