@@ -11,7 +11,9 @@ final case class CsvOptions(
     schema: Option[StructType] = None,
     hasHeader: Boolean = true,
     delimiter: String = ",",
-    fileExtension: String = ".csv")
+    fileExtension: String = ".csv",
+    /** Spark parse mode: PERMISSIVE (default), DROPMALFORMED, FAILFAST. */
+    mode: Option[String] = None)
 
 /** Parquet/CSV writer compression codecs supported by the reference's
   * benchmark writer (reference: rust/benchmarks/tpch/src/main.rs:233-253:
@@ -47,6 +49,7 @@ class SessionContext(val spark: SparkSession) {
       // the configured extension are scanned)
       .option("pathGlobFilter", s"*${opts.fileExtension}")
     opts.schema.foreach(s => r = r.schema(s))
+    opts.mode.foreach(m => r = r.option("mode", m))
     // schema-less reads always infer types — with OR without a header row;
     // previously the header path silently read every column as string.
     if (opts.schema.isEmpty) r = r.option("inferSchema", "true")

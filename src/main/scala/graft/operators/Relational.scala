@@ -65,6 +65,54 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** Malformed-line-tolerant CSV ingest — the real-world arrival shape:
+    * a correct `|`-CSV dump of lineitem plus an injected junk file
+    * (short rows, wrong delimiter, non-numeric numerics, blank-ish
+    * lines). `DROPMALFORMED` must admit every well-formed row and ONLY
+    * those: the aggregate below is gated against the ORIGINAL parquet
+    * table, so an over-eager drop (losing good rows) and an under-eager
+    * one (coercing junk to rows) both fail the oracle. The PERMISSIVE
+    * sibling (junk surfaced in `_corrupt_record`, counted exactly) is
+    * spec-asserted in `OperatorsSpec`. At 100 TB tolerance is per-LINE
+    * inside splits — no quarantine pass, no second scan.
+    *
+    * Engine contract, learned the hard way: CSV malformedness is
+    * PROJECTION-SCOPED — a line is dropped only if conversion fails in a
+    * column the query actually reads (column pruning; short lines
+    * null-pad rather than fail), so a guard must read the columns it
+    * guards. This row's junk is malformed in the aggregated columns
+    * themselves; whole-row quarantine (select `_corrupt_record` with the
+    * full schema, which forces a full-line parse) is the PERMISSIVE
+    * spec's side of the contract.
+    */
+  private def scanCsvMalformed(s: SparkSession, d: String): DataFrame = {
+    val ctx = new SessionContext(s)
+    val src = li(s, d)
+    val path = scratch("lineitem_malformed_csv")
+    ctx.writeCsv(src, path, header = false, delimiter = "|")
+    val junk = new java.io.File(path, "part-junk.csv")
+    val w = new java.io.PrintWriter(junk, "UTF-8")
+    try MalformedLines.foreach(w.println)
+    finally w.close()
+    ctx.readCsv(path, CsvOptions(schema = Some(src.schema), hasHeader = false,
+                                 delimiter = "|", mode = Some("DROPMALFORMED")))
+      .groupBy(col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** The junk injected by [[scanCsvMalformed]] — every line fails
+    * conversion in a column the row's aggregate READS (quantity/price),
+    * because projection-scoped malformedness ignores junk elsewhere.
+    */
+  val MalformedLines: Seq[String] = Seq(
+    "1|2|3|4|bad_qty|6.0|0.0|0.0|N|O|2024-01-01 00:00:00",
+    "1|2|3|4|5.0|bad_price|0.0|0.0|N|O|2024-01-01 00:00:00",
+    "x|y|z|nope|qq|2.0|0.0|0.0|A|B|not-a-timestamp",
+    "9|9|9|9|1e1x|1,0|0|0|N|F|2024-13-45 99:99:99")
+
   /** Parquet sink with codec selection → scan round-trip
     * (reference: rust/benchmarks/tpch/src/main.rs:233-253). Exercises the
     * 5 codecs whose implementations ship with Spark (none/snappy/gzip/lz4/
@@ -840,6 +888,44 @@ object Relational {
     ord(s, d).join(big, col("o_orderkey") === col("k"), "left_anti")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n")).orderBy(col("o_orderstatus"))
+  }
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    * each other instead of vanishing — the semantics dimension-join
+    * pipelines need when "unknown" is itself a dimension member.
+    * Customers are keyed by segment-or-NULL (negative balance → NULL);
+    * the derived dimension contains the same NULL member, so the
+    * null-safe join routes unknown customers to the UNKNOWN bucket while
+    * a plain `===` would silently drop them (the classic fact-table
+    * leak). Still a hash equi-join — `<=>` stays a join KEY, never a
+    * residual filter, so the shuffle/broadcast machinery is unchanged.
+    */
+  private def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    val segOrNull =
+      when(col("c_acctbal") >= 0, col("c_mktsegment"))
+    val c = cust(s, d).select(col("c_custkey"), segOrNull.as("seg"))
+    val dim = cust(s, d).select(segOrNull.as("dseg")).distinct()
+      .select(col("dseg"), coalesce(col("dseg"), lit("UNKNOWN")).as("bucket"))
+    c.join(dim, col("seg") <=> col("dseg"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (min / truncated-difference per value), a different
+    * operator pair from the DISTINCT set rows: Spark plans them as
+    * count-compare generate-replicate aggregates, never a row-pairing
+    * join, so they stay one shuffle on the value at any scale.
+    */
+  private def setBagOps(s: SparkSession, d: String): DataFrame = {
+    val a = li(s, d).filter(col("l_quantity") <= 25).select(col("l_partkey"))
+    val b = li(s, d).filter(col("l_quantity") >= 20).select(col("l_partkey"))
+    val inter = a.intersectAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val exc = a.exceptAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    inter.unionAll(exc).orderBy(col("op"))
   }
 
   private def joinCross(s: SparkSession, d: String): DataFrame =
@@ -2050,6 +2136,9 @@ object Relational {
     "join_full" -> joinFull _,
     "join_semi" -> joinSemi _,
     "join_anti" -> joinAnti _,
+    "join_null_safe" -> joinNullSafe _,
+    "set_bag_ops" -> setBagOps _,
+    "scan_csv_malformed" -> scanCsvMalformed _,
     "join_cross" -> joinCross _,
     "join_asof" -> joinAsof _,
     "join_range" -> joinRange _,
@@ -2621,6 +2710,38 @@ object Relational {
                AS valid_to,
              n_events
       FROM islands ORDER BY user_id, version""",
+    "join_null_safe" -> """
+      WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal >= 0 THEN c_mktsegment END AS seg
+        FROM customer),
+      dim AS (
+        SELECT DISTINCT seg AS dseg,
+               COALESCE(seg, 'UNKNOWN') AS bucket
+        FROM c)
+      SELECT bucket, COUNT(*) AS n
+      FROM c JOIN dim ON c.seg IS NOT DISTINCT FROM dim.dseg
+      GROUP BY bucket ORDER BY bucket""",
+    "set_bag_ops" -> """
+      SELECT * FROM (
+        SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+          SELECT l_partkey FROM lineitem WHERE l_quantity <= 25
+          INTERSECT ALL
+          SELECT l_partkey FROM lineitem WHERE l_quantity >= 20)
+        UNION ALL
+        SELECT 'except_all', COUNT(*) FROM (
+          SELECT l_partkey FROM lineitem WHERE l_quantity <= 25
+          EXCEPT ALL
+          SELECT l_partkey FROM lineitem WHERE l_quantity >= 20))
+      ORDER BY op""",
+    "scan_csv_malformed" -> """
+      SELECT l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     "window_topk_rows" -> """
       WITH r AS (
         SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,

@@ -275,6 +275,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byRule("doc_id_unique")._2 == dup)
   }
 
+  test("PERMISSIVE csv surfaces exactly the injected junk in _corrupt_record") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // run the row first (writes the csv dir + junk file and proves the
+    // DROPMALFORMED side against its oracle elsewhere)
+    operators.Relational.queries("scan_csv_malformed")(spark, sfDir).collect()
+    // selecting _corrupt_record alongside the full schema forces a
+    // whole-line parse — the quarantine side of the projection-scoped
+    // malformedness contract documented on the row
+    val base = Tables.load(spark, sfDir, "lineitem")
+    val schema = StructType(base.schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val df = spark.read.schema(schema)
+      .option("header", "false").option("delimiter", "|")
+      .option("mode", "PERMISSIVE")
+      .csv("/root/repo/target/scratch/lineitem_malformed_csv")
+    df.cache()
+    val corrupt = df.filter(col("_corrupt_record").isNotNull).count()
+    val clean = df.filter(col("_corrupt_record").isNull).count()
+    df.unpersist()
+    assert(corrupt == operators.Relational.MalformedLines.size.toLong,
+      s"expected every junk line quarantined, got $corrupt")
+    assert(clean == base.count(), "all well-formed rows must survive")
+  }
+
   test("layout_compact shrinks the file count to the byte-derived target") {
     // the operational claim the content oracle can't see: 64 fragment
     // files come back as ceil(bytes/8MiB) compacted files
