@@ -1350,6 +1350,26 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Deterministic modal value (most frequent event type per user — the
+    * mode-imputation primitive). Built as count-then-`min_by` over the
+    * struct `(−count, value)`, whose lexicographic order makes the
+    * winner "highest count, ties to smallest value" — fully
+    * deterministic where a bare `mode()` is tie-unspecified, and a
+    * TWO-PHASE AGGREGATE both levels (no window, no per-group sort), the
+    * same skew-immune shape as `dedup_keep_latest`: a hot user costs one
+    * partial-merge chain, not a single-task sort.
+    */
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.streaming.Streaming.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("user_id"))
+      .agg(min_by(col("event_type"),
+        struct((-col("cnt")).as("neg"), col("event_type"))).as("modal"),
+        max(col("cnt")).as("modal_n"))
+      .orderBy(col("user_id"))
+  }
+
   /** Top-k ROWS per group via the rank-filter window idiom — kept
     * deliberately in the `row_number() ≤ k` form because Spark 4 plans
     * it through `WindowGroupLimit`: a partial per-partition group limit
@@ -2171,6 +2191,7 @@ object Relational {
     "agg_histogram" -> aggHistogram _,
     "agg_histogram_eqdepth" -> aggHistogramEqDepth _,
     "agg_topk" -> aggTopk _,
+    "agg_mode" -> aggMode _,
     "window_topk_rows" -> windowTopkRows _,
     "agg_approx_distinct" -> aggApproxDistinct _,
     "agg_approx_quantile" -> aggApproxQuantile _,
@@ -2710,6 +2731,17 @@ object Relational {
                AS valid_to,
              n_events
       FROM islands ORDER BY user_id, version""",
+    "agg_mode" -> """
+      WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, event_type, cnt,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY cnt DESC, event_type) AS rn
+        FROM c)
+      SELECT user_id, event_type AS modal, cnt AS modal_n
+      FROM r WHERE rn = 1 ORDER BY user_id""",
     "join_null_safe" -> """
       WITH c AS (
         SELECT c_custkey,

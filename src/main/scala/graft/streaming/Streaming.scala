@@ -456,6 +456,25 @@ object Streaming {
     sessionRows(sink, cutoffUs)
   }
 
+  /** Multi-source fan-in executed BY the streaming engine: two
+    * independent watermarked streams over disjoint slices of the corpus
+    * (the two-ingest-pipelines-one-table shape) UNIONed ahead of a
+    * shared windowed aggregate. Each branch keeps its own source offsets
+    * and watermark; the engine takes the MIN across branches before
+    * state eviction, so a lagging source can never cause the other's
+    * windows to finalize early — that cross-branch watermark coupling is
+    * the thing this row exercises that a single-source row can't. Oracle:
+    * the same aggregate over the whole table (the slices partition it).
+    */
+  private def streamExecUnion(s: SparkSession, d: String): DataFrame = {
+    def branch(lo: Long, hi: Long) =
+      readEventStream(s, d).filter(col("user_id") >= lo && col("user_id") < hi)
+        .withWatermark("ts", "1 minute")
+    val unioned = branch(0L, 25L).unionAll(branch(25L, Long.MaxValue))
+    runToMemory(s, "graft_exec_union", windowAgg(unioned), "complete")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** The SAME session machine through the TYPED batch API —
     * `Dataset[Ev].groupByKey(...).flatMapGroups` over case-class
     * Encoders: the per-key imperative tier for logic an aggregate
@@ -525,6 +544,7 @@ object Streaming {
     "stream_exec_custom_state" -> streamExecCustomState _,
     "stream_exec_tws_session" -> streamExecTwsSession _,
     "stream_exec_foreach_batch" -> streamExecForeachBatch _,
+    "stream_exec_union" -> streamExecUnion _,
     "sessionize_typed" -> sessionizeTyped _,
     "stream_session_agg" -> streamSessionAgg _,
     "stream_sliding_agg" -> streamSlidingAgg _,
@@ -589,6 +609,9 @@ object Streaming {
     // mode aggregation / inner interval join / key-set dedup are all
     // exactly their batch equivalents once the bounded source drains
     "stream_exec_window_agg" -> WindowAggSql,
+    // the two branch slices partition the corpus, so the unioned stream
+    // aggregates to exactly the whole-table answer
+    "stream_exec_union" -> WindowAggSql,
     // the foreachBatch partition tree holds exactly the drained source,
     // so aggregating it equals aggregating the original table
     "stream_exec_foreach_batch" -> """

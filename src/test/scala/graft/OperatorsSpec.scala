@@ -705,6 +705,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected BOTH partial and final WindowGroupLimit nodes:\n$p")
   }
 
+  test("agg_mode stays a two-phase aggregate: no Window, no per-group sort") {
+    // mode-imputation must keep the skew-immune min_by shape — a
+    // row_number regression would sort every hot user in one task
+    val df = SparkEntry.queries("agg_mode")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"agg_mode regressed to a window:\n$p")
+  }
+
   test("profile_table plan has no Expand; dedup_segment has no per-group sort") {
     // profile_table: six countDistincts in ONE aggregate would become a
     // 7-projection Expand multiplying every row before the shuffle — the
