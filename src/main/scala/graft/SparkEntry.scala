@@ -19,7 +19,7 @@ object SparkEntry {
     operators.Tpch.queries ++ operators.Relational.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      streaming.Streaming.queries
+      operators.Graph.queries ++ streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     operators.Tpch.oracles ++ operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      streaming.Streaming.oracles
+      operators.Graph.oracles ++ streaming.Streaming.oracles
 }

@@ -2136,6 +2136,115 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // §2.7 beyond-reference: JSON surface, generators, unpivot, merge, UDAF
+  // ---------------------------------------------------------------------
+
+  /** JSON expression surface (the reference wires no JSON functions —
+    * `from_proto.rs:888-927` stops at strings/hashes): `get_json_object`
+    * path extraction, schema'd `from_json` parsing, and a
+    * `to_json`→re-extract round-trip, all codegen'd expressions. Map-only
+    * until the final two-phase aggregate, so the parse work spreads
+    * linearly over a 100 TB events log with no shuffle of the raw JSON.
+    */
+  private def exprJson(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_path"),
+        from_json(col("props"), "k LONG", Map.empty[String, String])
+          .getField("k").as("k_typed"),
+        to_json(struct(col("event_id"), col("event_type"))).as("j"))
+      .withColumn("rt_ok",
+        (get_json_object(col("j"), "$.event_id").cast(LongType) ===
+          col("event_id")).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k_path")).as("sum_k_path"),
+           sum(col("k_typed")).as("sum_k_typed"),
+           sum(col("rt_ok")).as("n_roundtrip"))
+      .orderBy(col("event_type"))
+
+  /** Unpivot/melt — the inverse of [[aggPivot]]: per-flag measure columns
+    * land as (flag, measure, value) rows via `DataFrame.unpivot`, which
+    * Catalyst plans as a single Expand pass (no shuffle beyond the feeding
+    * aggregate — the 3× row growth happens map-side). The oracle is the
+    * UNION ALL that relational algebra defines unpivot as.
+    */
+  private def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+               "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** Positional generator: `posexplode` keeps each element's ordinal, the
+    * piece plain `explode` (see [[exprExplode]]) drops — the shape every
+    * token-position / n-gram-offset pipeline needs. Map-side row
+    * multiplication, order restored by (doc, pos) keys, never by relying
+    * on generator output order.
+    */
+  private def exprGenerators(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** MERGE/upsert emulation over immutable parquet — the full-outer-join
+    * + coalesce idiom (updates win, unmatched base rows keep, unmatched
+    * update rows insert), the portable form of `MERGE INTO` when the sink
+    * is a plain file format with no transactional catalog. The join
+    * shuffles both sides on the merge key — correct for the general case
+    * where the delta is not broadcast-small; a CDC-sized delta goes
+    * through the broadcast path [[dedup_incremental]] already proves.
+    * Action labels audit the merge: insert/update/keep counts must
+    * reconcile to |base| + |inserts|.
+    */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = ord(s, d)
+    // derived prices are tie-free by construction (*2 is exact halving in
+    // reverse, +1000.00 adds no decimal digits) — a ROUND(x*1.1, 2) here
+    // would diverge cross-engine on half-tie doubles
+    val upd = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("status"),
+              (col("o_totalprice") * 2).as("price"))
+      .unionByName(base.filter(col("o_orderkey") % 11 === 3)
+        .select((-col("o_orderkey")).as("k"), lit("I").as("status"),
+                (col("o_totalprice") + 1000.0).as("price")))
+    base.join(upd, col("k") === col("o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("status"), col("o_orderstatus")).as("status"),
+        coalesce(col("price"), col("o_totalprice")).as("price"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("k").isNull, "keep").otherwise("update").as("action"))
+      .groupBy(col("action"), col("status"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+      .orderBy(col("action"), col("status"))
+  }
+
+  /** Custom typed [[org.apache.spark.sql.expressions.Aggregator]] — the
+    * extension point for aggregates Spark lacks (the reference's analog
+    * is a new AggregateExpr proto variant + planner case,
+    * `ballista.proto:121-132`). The (Σwx, Σw) buffer merge is
+    * associative+commutative, so Spark runs it Partial→Final like any
+    * built-in — no single-point reduce. Demo only: where a native
+    * expression exists (as it does for weighted mean), prefer it; the
+    * oracle below IS that native closed form.
+    */
+  private def aggTypedAggregator(s: SparkSession, d: String): DataFrame = {
+    val wmean = udaf(graft.functions.WeightedMeanAgg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(round(wmean(col("l_extendedprice"), col("l_quantity")), 4)
+             .as("wavg_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> scanParquet _,
@@ -2240,7 +2349,12 @@ object Relational {
     "window_rank" -> windowRank _,
     "window_navigation" -> windowNavigation _,
     "window_range_frame" -> windowRangeFrame _,
-    "window_dist" -> windowDist _
+    "window_dist" -> windowDist _,
+    "expr_json" -> exprJson _,
+    "agg_unpivot" -> aggUnpivot _,
+    "expr_generators" -> exprGenerators _,
+    "merge_upsert" -> mergeUpsert _,
+    "agg_typed_aggregator" -> aggTypedAggregator _
   )
 
   private val D = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
@@ -3128,6 +3242,51 @@ object Relational {
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
       WHERE rnk <= 5
-      ORDER BY c_mktsegment, rnk, c_custkey"""
+      ORDER BY c_mktsegment, rnk, c_custkey""",
+    "expr_json" -> """
+      SELECT event_type,
+             CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k_path,
+             CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k_typed,
+             CAST(SUM(CASE WHEN CAST(json_extract_string(
+                 to_json({'event_id': event_id, 'event_type': event_type}),
+                 '$.event_id') AS BIGINT) = event_id THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_unpivot" -> s"""
+      WITH m AS (SELECT l_returnflag,
+                        ${ds("l_quantity")} AS sum_qty,
+                        ${ds("l_extendedprice")} AS sum_price,
+                        ${ds("l_discount")} AS sum_disc
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM m
+      UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM m
+      UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM m
+      ORDER BY l_returnflag, measure""",
+    "expr_generators" -> """
+      SELECT doc_id,
+             CAST(unnest(generate_series(0, len(parts)-1)) AS INT) AS pos,
+             unnest(parts) AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents WHERE doc_id < 20)
+      ORDER BY doc_id, pos""",
+    "merge_upsert" -> s"""
+      WITH upd AS (
+        SELECT o_orderkey AS k, 'U' AS status, o_totalprice*2 AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT -o_orderkey AS k, 'I' AS status, o_totalprice+1000.0 AS price
+        FROM orders WHERE o_orderkey % 11 = 3),
+      merged AS (
+        SELECT COALESCE(u.status, b.o_orderstatus) AS status,
+               COALESCE(u.price, b.o_totalprice) AS price,
+               CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                    WHEN u.k IS NULL THEN 'keep' ELSE 'update' END AS action
+        FROM orders b FULL OUTER JOIN upd u ON u.k = b.o_orderkey)
+      SELECT action, status, COUNT(*) AS n, ${ds("price")} AS sum_price
+      FROM merged GROUP BY action, status ORDER BY action, status""",
+    "agg_typed_aggregator" -> """
+      SELECT l_returnflag,
+             ROUND(SUM(l_extendedprice*l_quantity)/SUM(l_quantity), 4) AS wavg_price,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

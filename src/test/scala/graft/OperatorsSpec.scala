@@ -745,4 +745,94 @@ class PlanSpec extends AnyFunSuite {
       "double min/max must render through DECIMAL(18,2)")
     assert(out.forall(_.getAs[Long]("n_nulls") == 0)) // fixture has no nulls
   }
+
+  test("expr_json parses map-side: aggregate is two-phase, no Expand") {
+    // JSON extraction must stay inside the scan stage so a 100 TB events
+    // log never shuffles raw props strings — only the partial sums move
+    val df = SparkEntry.queries("expr_json")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      s"expr_json aggregate is not two-phase:\n$p")
+    // the partial aggregate's shuffle output must carry only the sums —
+    // raw props strings never cross an exchange
+    val partialOut = p.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("partial_sum"))
+      .mkString("\n")
+    assert(partialOut.nonEmpty && !partialOut.contains("props"),
+      s"raw props column survived to the partial aggregate output:\n$partialOut")
+  }
+
+  test("agg_unpivot expands AFTER the aggregate, not before") {
+    // unpivot's 3x row growth must apply to the |groups|-sized aggregate
+    // output, never to the corpus — Expand above HashAggregate in the plan
+    val df = SparkEntry.queries("agg_unpivot")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val iExpand = p.indexOf("Expand")
+    val iAgg = p.indexOf("HashAggregate")
+    assert(iExpand >= 0 && iAgg >= 0, s"missing Expand/HashAggregate:\n$p")
+    assert(iExpand < iAgg, // plan prints top-down: earlier = later stage
+      s"Expand runs below the aggregate (corpus-sized growth):\n$p")
+  }
+
+  test("expr_generators plans a Generate with ordinals") {
+    val df = SparkEntry.queries("expr_generators")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate posexplode"),
+      s"no posexplode Generate node:\n$p")
+  }
+
+  test("merge_upsert action counts reconcile to |base| + |inserts|") {
+    // the merge audit: every base row lands as update-or-keep exactly
+    // once, every unmatched delta row as insert — total conservation
+    val out = SparkEntry.queries("merge_upsert")(spark, sfDir).collect()
+    val byAction = out.groupBy(_.getAs[String]("action"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val base = Tables.load(spark, sfDir, "orders")
+    val nBase = base.count()
+    val nIns = base.filter(org.apache.spark.sql.functions
+      .col("o_orderkey") % 11 === 3).count()
+    assert(byAction.values.sum == nBase + nIns,
+      s"merge lost or duplicated rows: $byAction vs base=$nBase ins=$nIns")
+    assert(byAction("insert") == nIns)
+  }
+
+  test("agg_typed_aggregator runs Partial->Final, matches closed form") {
+    // the custom Aggregator must combine map-side like a built-in — a
+    // single-phase ObjectHashAggregate would funnel the corpus to reducers
+    val df = SparkEntry.queries("agg_typed_aggregator")(spark, sfDir)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_weightedmeanagg"),
+      s"typed Aggregator did not plan a partial phase:\n$p")
+    import org.apache.spark.sql.functions.{col, sum, round}
+    val closed = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice") * col("l_quantity")) /
+        sum(col("l_quantity")), 4).as("w")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("wavg_price") -
+        closed(r.getString(0))) < 1e-9)
+    }
+  }
+
+  test("graph_pagerank: iteration joins broadcast, mass is conserved") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+    val rows = df.collect()
+    // iteration frames are |nations|-sized: every join in the loop must
+    // have gone broadcast, never a shuffled SMJ over 25-row frames
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"pagerank iterations did not broadcast:\n$p")
+    val total = rows.map(_.getAs[Double]("pagerank")).sum
+    // dangling mass is dropped by convention: sum strictly < 1, but the
+    // teleport floor guarantees >= 0.15
+    assert(total > 0.15 && total <= 1.0 + 1e-9,
+      s"rank mass out of range: $total")
+    assert(rows.forall(_.getAs[Double]("pagerank") >= 0.15 / 25 - 1e-9),
+      "every node keeps at least the teleport share")
+  }
 }
