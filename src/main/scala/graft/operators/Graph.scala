@@ -42,9 +42,12 @@ object Graph {
     * per-round checkpoint/unpersist hygiene
     * [[Dedup.connectedComponents]] demonstrates.
     */
-  private def pagerank(s: SparkSession, d: String): DataFrame = {
-    val nation = Tables.load(s, d, "nation")
-    val edges = Tables.load(s, d, "customer")
+  /** One (src, dst) row per lineitem: customer nation → supplier nation.
+    * The 4-table join is the corpus-heavy stage shared by every graph
+    * row; everything downstream is nation²-bounded.
+    */
+  private def tradeFlows(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "customer")
       .join(Tables.load(s, d, "orders"),
         col("o_custkey") === col("c_custkey"))
       .join(Tables.load(s, d, "lineitem"),
@@ -52,7 +55,10 @@ object Graph {
       .join(Tables.load(s, d, "supplier"),
         col("s_suppkey") === col("l_suppkey"))
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .distinct().localCheckpoint(true)
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val nation = Tables.load(s, d, "nation")
+    val edges = tradeFlows(s, d).distinct().localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = nation.select(col("n_nationkey").as("node"))
     // Node-dimension cardinality for the teleport constant: k-sized
@@ -76,8 +82,62 @@ object Graph {
       .orderBy(col("pagerank").desc, col("nation"))
   }
 
+  /** Degree-oriented triangle count + global clustering coefficient over
+    * the significant-trade graph: an undirected edge (a,b) when the
+    * two-way lineitem flow between nations a and b exceeds the MEAN pair
+    * flow (a data-relative threshold, so the graph keeps structure at any
+    * scale factor — the raw trade graph is complete even at sf0.01).
+    *
+    * The count uses the classic orientation trick: each edge points at
+    * its (degree, id)-larger endpoint, which turns the graph into a DAG
+    * whose out-degrees are O(√m)-bounded, so the wedge self-join below
+    * is near-linear in edges rather than Σdeg² — the property that keeps
+    * triangle counting alive on a power-law web graph at 100 TB, where
+    * an unoriented wedge join on a celebrity node would be quadratic.
+    * Each triangle then has exactly one "apex" (its order-minimal
+    * vertex) and one closing-edge direction, so `count(*)` needs no
+    * dedup. Wedge totals (Σ deg·(deg−1)/2) come from exact integer
+    * sums; the clustering coefficient 3T/W divides two exact longs.
+    */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = tradeFlows(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .withColumn("avg_s", avg(col("support")).over())
+      .filter(col("support") > col("avg_s"))
+      .select(col("a"), col("b"))
+      .localCheckpoint(true) // nation²-bounded; reused 4× below
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+                   (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    // wedges share the apex u; the closing edge exists in oriented form
+    // in exactly one of the two (v1,v2) orderings — no double count
+    val tri = oriented.select(col("u"), col("w").as("v1"))
+      .join(oriented.select(col("u"), col("w").as("v2")), "u")
+      .filter(col("v1") =!= col("v2"))
+      .join(oriented.select(col("u").as("v1"), col("w").as("v2")),
+        Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wed = deg
+      .agg((sum(col("deg") * (col("deg") - 1)) / 2).cast("long")
+        .as("n_wedges"))
+    tri.crossJoin(wed) // 1×1 rows — under the CartesianGuard bound
+      .select(col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_cc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> pagerank _
+    "graph_pagerank" -> pagerank _,
+    "graph_triangles" -> triangles _
   )
 
   private def iterCte(prev: String, name: String): String = s"""
@@ -106,6 +166,29 @@ object Graph {
            ${iterCte("r2", "r3")}
       SELECT n.n_name AS nation, ROUND(r3.rank, 6) AS pagerank
       FROM r3 JOIN nation n ON n.n_nationkey = r3.node
-      ORDER BY pagerank DESC, nation"""
+      ORDER BY pagerank DESC, nation""",
+    "graph_triangles" -> """
+      WITH flows AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+                     FROM customer c
+                     JOIN orders o ON o.o_custkey = c.c_custkey
+                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                     JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     WHERE c.c_nationkey <> s.s_nationkey),
+           sup AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                          COUNT(*) AS support
+                   FROM flows GROUP BY 1, 2),
+           und AS (SELECT a, b FROM sup
+                   WHERE support > (SELECT AVG(support) FROM sup)),
+           deg AS (SELECT v, COUNT(*) AS deg
+                   FROM (SELECT a AS v FROM und
+                         UNION ALL SELECT b FROM und) GROUP BY v),
+           tri AS (SELECT COUNT(*) AS n
+                   FROM und t1
+                   JOIN und t2 ON t2.a = t1.a AND t2.b > t1.b
+                   JOIN und t3 ON t3.a = t1.b AND t3.b = t2.b),
+           wed AS (SELECT CAST(SUM(deg*(deg-1))/2 AS BIGINT) AS w FROM deg)
+      SELECT CAST(tri.n AS BIGINT) AS n_triangles, wed.w AS n_wedges,
+             ROUND(3.0*tri.n/wed.w, 6) AS global_cc
+      FROM tri, wed"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

@@ -2244,6 +2244,44 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Feature scaling for ML prep — per-group z-score and min-max
+    * normalization of order totals by market segment, the two-pass shape
+    * every feature pipeline uses at scale: one aggregate pass computes
+    * group stats (DECIMAL power sums per the [[aggStats]] engine-parity
+    * convention, so both engines assemble bit-identical doubles), the
+    * stats frame (|segments| rows) broadcasts back onto the corpus for a
+    * map-only normalize pass. No window function — a per-row
+    * `avg(...).over(partition)` would re-shuffle the corpus and pin each
+    * hot segment in one task; the aggregate+broadcast form is one corpus
+    * shuffle-free pass after a |groups|-sized aggregate. Output is
+    * key-filtered only to keep the gate artifact small.
+    */
+  private def featureScale(s: SparkSession, d: String): DataFrame = {
+    val enriched = ord(s, d)
+      .join(Tables.load(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        col("o_totalprice"))
+    val stats = enriched.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s1"),
+        sum((col("o_totalprice") * col("o_totalprice"))
+          .cast(DecimalType(30, 4))).as("s2"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+    val s1d = col("s1").cast(DoubleType)
+    val s2d = col("s2").cast(DoubleType)
+    val mean = s1d / col("n")
+    val sd = sqrt((s2d - s1d * s1d / col("n")) / (col("n") - 1))
+    enriched.join(broadcast(stats), "segment")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("segment"),
+        round((col("o_totalprice") - mean) / sd, 6).as("z"),
+        round((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")), 6)
+          .as("minmax"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2354,7 +2392,8 @@ object Relational {
     "agg_unpivot" -> aggUnpivot _,
     "expr_generators" -> exprGenerators _,
     "merge_upsert" -> mergeUpsert _,
-    "agg_typed_aggregator" -> aggTypedAggregator _
+    "agg_typed_aggregator" -> aggTypedAggregator _,
+    "feature_scale" -> featureScale _
   )
 
   private val D = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
@@ -3287,6 +3326,20 @@ object Relational {
       SELECT l_returnflag,
              ROUND(SUM(l_extendedprice*l_quantity)/SUM(l_quantity), 4) AS wavg_price,
              COUNT(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "feature_scale" -> """
+      WITH e AS (SELECT o_orderkey, c_mktsegment AS segment, o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+           st AS (SELECT segment, COUNT(*) AS n,
+                         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1d,
+                         CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS s2d,
+                         MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+                  FROM e GROUP BY segment)
+      SELECT o_orderkey, e.segment,
+             ROUND((o_totalprice - s1d/n) / sqrt((s2d - s1d*s1d/n)/(n-1)), 6) AS z,
+             ROUND((o_totalprice - mn) / (mx - mn), 6) AS minmax
+      FROM e JOIN st ON st.segment = e.segment
+      WHERE o_orderkey < 2000
+      ORDER BY o_orderkey"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

@@ -539,8 +539,32 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** Stream–static dimension join executed by the streaming engine — the
+    * enrichment shape of every production pipeline (event stream ⋈ slowly
+    * changing dimension). The static side is explicitly `broadcast()` and
+    * re-planned per micro-batch, so each batch is a stateless map-only
+    * probe: a stream-static inner join needs NO state store (the static
+    * side is complete by definition), which is why enrichment scales to
+    * unbounded streams while a stream-stream join must bound state with
+    * watermarks. The complete-mode aggregate downstream proves stateful
+    * aggregation composes after the enrichment.
+    */
+  private def streamExecStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = readEventStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("c_mktsegment").as("segment"), col("n"), col("sum_value"))
+    runToMemory(s, "graft_exec_static", joined, "complete",
+        statePartitions = Some(8))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> streamWindowAgg _,
+    "stream_exec_static_join" -> streamExecStaticJoin _,
     "stream_exec_custom_state" -> streamExecCustomState _,
     "stream_exec_tws_session" -> streamExecTwsSession _,
     "stream_exec_foreach_batch" -> streamExecForeachBatch _,
@@ -618,6 +642,13 @@ object Streaming {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // stream-static inner join is stateless: once the bounded source
+    // drains, the enriched aggregate equals the batch join exactly
+    "stream_exec_static_join" -> """
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY 1 ORDER BY segment""",
     "stream_exec_interval_join" -> """
       SELECT c.event_id AS click_event, p.event_id AS purchase_event,
              c.user_id AS user_id

@@ -732,6 +732,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toList == batch.toList)
   }
 
+  test("stream-static join adds NO state operator (stateless enrichment)") {
+    // the scale property behind stream_exec_static_join: enrichment joins
+    // carry no state store at all — only the downstream aggregate does.
+    // A stream-stream join here would show a symmetric-hash-join state
+    // operator and watermark-bounded row counts instead.
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = streaming.Streaming.readEventStream(spark, sfDir)
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("static_state")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(300000))
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1,
+        s"expected only the aggregate's state operator, got ${ops.length}")
+      assert(ops(0).operatorName.contains("stateStoreSave"),
+        s"unexpected state operator: ${ops(0).operatorName}")
+    } finally q.stop()
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) matches batch distinct") {
     val ev = streaming.Streaming.readEventStream(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))

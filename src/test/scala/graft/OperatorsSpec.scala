@@ -819,6 +819,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_triangles: threshold keeps real structure, count is exact") {
+    val r = SparkEntry.queries("graph_triangles")(spark, sfDir).collect()(0)
+    val t = r.getAs[Long]("n_triangles")
+    val w = r.getAs[Long]("n_wedges")
+    val cc = r.getAs[Double]("global_cc")
+    // the mean-support threshold must leave a graph that is neither empty
+    // nor complete — a complete graph (cc = 1) would make the count vacuous
+    assert(t > 0 && w > 0, s"degenerate graph: t=$t w=$w")
+    assert(cc > 0.0 && cc < 1.0, s"graph is empty or complete: cc=$cc")
+    assert(math.abs(cc - 3.0 * t / w) < 1e-6, "cc must equal 3T/W")
+  }
+
+  test("feature_scale: broadcast stats pass, no window; minmax in [0,1]") {
+    val df = SparkEntry.queries("feature_scale")(spark, sfDir)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the normalize pass must be aggregate+broadcast-join, never a
+    // per-row window (which would re-shuffle the corpus by segment)
+    assert(!p.contains("Window"), s"feature_scale regressed to a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats frame did not broadcast:\n$p")
+    assert(rows.forall { r =>
+      val m = r.getAs[Double]("minmax"); m >= 0.0 && m <= 1.0
+    }, "minmax normalization out of [0,1]")
+  }
+
   test("graph_pagerank: iteration joins broadcast, mass is conserved") {
     val df = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = df.collect()
