@@ -1876,7 +1876,10 @@ object Relational {
     * without a full context are dropped by `row_number`. Both window
     * values share ONE per-user sort, the frame bounds the state to three
     * elements per row, and nothing is global — linear at any corpus
-    * size.
+    * size. The context ships as a `|`-joined string rather than a raw
+    * array: the payload is the same, but scalar columns keep the row
+    * portable to any sink/compare layer (the r7 oracle gate could not
+    * sort an array column on the pandas side).
     */
   private def eventsSeqPairs(s: SparkSession, d: String): DataFrame = {
     val ev = graft.streaming.Streaming.events(s, d)
@@ -1884,10 +1887,11 @@ object Relational {
       .orderBy(col("ts"), col("event_id"))
     ev.select(col("user_id"), col("event_id"), col("event_type"),
         collect_list(col("event_type")).over(w.rowsBetween(-3, -1))
-          .as("context"),
+          .as("ctx"),
         row_number().over(w).as("rn"))
       .filter(col("rn") > 3)
-      .select(col("user_id"), col("event_id"), col("context"),
+      .select(col("user_id"), col("event_id"),
+        array_join(col("ctx"), "|").as("context"),
         col("event_type").as("label"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -2949,7 +2953,8 @@ object Relational {
           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
             AS rn
         FROM base)
-      SELECT user_id, event_id, context, event_type AS label
+      SELECT user_id, event_id, array_to_string(context, '|') AS context,
+             event_type AS label
       FROM w WHERE rn > 3 ORDER BY user_id, event_id""",
     "ts_resample" -> """
       WITH b AS (

@@ -615,6 +615,40 @@ object Similarity {
     hyperplaneLshPairs(lshCorpus(s, d), LshThreshold)
   }
 
+  /** Semantic deduplication (SemDeDup-shape): collapse documents that are
+    * near-duplicates in EMBEDDING space — paraphrases and re-encodings
+    * that no lexical tier (shingles, minhash, simhash) can see — into one
+    * representative each. Pipeline: sub-quadratic banded candidate pairs
+    * at cos ≥ [[LshThreshold]] (exact-cosine verified, over the planted
+    * near-dup corpus the LSH tier is oracle-gated on), connected
+    * components over the pair graph ([[Dedup.connectedComponents]] —
+    * min-label propagation with pointer jumping, O(log D) rounds), keep
+    * the min-vec_id member per component. Output is the full per-vector
+    * verdict (vec_id, cluster, kept) so downstream corpus assembly can
+    * either filter on `kept` or weight by cluster. Scale shape: every
+    * stage is the banded/blocked machinery already proven on its own
+    * rows; the final labels table is duplicate-sized, so it broadcasts
+    * onto the corpus — no corpus shuffle. The oracle replays the exact
+    * threshold pair set and the component closure in SQL (n² oracle, like
+    * every exact-pair-set oracle: the SPARK side stays sub-quadratic).
+    */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val corpus = lshCorpus(s, d).cache()
+    try {
+      val pairs = hyperplaneLshPairs(corpus, LshThreshold)
+        .select(col("vec_a"), col("vec_b"))
+      val labels = Dedup.connectedComponents(pairs, maxRounds = 20)
+        .select(col("node").as("vec_id"), col("label"))
+      corpus.select(col("vec_id"))
+        .join(broadcast(labels), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"),
+          (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("kept"))
+        .orderBy(col("vec_id"))
+    } finally { corpus.unpersist(blocking = true); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
@@ -622,7 +656,8 @@ object Similarity {
     "ann_pq_topk" -> (pqTopKGated _),
     "ann_pq_full_rerank" -> pqFullRerank _,
     "dedup_embedding_threshold" -> embeddingThreshold _,
-    "dedup_embedding_lsh" -> dedupEmbeddingLsh _
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh _,
+    "dedup_semantic" -> dedupSemantic _
   )
 
   /** Exact cosine top-k in DuckDB — the oracle for the brute row AND for
@@ -684,6 +719,40 @@ object Similarity {
       FROM corpus a, corpus b
       WHERE a.vec_id < b.vec_id
         AND list_cosine_similarity(a.v, b.v) >= $LshThreshold
-      ORDER BY vec_a, vec_b"""
+      ORDER BY vec_a, vec_b""",
+    // the planted corpus rebuilt, the EXACT threshold pair set over it,
+    // then the component closure (same recursive-CTE pattern as the
+    // dedup_clusters oracle) and the min-id keep rule — the full semantic
+    // dedup verdict replayed in SQL
+    "dedup_semantic" -> s"""
+      WITH RECURSIVE base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      copies AS (
+        SELECT vec_id + $LshCopyOffset AS vec_id,
+               [v[i]*0.9 + v[len(v)-i+1]*0.1 FOR i IN range(1, len(v)+1)] AS v
+        FROM base),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM corpus a, corpus b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= $LshThreshold),
+      edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+                UNION ALL SELECT vec_b, vec_a FROM pairs),
+      reach(node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+      labels AS (
+        SELECT node, MIN(r) AS cluster FROM (
+          SELECT node, r FROM reach
+          UNION ALL
+          SELECT DISTINCT u, u FROM edges) t
+        GROUP BY node)
+      SELECT c.vec_id,
+             COALESCE(l.cluster, c.vec_id) AS cluster,
+             (COALESCE(l.cluster, c.vec_id) = c.vec_id) AS kept
+      FROM corpus c LEFT JOIN labels l ON c.vec_id = l.node
+      ORDER BY c.vec_id"""
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

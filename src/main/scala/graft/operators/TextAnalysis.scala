@@ -442,6 +442,87 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Corpus-LM predictability scoring — the CCNet-style "perplexity
+    * filter" shape of training-data curation: train an n-gram LM on the
+    * corpus itself, score every document by how predictable its text is
+    * under that LM, filter the tails. The LM is the bigram conditional
+    * c(w1,w2)/c(w1) (c1 counts bigram CONTEXTS, so Σ_w2 P(w2|w1) = 1
+    * exactly); a document's score is Σc(w1,w2) / Σc(w1) over its bigram
+    * stream — the count-weighted average conditional probability. Both
+    * sums are exact longs and the single IEEE division (exactly-rounded)
+    * keeps the score hash-identical across engines, where a Σln-based
+    * perplexity would be libm-dependent — the same determinism decision
+    * as tfidf's rational 1/df idf. Shape: the corpus explodes ONCE into
+    * the bigram stream; both LM count tables are hash aggregations off
+    * that stream (map-side partial combine); scoring joins the stream
+    * back on the bigram key — the LM table is corpus-vocabulary-sized,
+    * unbounded at 100 TB, so it is NOT broadcast-hinted (AQE converts
+    * when it is actually small) — and one per-doc rollup of longs ends
+    * the plan. Linear, no windows, no driver state.
+    */
+  private def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val w = docs(s, d).select(col("doc_id"), TF.words(col("text")).as("ws"))
+    val stream = w.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] as w1, ws[i+1] as w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = stream.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = stream.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    stream.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c12")).as("s12"), sum(col("c1")).as("s1"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s12") * lit(1.0) / col("s1"), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-flattened domain mixture (α = 1/2) — the multilingual /
+    * multi-domain rebalancing step: sample source s at a rate making kept
+    * counts ∝ n_s^α, flattening the size distribution toward small
+    * domains without discarding anything from the smallest. Anchoring the
+    * smallest domain at rate 1 fixes the normalization: rate_s =
+    * √(n_min/n_s), expected kept = √(n_min·n_s) — the geometric mean,
+    * exactly the α=½ temperature point. Determinism end-to-end: domain
+    * sizes are exact longs; one IEEE division and one sqrt (both
+    * correctly-rounded ops, bit-identical across engines) give the rate;
+    * membership is the content-addressed md5 carve of [[sampleMixture]]
+    * generalized to a COMPUTED threshold — keep iff the first 24 bits of
+    * md5(text) < ⌊rate·2²⁴⌋, compared as fixed-width hex strings
+    * (scaling by a power of two is exact; the rate-1 anchor keeps all,
+    * bypassing the 7-hex-digit overflow). The fixture's sources are
+    * deliberately uniform (every src has the same count — temperature
+    * would be a no-op), so the row derives a 1:19-skewed domain from
+    * doc_id (d_k gets the residues with ⌊√r⌋ = k, so |d_k| ∝ 2k+1) —
+    * integer-exact on both engines. Shape: one tiny per-domain count
+    * aggregate broadcast back onto the corpus, a map-only filter, one
+    * rollup; no RNG, reproducible under corpus growth.
+    */
+  private def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val dom = concat(lit("d"),
+      floor(sqrt((col("doc_id") % 100).cast("double"))).cast("int"))
+    val base = docs(s, d).select(col("doc_id"), col("text"),
+      dom.as("domain"))
+    val stats = base.groupBy(col("domain")).agg(count(lit(1)).as("n_total"))
+    val rates = stats
+      .crossJoin(broadcast(stats.agg(min(col("n_total")).as("n_min"))))
+      .select(col("domain"), col("n_total"),
+        sqrt(col("n_min").cast("double") / col("n_total")).as("rate"))
+    val thr = lpad(lower(hex(
+      floor(col("rate") * lit(16777216.0)).cast("long"))), 6, "0")
+    val kept = base.join(broadcast(rates), Seq("domain"))
+      .filter(col("rate") >= 1 || substring(md5(col("text")), 1, 6) < thr)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
+    rates.join(kept, Seq("domain"), "left")
+      .select(col("domain"), col("n_total"), round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("min_doc"))
+      .orderBy(col("domain"))
+  }
+
   /** Domain-mixture resampling — the data-mixing step of training-corpus
     * assembly (The Pile / Gopher-style source weighting): each source
     * domain is down-sampled at its mixture weight. Weights here tier the
@@ -684,6 +765,8 @@ object TextAnalysis {
     "sample_stratified" -> sampleStratified _,
     "sample_split_grouped" -> sampleSplitGrouped _,
     "sample_mixture" -> sampleMixture _,
+    "sample_temperature" -> sampleTemperature _,
+    "text_lm_score" -> textLmScore _,
     "pack_shards" -> packShards _,
     "pack_sequences" -> packSequences _,
     "text_gopher_quality" -> textGopherQuality _,
@@ -859,6 +942,42 @@ object TextAnalysis {
       WHERE grp = 0 OR substr(md5(text), 1, 2) <
             (CASE grp WHEN 1 THEN '80' WHEN 2 THEN '40' ELSE '20' END)
       GROUP BY source ORDER BY source""",
+    "sample_temperature" -> """
+      WITH base AS (
+        SELECT doc_id, text,
+               'd' || CAST(CAST(floor(sqrt(doc_id % 100)) AS INT) AS VARCHAR)
+                 AS domain
+        FROM documents),
+      stats AS (SELECT domain, COUNT(*) AS n_total FROM base GROUP BY 1),
+      r AS (
+        SELECT domain, n_total,
+               sqrt((SELECT MIN(n_total) FROM stats) * 1.0 / n_total) AS rate
+        FROM stats),
+      kept AS (
+        SELECT b.domain, COUNT(*) AS n_kept, MIN(b.doc_id) AS min_doc
+        FROM base b JOIN r USING (domain)
+        WHERE r.rate >= 1 OR substr(md5(b.text), 1, 6) <
+              lpad(lower(to_hex(CAST(floor(r.rate * 16777216) AS BIGINT))),
+                   6, '0')
+        GROUP BY 1)
+      SELECT r.domain, r.n_total, round(r.rate, 6) AS rate,
+             CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, k.min_doc
+      FROM r LEFT JOIN kept k USING (domain)
+      ORDER BY domain""",
+    "text_lm_score" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      st AS (
+        SELECT doc_id,
+               unnest(ws[1:len(ws)-1]) AS w1,
+               unnest(ws[2:len(ws)]) AS w2
+        FROM w WHERE len(ws) >= 2),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM st GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM st GROUP BY 1)
+      SELECT st.doc_id, COUNT(*) AS n_bigrams,
+             round(SUM(c12.c12) * 1.0 / SUM(c1.c1), 6) AS lm_score
+      FROM st JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY st.doc_id ORDER BY st.doc_id""",
     "pack_sequences" -> s"""
       WITH t AS (
         SELECT source, doc_id,

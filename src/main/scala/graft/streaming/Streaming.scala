@@ -34,10 +34,8 @@ object Streaming {
 
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosConf(s)
-    val raw = Tables.load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    // Tables.load normalizes ts (ns-long / NTZ / µs) to session TIMESTAMP
+    Tables.load(s, d, "events")
   }
 
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -87,12 +85,13 @@ object Streaming {
     */
   def readEventStream(s: SparkSession, d: String): DataFrame = {
     ensureNanosConf(s)
-    val rawSchema = Tables.load(s, d, "events").schema // ts arrives as LONG ns
-    val st = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (rawSchema("ts").dataType == LongType)
-      st.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else st
+    // declare the stream with the RAW file schema (ns-long / NTZ / µs —
+    // whatever this round's fixtures carry), then apply the same ts
+    // normalization the batch loader does
+    val rawSchema = s.read.parquet(Tables.path(d, "events")).schema
+    Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
   /** Runs a streaming DataFrame to completion under Trigger.AvailableNow

@@ -258,7 +258,7 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = operators.Relational.queries("events_seq_pairs")(spark, sfDir)
       .collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getSeq[String](2).length == 3),
+    assert(rows.forall(_.getString(2).split('|').length == 3),
       "every emitted pair must carry a FULL 3-event context")
   }
 

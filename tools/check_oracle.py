@@ -23,6 +23,7 @@ N2_ORACLES = {
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_edit_distance",
     "dedup_clusters", "dedup_keep", "dedup_incremental",
     "dedup_embedding_threshold", "dedup_embedding_cos", "dedup_embedding_lsh",
+    "dedup_semantic",
     "text_decontaminate", "text_decontaminate_bloom",
     "ann_brute_topk", "ann_ivf_full_probe", "ann_pq_full_rerank",
 }
