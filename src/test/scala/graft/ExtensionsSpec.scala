@@ -417,6 +417,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want, s"got=${got.size} want=${want.size}")
   }
 
+  test("dedup_semantic: one min-id keeper per cluster, every planted copy collapses") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = rows.length
+    assert(n > 0 && n % 2 == 0, "planted corpus is originals + copies")
+    for ((cluster, members) <- rows.groupBy(_._2)) {
+      assert(members.map(_._1).min == cluster,
+        s"cluster id must be its min member, got $cluster")
+      val keepers = members.filter(_._3).map(_._1)
+      assert(keepers.toSeq == Seq(cluster),
+        s"exactly the min member is kept, got ${keepers.mkString(",")} in $cluster")
+    }
+    // the LSH tier found every planted pair: original v and its planted
+    // copy v+offset must share a cluster, so no member is a singleton and
+    // at most half the corpus survives
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    for ((id, cl) <- byId if id < operators.Similarity.LshCopyOffset)
+      assert(byId(id + operators.Similarity.LshCopyOffset) == cl,
+        s"copy of $id not co-clustered")
+    assert(rows.count(_._3) * 2 <= n, "every cluster must collapse >= 2 docs")
+  }
+
   test("broadcast argmax assignment at k=64 equals the literal path exactly") {
     import operators.Similarity
     // k=64 is above AssignLiteralMaxK, so production dispatch (kmeans,
@@ -1186,5 +1208,56 @@ class TextPipelineSpec extends AnyFunSuite {
         awl >= 2.0 && awl <= 12.0 && nStop >= 2
       assert(r.getAs[Boolean]("keep") == keep)
     }
+  }
+
+  test("text_lm_score equals the brute-force bigram LM computed on the driver") {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> mkNorm(r.getString(1)))
+    val bigrams = texts.toMap.view.mapValues(w =>
+      if (w.length < 2) Seq.empty else w.toSeq.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val c12 = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val c1 = bigrams.values.flatten.groupBy(_._1).view.mapValues(_.size.toLong)
+    val want = bigrams.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val s12 = bs.map(c12(_)).sum
+      val s1 = bs.map(b => c1(b._1)).sum
+      id -> (bs.length.toLong,
+        BigDecimal(s12.toDouble / s1.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("text_lm_score")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty && got == want.toMap,
+      s"got=${got.size} want=${want.size}")
+    got.values.foreach { case (_, score) =>
+      assert(score > 0 && score <= 1, s"score $score outside (0,1]")
+    }
+  }
+
+  test("sample_temperature flattens the domain skew, anchored at the smallest") {
+    val rows = SparkEntry.queries("sample_temperature")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 10, "doc_id-derived domains d0..d9")
+    val minTotal = rows.map(_._2).min
+    rows.foreach { case (dom, total, rate, kept) =>
+      assert(kept <= total, s"$dom kept $kept > total $total")
+      assert(rate <= 1.0 && rate > 0)
+      if (total == minTotal)
+        assert(rate == 1.0 && kept == total,
+          s"smallest domain $dom must be kept whole")
+    }
+    // monotone: a bigger domain never gets a bigger rate
+    for (w <- rows.sortBy(_._2).sliding(2) if w.length == 2)
+      assert(w(0)._3 >= w(1)._3,
+        s"rate must fall as domain grows: ${w(0)} vs ${w(1)}")
+    // the point of the operator: the kept distribution is FLATTER than the
+    // input distribution (ratio of extremes strictly shrinks)
+    val keptMax = rows.map(_._4).max.toDouble
+    val keptMin = rows.map(_._4).min.toDouble
+    val totMax = rows.map(_._2).max.toDouble
+    assert(keptMin > 0, "no domain may be emptied")
+    assert(keptMax / keptMin < totMax / minTotal.toDouble,
+      "temperature sampling must flatten the skew")
   }
 }

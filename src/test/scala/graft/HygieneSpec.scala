@@ -86,3 +86,41 @@ class HygieneSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The driver regenerates /root/testdata between rounds and has already
+  * shipped `events.ts` as INT64 TIMESTAMP(NANOS) and as µs TIMESTAMP_NTZ
+  * (round 8 — which broke every timestamp-consuming operator until the
+  * load boundary normalized it). Contract under test: [[Tables.load]]
+  * hands operators session-zoned TIMESTAMP with identical instants for
+  * EVERY encoding the fixtures have carried, so the next regeneration
+  * changes nothing.
+  */
+class FixtureLoadSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  test("events.ts normalizes to TIMESTAMP with identical instants under every encoding") {
+    val ev = Tables.load(spark, sfDir, "events")
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"current fixture must load as TIMESTAMP, got ${ev.schema("ts").dataType}")
+    val want = ev.limit(200).select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_norm").toString
+    // NTZ µs encoding (what round 8's fixtures carry)
+    ev.limit(200).withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    // raw long-ns encoding (what earlier rounds' fixtures carried, as the
+    // nanosAsLong legacy read delivers it)
+    ev.limit(200).withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(s"$dir/ns/events.parquet")
+    for (enc <- Seq("ntz", "ns")) {
+      val got = Tables.load(spark, s"$dir/$enc", "events")
+      assert(got.schema("ts").dataType == TimestampType, s"$enc not normalized")
+      val gotMap = got.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMap == want, s"$enc encoding changed instants")
+    }
+  }
+}
