@@ -107,7 +107,11 @@ object Bench {
     // worst case for the Σdf² candidate bound), single-pass regex redact
     "sf1_text_decontaminate" -> "text_decontaminate",
     "sf1_dedup_ngram_jaccard" -> "dedup_ngram_jaccard",
-    "sf1_text_pii_redact" -> "text_pii_redact")
+    "sf1_text_pii_redact" -> "text_pii_redact",
+    // 10× identical replicas multiply every bigram count by 100 in c12·c1
+    // product terms while the LM join keys stay the same cardinality —
+    // the hot-vocabulary worst case for the self-trained LM join
+    "sf1_text_lm_score" -> "text_lm_score")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the
