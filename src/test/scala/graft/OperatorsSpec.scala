@@ -421,6 +421,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_lm_score: equi-joined LM, two-phase counts, no cartesian") {
+    val p = planOf("text_lm_score")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must stay equi-joined:\n$p")
+    // c12, c1, and the per-doc rollup are each partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"expected three two-phase aggregates:\n$p")
+  }
+
+  test("sample_temperature: rate table broadcasts onto the corpus") {
+    // the per-domain rate table is k rows by construction — the corpus
+    // membership filter must receive it by broadcast, never by shuffling
+    // the corpus on the domain key
+    val p = planOf("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("dedup_semantic: labels broadcast onto the corpus as a left join") {
+    val p = planOf("dedup_semantic")
+    assert(p.contains("BroadcastHashJoin"), s"labels not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffles for the duplicate-sized labels table:\n$p")
+    Caches.releaseAll(spark)
+  }
+
   test("partitioned sink read-back is partition-pruned") {
     val df = SparkEntry.queries("sink_partitioned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
