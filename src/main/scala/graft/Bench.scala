@@ -53,15 +53,18 @@ object Bench {
   /** Build (once, cached) an SF≈1-equivalent fixture dir: lineitem AND
     * orders ×Sf1Reps with matching per-replica order-key offsets (so
     * join-heavy queries like q18 see consistent key distributions, not
-    * dangling keys), documents ×Sf1Reps (identical replicas — exactly the
-    * duplicated corpus a dedup operator exists to collapse), remaining
-    * tables copied as-is.
+    * dangling keys), documents AND embeddings ×Sf1Reps (identical
+    * replicas — exactly the duplicated corpus a dedup operator exists to
+    * collapse; for the embedding tier, 10 IDENTICAL vectors per identity
+    * land in the same LSH buckets in every band — the worst-case bucket
+    * skew for the banded self-join), remaining tables copied as-is.
     */
   private def ensureSf1Dir(spark: SparkSession, sfDir: String): String =
     Scratch.ensure(spark,
-      s"sf1eq_v2_${Sf1Reps}_${Scratch.sanitize(sfDir)}_" +
+      s"sf1eq_v3_${Sf1Reps}_${Scratch.sanitize(sfDir)}_" +
         Scratch.fingerprint(s"$sfDir/lineitem.parquet",
-          s"$sfDir/orders.parquet", s"$sfDir/documents.parquet")) { dir =>
+          s"$sfDir/orders.parquet", s"$sfDir/documents.parquet",
+          s"$sfDir/embeddings.parquet")) { dir =>
       // a real SF1 table is many files/row-groups; one 6M-row row group
       // would serialize the scan onto a single core — hence repartition(32)
       def replicate(df: org.apache.spark.sql.DataFrame, keyCol: String,
@@ -81,7 +84,10 @@ object Bench {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val dstep = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       replicate(docs, "doc_id", dstep, s"$dir/documents.parquet")
-      val replicated = Set("lineitem", "orders", "documents")
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val estep = embs.agg(max(col("vec_id"))).head().getLong(0) + 1
+      replicate(embs, "vec_id", estep, s"$dir/embeddings.parquet")
+      val replicated = Set("lineitem", "orders", "documents", "embeddings")
       for (t <- Tables.all if !replicated(t))
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
@@ -111,7 +117,12 @@ object Bench {
     // 10× identical replicas multiply every bigram count by 100 in c12·c1
     // product terms while the LM join keys stay the same cardinality —
     // the hot-vocabulary worst case for the self-trained LM join
-    "sf1_text_lm_score" -> "text_lm_score")
+    "sf1_text_lm_score" -> "text_lm_score",
+    // the embedding-tier scale point: 10 identical replicas per vector
+    // (plus each one's planted near-dup copy) collide in EVERY LSH band —
+    // worst-case bucket skew for the banded self-join, 20-clique
+    // components for the label propagation
+    "sf1_dedup_semantic" -> "dedup_semantic")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the
