@@ -291,12 +291,16 @@ object Bench {
           if (only.exists(!_.contains(key))) None
           else Some(sf1Dir.flatMap(dir => medianOf(sparkSf1, query, dir))))
       }
-    // same outlier discipline as the suite: a canary >2× its committed
-    // baseline is re-measured after a quiesce pause; min wins, both kept
+    // same outlier discipline as the suite but at a TIGHTER 1.25×
+    // threshold: these are the headline baseline-comparison numbers, and
+    // a 1.5× contention drift that the suite's 2× gate would wave through
+    // (r8: sf1_q1 read 2.87 s in the tail phase, 1.75 s isolated) reads
+    // as a regression against BASELINE.md. Re-measured after a quiesce
+    // pause; min wins, both kept.
     val sf1Requeried: Map[String, (Double, Double)] = {
       val outl = sf1Raw.collect {
         case (k, Some(Right(t)))
-          if baseline.get(k).exists(b => t > 2 * b && t > NoiseFloorSec) => k
+          if baseline.get(k).exists(b => t > 1.25 * b && t > NoiseFloorSec) => k
       }
       if (outl.isEmpty) Map.empty
       else {
