@@ -649,7 +649,107 @@ object Similarity {
     } finally { corpus.unpersist(blocking = true); () }
   }
 
+  // -- Engine-exact k-means clustering (cluster_kmeans) ------------------
+
+  /** Clusters for the oracle-exact k-means row. */
+  private val KmK = 4
+
+  /** Lloyd iterations for the oracle-exact k-means row. */
+  private val KmIters = 2
+
+  /** Quantization scale: dim value → ⌊x·1000⌋ (BIGINT). */
+  private val KmScale = 1000
+
+  /** Integer squared distance between a quantized vector column and a
+    * literal quantized centroid: Σ(qᵢ−cᵢ)², folded in array order. All
+    * BIGINT, so the value is exact and order-independent — the property
+    * that lets the oracle compute the same sum relationally.
+    */
+  private def kmDist2(q: Column, cent: Seq[Long]): Column =
+    aggregate(
+      zip_with(q, typedLit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Map-only nearest-centroid assignment against k literal centroids:
+    * per-cluster integer distances in one projection, argmin via a `<=`
+    * CASE chain (ties break to the smaller cluster id, same chain in the
+    * oracle). Returns (vec_id, q, cluster, d2).
+    */
+  private def kmAssign(qv: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
+    val dists = cents.zipWithIndex.map { case (c, i) => kmDist2(col("q"), c).as(s"d$i") }
+    val k = cents.size
+    val withD = qv.select(col("vec_id") +: col("q") +: dists: _*)
+    val cluster = (0 until k - 1).foldRight(lit(k - 1)) { (i, els) =>
+      val leqAll = ((i + 1) until k)
+        .map(j => col(s"d$i") <= col(s"d$j"))
+        .reduce(_ && _)
+      when(leqAll, lit(i)).otherwise(els)
+    }
+    val d2 = (0 until k).foldRight(lit(Long.MaxValue): Column) { (i, els) =>
+      when(col("cluster") === i, col(s"d$i")).otherwise(els)
+    }
+    withD.withColumn("cluster", cluster)
+      .withColumn("d2", d2)
+      .select(col("vec_id"), col("q"), col("cluster"), col("d2"))
+  }
+
+  /** K-means clustering with ENGINE-EXACT Lloyd iterations — the
+    * clustering stage SemDeDup-style pipelines run before per-cluster
+    * dedup, as a first-class oracle-green row. Classic float k-means can
+    * never hash-match a second engine (group-sum order changes the
+    * centroid in the last ulp, which can flip boundary assignments), so
+    * this row runs Lloyd entirely in QUANTIZED INTEGER space: dims are
+    * quantized once to ⌊x·1000⌋ (float→double cast and the ×1000 double
+    * multiply are IEEE-identical in both engines), distances are exact
+    * BIGINT sums, and the centroid update is ⌊Σq/n⌋ where Σq < 2⁵³ keeps
+    * the double division exact — every derived value is integer-exact, so
+    * DuckDB replays both iterations relationally and the verdict
+    * hash-matches. Quantized assignment is a real technique (it is what
+    * PQ/ScaNN-style engines score with), not just an oracle trick.
+    *
+    * Scale shape (MLlib's own k-means shape): seeds and per-iteration
+    * centroids are k×dim driver metadata (the IVF precedent); each
+    * assignment pass is a MAP-ONLY projection against literal centroids
+    * (no join, no shuffle); each update pass is one partial-aggregated
+    * groupBy(cluster, pos) whose exchange carries ≤ partitions×k×dim
+    * rows. Two shuffle-light passes per iteration, linear in the corpus,
+    * at any corpus size. Empty clusters keep their previous centroid
+    * (same convention as [[kmeansCentroids]]; the oracle mirrors it with
+    * a LEFT JOIN + COALESCE).
+    */
+  private[graft] def clusterKmeans(s: SparkSession, d: String): DataFrame = {
+    val qv = emb(s, d)
+      .select(col("vec_id"),
+        transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
+      .cache()
+    try {
+      var cents: Seq[Seq[Long]] = qv.orderBy(col("vec_id")).limit(KmK)
+        .collect().map(_.getSeq[Long](1).toSeq).toSeq
+      for (_ <- 1 to KmIters) {
+        val next = kmAssign(qv, cents)
+          .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1))).as("cx"))
+          .collect()
+        val byCluster = next.groupBy(_.getInt(0)).map { case (c, rows) =>
+          (c, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        }
+        cents = cents.zipWithIndex.map { case (prev, c) =>
+          byCluster.getOrElse(c, prev)
+        }
+      }
+      val assigned = kmAssign(qv, cents)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+      val sizes = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      assigned.join(broadcast(sizes), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("d2"), col("n_members"))
+        .orderBy(col("vec_id"))
+    } finally { qv.unpersist(blocking = true); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_kmeans" -> (clusterKmeans _),
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
     "ann_ivf_full_probe" -> ivfFullProbe _,
@@ -688,7 +788,83 @@ object Similarity {
              TRUE AS recall_ok
       FROM embeddings WHERE vec_id < $NQueries"""
 
+  /** Argmin CASE chain shared by every oracle assignment round — the
+    * literal `<=` chain [[kmAssign]] emits, so ties break identically.
+    */
+  private val KmCaseSql = """CASE WHEN e0 <= e1 AND e0 <= e2 AND e0 <= e3 THEN 0
+             WHEN e1 <= e2 AND e1 <= e3 THEN 1
+             WHEN e2 <= e3 THEN 2 ELSE 3 END"""
+
+  /** One oracle assignment round vs centroid table `cent`: integer
+    * distances (exact, order-free), k-column pivot, argmin + chosen
+    * distance. Emits CTEs d{n}, p{n}, a{n}.
+    */
+  private def kmRoundSql(n: Int, cent: String): String = s"""
+      d$n AS (
+        SELECT e.vec_id, s.c, CAST(SUM((e.x - s.cx)*(e.x - s.cx)) AS BIGINT) AS d2
+        FROM e JOIN $cent s ON e.pos = s.pos GROUP BY e.vec_id, s.c),
+      p$n AS (
+        SELECT vec_id,
+               MIN(CASE WHEN c = 0 THEN d2 END) AS e0,
+               MIN(CASE WHEN c = 1 THEN d2 END) AS e1,
+               MIN(CASE WHEN c = 2 THEN d2 END) AS e2,
+               MIN(CASE WHEN c = 3 THEN d2 END) AS e3
+        FROM d$n GROUP BY vec_id),
+      a$n AS (
+        SELECT vec_id, cluster,
+               CASE cluster WHEN 0 THEN e0 WHEN 1 THEN e1 WHEN 2 THEN e2
+                            ELSE e3 END AS d2
+        FROM (SELECT vec_id, e0, e1, e2, e3, $KmCaseSql AS cluster FROM p$n))"""
+
+  /** One oracle centroid update from assignment a{from} over centroid
+    * table `prevCent`: ⌊Σq/n⌋ per (cluster, dim), exact because Σq < 2⁵³
+    * keeps the double division exact; empty clusters COALESCE back to the
+    * previous centroid (the Spark side's keep-previous convention). Emits
+    * CTEs u{n}, s{n}.
+    */
+  private def kmUpdateSql(n: Int, from: Int, prevCent: String): String = s"""
+      u$n AS (
+        SELECT a.cluster AS c, e.pos,
+               CAST(floor(CAST(SUM(e.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM e JOIN a$from a ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.pos),
+      s$n AS (
+        SELECT p.c, p.pos, COALESCE(u$n.cx, p.cx) AS cx
+        FROM $prevCent p LEFT JOIN u$n ON p.c = u$n.c AND p.pos = u$n.pos)"""
+
+  /** Full relational replay of [[clusterKmeans]]: quantize, seed from the
+    * 4 smallest vec_ids, two Lloyd rounds (assign + update), final
+    * assignment, sizes. Every value is integer-exact (see the row's
+    * scaladoc), so the replay hash-matches bit for bit.
+    */
+  private val KmOracleSql = s"""
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS q
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS x
+        FROM qv),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q
+        FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $KmK)),
+      s0 AS (
+        SELECT c, generate_subscripts(q, 1) AS pos, unnest(q) AS cx
+        FROM seeds),
+      ${kmRoundSql(1, "s0")},
+      ${kmUpdateSql(1, 1, "s0")},
+      ${kmRoundSql(2, "s1")},
+      ${kmUpdateSql(2, 2, "s1")},
+      ${kmRoundSql(3, "s2")}
+      SELECT a3.vec_id, CAST(a3.cluster AS INT) AS cluster, a3.d2,
+             n.n_members
+      FROM a3 JOIN (SELECT cluster, COUNT(*) AS n_members
+                    FROM a3 GROUP BY cluster) n USING (cluster)
+      ORDER BY a3.vec_id"""
+
   val oracles: Map[String, String] = Map(
+    "cluster_kmeans" -> KmOracleSql,
     "ann_brute_topk" -> BruteOracleSql,
     "ann_ivf_topk" -> RecallGateOracleSql,
     "ann_pq_topk" -> RecallGateOracleSql,

@@ -417,6 +417,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want, s"got=${got.size} want=${want.size}")
   }
 
+  test("cluster_kmeans: total partition, consistent sizes, engine-exact rerun") {
+    val run1 = SparkEntry.queries("cluster_kmeans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val corpus = Tables.load(spark, sfDir, "embeddings").count()
+    assert(run1.length == corpus, "every vector gets exactly one verdict")
+    assert(run1.forall(r => r._2 >= 0 && r._2 < 4), "cluster ids in [0, k)")
+    assert(run1.forall(_._3 >= 0), "integer distances are non-negative")
+    // n_members is the true final-assignment group size, and sizes tile
+    // the corpus
+    val sizes = run1.groupBy(_._2).map { case (c, m) => c -> m.length.toLong }
+    assert(run1.forall(r => sizes(r._2) == r._4), "n_members mismatch")
+    assert(sizes.values.sum == corpus)
+    assert(sizes.size >= 2, "fixture should actually separate into clusters")
+    // the engine-exact claim: integer-space Lloyd has no float drift, so a
+    // rerun is bit-identical (this is what lets DuckDB replay it)
+    val run2 = SparkEntry.queries("cluster_kmeans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(run1.sameElements(run2), "quantized k-means must be deterministic")
+  }
+
   test("dedup_semantic: one min-id keeper per cluster, every planted copy collapses") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

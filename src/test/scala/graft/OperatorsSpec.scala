@@ -440,6 +440,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
+  test("cluster_kmeans: map-only assignment, broadcast sizes, no wide join") {
+    // assignment is a projection against literal centroids — the only
+    // joins in the whole plan are the k-row sizes broadcast; the corpus
+    // must never sort-merge or cartesian, and the centroid-update
+    // aggregate must partial-combine map-side
+    val p = planOf("cluster_kmeans")
+    assert(p.contains("BroadcastHashJoin"), s"sizes not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no two-phase aggregate:\n$p")
+    Caches.releaseAll(spark)
+  }
+
   test("dedup_semantic: labels broadcast onto the corpus as a left join") {
     val p = planOf("dedup_semantic")
     assert(p.contains("BroadcastHashJoin"), s"labels not broadcast:\n$p")
