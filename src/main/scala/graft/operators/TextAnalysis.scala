@@ -646,6 +646,80 @@ object TextAnalysis {
     * spells the same chain in DuckDB's dialect). At scale this runs ahead
     * of [[graft.operators.Dedup]]'s exact dedup keyed on the canon URL.
     */
+  /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2) — the
+    * line-level rule set every web-corpus pipeline starts from, distinct
+    * from the Gopher DOCUMENT-level gate (`text_gopher_quality`):
+    *  - keep only lines ending in terminal punctuation;
+    *  - keep only lines with ≥ 5 words;
+    *  - drop lines containing "javascript";
+    *  - drop the whole page if it contains "lorem ipsum" or a "{";
+    *  - drop the whole page if < 3 lines survive.
+    * The fixture corpus is one flat word-soup line, so a deterministic
+    * page is BUILT from it first (6-word lines; doc-id-keyed plants give
+    * ~25% of lines no terminal punctuation, ~9% a "javascript" token,
+    * 1/29 pages a "lorem ipsum", 1/31 a "{" — every rule non-vacuous,
+    * same construction in the oracle), and the C4 kernel then re-splits
+    * the assembled page exactly as it would a crawled document. Pure
+    * string/array projection — map-only, shuffle-free, linear at any
+    * corpus size; the only exchange is the final presentation sort.
+    * Output: kept pages with raw/kept line counts, kept word count, and
+    * the cleaned text (kept lines joined, original order).
+    */
+  private def textC4Filters(s: SparkSession, d: String): DataFrame = {
+    val ws = TF.words(col("text"))
+    val nLines = ceil(size(ws).cast("double") / 6).cast("int")
+    val mkLine = (i: Column) => {
+      val core = array_join(slice(ws, i * 6 + 1, lit(6)), " ")
+      val js = when(pmod(col("doc_id") + i, lit(11)) === 5,
+        lit(" javascript")).otherwise(lit(""))
+      val punct = when(pmod(col("doc_id") + i, lit(4)) =!= 3,
+        lit(".")).otherwise(lit(""))
+      concat(core, js, punct)
+    }
+    val pageLines = transform(sequence(lit(0), nLines - 1), mkLine)
+    val page = concat(
+      array_join(pageLines, "\n"),
+      when(pmod(col("doc_id"), lit(29)) === 7, lit("\nlorem ipsum."))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(31)) === 5, lit("\nvar x = {."))
+        .otherwise(lit("")))
+    // ---- the C4 kernel proper: operates on `page` alone ----
+    val lines = split(col("page"), "\n")
+    val lineOk = (l: Column) =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 5 &&
+        !l.contains("javascript")
+    val kept = filter(lines, lineOk)
+    docs(s, d)
+      .select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        size(lines).as("n_lines_raw"),
+        size(kept).as("n_lines_kept"),
+        aggregate(kept, lit(0),
+          (acc, l) => acc + size(split(l, " "))).as("n_words_kept"),
+        array_join(kept, "\n").as("text_clean"),
+        (!col("page").contains("lorem ipsum") &&
+          !col("page").contains("{")).as("page_ok"))
+      .filter(col("page_ok") && col("n_lines_kept") >= 3)
+      .select(col("doc_id"), col("n_lines_raw"), col("n_lines_kept"),
+        col("n_words_kept"), col("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The canonicalization chain shared by [[textUrlCanon]] and
+    * [[dedupUrlKeepBest]]: strip fragment, lowercase scheme+host, strip
+    * scheme-default ports and utm_* params, tidy separators.
+    */
+  private def canonUrlExpr(u0: Column): Column = {
+    val u1 = regexp_replace(u0, "#.*$", "")
+    val u2 = concat(
+      lower(regexp_extract(u1, "^[A-Za-z]+://[^/?#]+", 0)),
+      regexp_replace(u1, "^[A-Za-z]+://[^/?#]+", ""))
+    val u3 = regexp_replace(u2, "^(https?://[^/:]+):(?:80|443)/", "$1/")
+    regexp_replace(
+      regexp_replace(u3, "([?&])utm_[A-Za-z]+=[^&#]*&?", "$1"),
+      "[?&]+$", "")
+  }
+
   private def textUrlCanon(s: SparkSession, d: String): DataFrame = {
     val planted = concat(col("text"),
       lit(" see HTTP://WWW.Example"), pmod(col("doc_id"), lit(7)),
@@ -653,16 +727,42 @@ object TextAnalysis {
       lit("?utm_source=rss&id="), col("doc_id"),
       lit("&utm_campaign=x#sec"), col("doc_id"))
     val u0 = regexp_extract(planted, "(?i)https?://[^ ]+", 0)
-    val u1 = regexp_replace(u0, "#.*$", "")
-    val u2 = concat(
-      lower(regexp_extract(u1, "^[A-Za-z]+://[^/?#]+", 0)),
-      regexp_replace(u1, "^[A-Za-z]+://[^/?#]+", ""))
-    val u3 = regexp_replace(u2, "^(https?://[^/:]+):(?:80|443)/", "$1/")
-    val u4 = regexp_replace(
-      regexp_replace(u3, "([?&])utm_[A-Za-z]+=[^&#]*&?", "$1"),
-      "[?&]+$", "")
-    docs(s, d).select(col("doc_id"), u4.as("url_canon"))
+    docs(s, d).select(col("doc_id"), canonUrlExpr(u0).as("url_canon"))
       .orderBy(col("doc_id"))
+  }
+
+  /** URL-keyed dedup with a keep-BEST policy — the crawl-ingest staple
+    * (Dolma/CCNet shape): the same page is fetched many times under
+    * tracking-param/port/fragment variants; canonicalize
+    * ([[canonUrlExpr]]) and keep ONE document per canonical URL — the
+    * longest (then smallest doc_id, so ties are deterministic). The
+    * fixture corpus has no URLs, so messy colliding URLs are planted
+    * (7 hosts × 40 paths → ~280 canonical groups, every group
+    * multi-member at sf≥0.01; same expression in the oracle). Selection
+    * is a `max_by(struct(...), (n_words, −doc_id))` TWO-PHASE aggregate
+    * on the canonical key — never a per-group window sort, so a hot URL
+    * (the crawl-dup worst case) costs a partial-merge chain, not a
+    * single-task sort; identical skew story to `dedup_keep_latest` /
+    * `agg_mode`. Output: canonical url, kept doc, its length, group size.
+    */
+  private def dedupUrlKeepBest(s: SparkSession, d: String): DataFrame = {
+    val messy = concat(
+      lit("HTTPS://Site"), pmod(col("doc_id"), lit(7)),
+      lit(".Example.COM:443/page/"), pmod(col("doc_id"), lit(40)),
+      lit("?utm_campaign=c"), col("doc_id"),
+      lit("#frag"), col("doc_id"))
+    val nw = size(TF.words(col("text")))
+    docs(s, d)
+      .select(canonUrlExpr(messy).as("url_canon"),
+        col("doc_id"), nw.as("n_words"))
+      .groupBy(col("url_canon"))
+      .agg(
+        max_by(struct(col("doc_id"), col("n_words")),
+          struct(col("n_words"), -col("doc_id"))).as("best"),
+        count(lit(1)).as("n_dupes"))
+      .select(col("url_canon"), col("best.doc_id").as("doc_id"),
+        col("best.n_words").as("n_words"), col("n_dupes"))
+      .orderBy(col("url_canon"))
   }
 
   /** The END-TO-END pre-training corpus pipeline — every stage above
@@ -761,6 +861,8 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus" -> pipelineCorpus _,
     "text_url_canon" -> textUrlCanon _,
+    "text_c4_filters" -> textC4Filters _,
+    "dedup_url_keep_best" -> dedupUrlKeepBest _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_split_grouped" -> sampleSplitGrouped _,
@@ -907,6 +1009,78 @@ object TextAnalysis {
                '([?&])utm_[A-Za-z]+=[^&#]*&?', '\1', 'g'),
                '[?&]+$$', '') AS url_canon
       FROM p ORDER BY doc_id""",
+    "text_c4_filters" -> s"""
+      WITH base AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      built AS (
+        SELECT doc_id,
+               list_transform(range(CAST(ceil(len(ws)/6.0) AS INT)), i ->
+                 array_to_string(ws[i*6+1 : i*6+6], ' ') ||
+                 CASE WHEN (doc_id + i) % 11 = 5 THEN ' javascript'
+                      ELSE '' END ||
+                 CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END) AS pl
+        FROM base),
+      pages AS (
+        SELECT doc_id,
+               array_to_string(pl, chr(10)) ||
+               CASE WHEN doc_id % 29 = 7 THEN chr(10) || 'lorem ipsum.'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 31 = 5 THEN chr(10) || 'var x = {.'
+                    ELSE '' END AS page
+        FROM built),
+      c4 AS (
+        SELECT doc_id,
+               string_split(page, chr(10)) AS lines,
+               list_filter(string_split(page, chr(10)), l ->
+                 regexp_matches(l, '[.!?"]$$')
+                 AND len(string_split(l, ' ')) >= 5
+                 AND NOT contains(l, 'javascript')) AS kept,
+               NOT contains(page, 'lorem ipsum')
+                 AND NOT contains(page, '{') AS page_ok
+        FROM pages)
+      SELECT doc_id,
+             CAST(len(lines) AS INT) AS n_lines_raw,
+             CAST(len(kept) AS INT) AS n_lines_kept,
+             CAST(list_sum(list_transform(kept,
+               l -> len(string_split(l, ' ')))) AS INT) AS n_words_kept,
+             array_to_string(kept, chr(10)) AS text_clean
+      FROM c4
+      WHERE page_ok AND len(kept) >= 3
+      ORDER BY doc_id""",
+    "dedup_url_keep_best" -> raw"""
+      WITH t AS (
+        SELECT doc_id,
+               'HTTPS://Site' || (doc_id % 7) || '.Example.COM:443/page/' ||
+               (doc_id % 40) || '?utm_campaign=c' || doc_id ||
+               '#frag' || doc_id AS u0,
+               len(string_split($NormSql, ' ')) AS n_words
+        FROM documents),
+      s AS (SELECT doc_id, n_words,
+                   regexp_replace(u0, '#.*$$', '') AS u1 FROM t),
+      h AS (
+        SELECT doc_id, n_words,
+               lower(regexp_extract(u1, '^[A-Za-z]+://[^/?#]+')) ||
+               regexp_replace(u1, '^[A-Za-z]+://[^/?#]+', '') AS u2
+        FROM s),
+      p AS (
+        SELECT doc_id, n_words,
+               regexp_replace(u2, '^(https?://[^/:]+):(?:80|443)/', '\1/')
+                 AS u3
+        FROM h),
+      c AS (
+        SELECT doc_id, n_words,
+               regexp_replace(regexp_replace(u3,
+                 '([?&])utm_[A-Za-z]+=[^&#]*&?', '\1', 'g'),
+                 '[?&]+$$', '') AS url_canon
+        FROM p),
+      r AS (
+        SELECT url_canon, doc_id, n_words,
+               ROW_NUMBER() OVER (PARTITION BY url_canon
+                 ORDER BY n_words DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY url_canon) AS n_dupes
+        FROM c)
+      SELECT url_canon, doc_id, CAST(n_words AS INT) AS n_words, n_dupes
+      FROM r WHERE rn = 1 ORDER BY url_canon""",
     "sample_hash" -> """
       SELECT COUNT(*) AS n_sampled,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

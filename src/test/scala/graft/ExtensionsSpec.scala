@@ -890,6 +890,41 @@ class TextPipelineSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("text_c4_filters: every kept line obeys every rule, every rule fires") {
+    val rows = SparkEntry.queries("text_c4_filters")(spark, sfDir).collect()
+    val corpus = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.nonEmpty && rows.length < corpus,
+      "page-level rules must drop some pages and keep some")
+    var droppedLines = 0L
+    for (r <- rows) {
+      val (nRaw, nKept, txt) = (r.getInt(1), r.getInt(2), r.getString(4))
+      assert(nKept >= 3, "kept pages must have >= 3 surviving lines")
+      assert(nKept <= nRaw)
+      droppedLines += (nRaw - nKept)
+      val kept = txt.split("\n", -1)
+      assert(kept.length == nKept)
+      for (l <- kept) {
+        assert(l.matches(".*[.!?\"]$"), s"kept line without terminal punct: $l")
+        assert(l.split(" ", -1).length >= 5, s"kept line under 5 words: $l")
+        assert(!l.contains("javascript"), s"kept line with javascript: $l")
+      }
+      assert(!txt.contains("lorem ipsum") && !txt.contains("{"))
+    }
+    assert(droppedLines > 0, "line-level rules must actually drop lines")
+  }
+
+  test("dedup_url_keep_best: one keeper per canonical URL, best by (len, id)") {
+    val rows = SparkEntry.queries("dedup_url_keep_best")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val corpus = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per URL")
+    assert(rows.map(_._4).sum == corpus, "group sizes tile the corpus")
+    assert(rows.forall(_._1.startsWith("https://site")), "canon lowercased")
+    assert(rows.forall(r => !r._1.contains(":443") && !r._1.contains("#") &&
+      !r._1.contains("utm_")), "port/fragment/utm must be stripped")
+    assert(rows.exists(_._4 > 1), "fixture must actually collide URLs")
+  }
+
   test("text_decontaminate equals brute-force 5-gram overlap; bench side broadcasts") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()

@@ -746,6 +746,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected BOTH partial and final WindowGroupLimit nodes:\n$p")
   }
 
+  test("text_c4_filters is map-only; dedup_url_keep_best stays max_by, no window") {
+    // the C4 kernel is a pure string/array projection — no join, no
+    // aggregate, no window may appear; the only exchange is the
+    // presentation sort
+    val c4 = SparkEntry.queries("text_c4_filters")(spark, sfDir)
+    c4.collect()
+    val pc4 = c4.queryExecution.executedPlan.toString
+    assert(!pc4.contains("Join") && !pc4.contains("Window") &&
+      !pc4.contains("HashAggregate"), s"c4 not map-only:\n$pc4")
+    // keep-best-per-URL must stay the skew-immune two-phase max_by — a
+    // hot canonical URL (the crawl-dup worst case) would serialize in a
+    // row_number window
+    val kb = SparkEntry.queries("dedup_url_keep_best")(spark, sfDir)
+    kb.collect()
+    val pkb = kb.queryExecution.executedPlan.toString
+    assert(!pkb.contains("Window"), s"keep-best regressed to a window:\n$pkb")
+    assert(pkb.contains("partial_max_by") || pkb.contains("partial_maxby")
+      || pkb.toLowerCase.contains("max_by"), s"no max_by aggregate:\n$pkb")
+  }
+
   test("agg_mode stays a two-phase aggregate: no Window, no per-group sort") {
     // mode-imputation must keep the skew-immune min_by shape — a
     // row_number regression would sort every hot user in one task
