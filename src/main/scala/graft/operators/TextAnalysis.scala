@@ -646,6 +646,58 @@ object TextAnalysis {
     * spells the same chain in DuckDB's dialect). At scale this runs ahead
     * of [[graft.operators.Dedup]]'s exact dedup keyed on the canon URL.
     */
+  /** Target-conditioned data selection (the DSIR shape — Xie et al.
+    * 2023: select raw-pool documents whose hashed-n-gram feature profile
+    * matches a small target domain): a TARGET slice (the same
+    * content-addressed md5-'0' carve the decontamination rows use as
+    * their fixture eval set) defines a 256-bucket hashed-bigram count
+    * profile; every raw-pool document is scored by the integer inner
+    * product between its own bucket counts and the target profile, and
+    * the selection keeps strictly-above-mean scorers. DSIR proper ranks
+    * by a log-likelihood ratio — a float whose bucket-order summation
+    * can never hash-match a second engine — so this row keeps the exact
+    * pipeline SHAPE (hashed features → broadcast target profile →
+    * map-side probe → per-doc score → global threshold) with an
+    * integer-exact scoring rule; swap the probe expression for the
+    * log-ratio to get DSIR proper at the cost of the oracle.
+    *
+    * Scale: the profile is ≤256 rows (broadcast; never a corpus
+    * shuffle), the probe is map-side, the per-doc score is one
+    * partial-combined sum on doc_id, and the mean threshold is a 1-row
+    * aggregate broadcast back — linear end to end. Bucket ids come from
+    * the first two md5 hex chars (engine-agnostic like every carve in
+    * this file). `score·n > total` keeps the comparison in BIGINT
+    * (exact); beyond ~10¹⁸ score-mass move it to DECIMAL.
+    */
+  private def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    val w = TF.words(col("text"))
+    val n = size(w)
+    val bigrams = when(n >= 2,
+      zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val base = docs(s, d)
+      .select(col("doc_id"), bigrams.as("bg"),
+        (substring(md5(col("text")), 1, 1) === "0").as("is_target"))
+    val bucket = conv(substring(md5(col("b")), 1, 2), 16, 10).cast("int")
+    val exploded = base
+      .select(col("doc_id"), col("is_target"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), col("is_target"), bucket.as("bucket"))
+    val profile = exploded.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tcnt"))
+    val scored = exploded.filter(!col("is_target"))
+      .join(broadcast(profile), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("tcnt"), lit(0L))).as("score"),
+           count(lit(1)).as("n_bigrams"))
+    val totals = scored.agg(sum(col("score")).as("total"),
+      count(lit(1)).as("n_docs"))
+    scored.crossJoin(broadcast(totals))
+      .filter(col("score") * col("n_docs") > col("total"))
+      .select(col("doc_id"), col("score"), col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2) — the
     * line-level rule set every web-corpus pipeline starts from, distinct
     * from the Gopher DOCUMENT-level gate (`text_gopher_quality`):
@@ -863,6 +915,7 @@ object TextAnalysis {
     "text_url_canon" -> textUrlCanon _,
     "text_c4_filters" -> textC4Filters _,
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
+    "sample_importance" -> sampleImportance _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_split_grouped" -> sampleSplitGrouped _,
@@ -1009,6 +1062,37 @@ object TextAnalysis {
                '([?&])utm_[A-Za-z]+=[^&#]*&?', '\1', 'g'),
                '[?&]+$$', '') AS url_canon
       FROM p ORDER BY doc_id""",
+    "sample_importance" -> s"""
+      WITH basew AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws,
+               substr(md5(text), 1, 1) = '0' AS is_target
+        FROM documents),
+      bg AS (
+        SELECT doc_id, is_target,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+                 AS b
+        FROM basew),
+      ex AS (
+        SELECT doc_id, is_target,
+               CAST((strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(b), 2, 1)) - 1)
+                 AS INT) AS bucket
+        FROM bg),
+      prof AS (
+        SELECT bucket, COUNT(*) AS tcnt FROM ex WHERE is_target
+        GROUP BY bucket),
+      scored AS (
+        SELECT e.doc_id, CAST(SUM(COALESCE(p.tcnt, 0)) AS BIGINT) AS score,
+               COUNT(*) AS n_bigrams
+        FROM ex e LEFT JOIN prof p ON e.bucket = p.bucket
+        WHERE NOT e.is_target GROUP BY e.doc_id),
+      tot AS (
+        SELECT CAST(SUM(score) AS BIGINT) AS total, COUNT(*) AS n_docs
+        FROM scored)
+      SELECT s.doc_id, s.score, s.n_bigrams
+      FROM scored s, tot
+      WHERE s.score * tot.n_docs > tot.total
+      ORDER BY s.doc_id""",
     "text_c4_filters" -> s"""
       WITH base AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

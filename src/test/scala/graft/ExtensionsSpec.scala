@@ -890,6 +890,39 @@ class TextPipelineSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("sample_importance equals a local DSIR-shape recompute; profile broadcasts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def buckets(t: String): Seq[Int] = {
+      val w = mkNorm(t)
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => Integer.parseInt(
+        md5hex(p.mkString(" ")).substring(0, 2), 16)).toSeq
+    }
+    val (target, raw) = docs.partition { case (_, t) => md5hex(t).head == '0' }
+    val profile = target.values.flatMap(buckets)
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val scores = raw.flatMap { case (id, t) =>
+      val bs = buckets(t)
+      if (bs.isEmpty) None
+      else Some(id -> ((bs.map(b => profile.getOrElse(b, 0L)).sum, bs.size.toLong)))
+    }
+    val total = scores.values.map(_._1).sum
+    val n = scores.size.toLong
+    val want = scores.filter { case (_, (sc, _)) => sc * n > total }
+    val df = SparkEntry.queries("sample_importance")(spark, sfDir)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.nonEmpty && want.size < scores.size,
+      "threshold must actually select")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"profile not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the 256-row profile:\n$p")
+  }
+
   test("text_c4_filters: every kept line obeys every rule, every rule fires") {
     val rows = SparkEntry.queries("text_c4_filters")(spark, sfDir).collect()
     val corpus = Tables.load(spark, sfDir, "documents").count()
