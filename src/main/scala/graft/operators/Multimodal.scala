@@ -26,9 +26,13 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, source: String, bytes: Array[Byte],
                             n_chars: Long)
 
-  /** A generated media asset: one PNG image + one WAV clip per document. */
+  /** A generated media asset: one solid-fill PNG, one GRADIENT PNG (every
+    * pixel distinct — the resize row's input; a solid fill would make any
+    * resampling bug invisible), and one WAV clip per document.
+    */
   final case class MediaAsset(doc_id: Long, source: String,
-                              png: Array[Byte], wav: Array[Byte])
+                              png: Array[Byte], png_grad: Array[Byte],
+                              wav: Array[Byte])
 
   /** Real decoded features. Channel means are exact longs by construction
     * (solid fill / constant amplitude), so equality against the closed
@@ -51,6 +55,13 @@ object Multimodal {
     def nSamples(id: Long): Int = (500 + id % 500).toInt
     def amplitude(id: Long): Int = ((id * 131) % 2048 - 1024).toInt
     val SampleRate = 8000f
+
+    /** Gradient-image gray value at (x, y) — every pixel distinct mod the
+      * wrap, shared by the generator, the resize decoder spec, and (as
+      * SQL) the mm_resize oracle.
+      */
+    def gradPix(id: Long, x: Int, y: Int): Int =
+      ((id + 3L * x + 7L * y) % 256).toInt
   }
 
   /** JDK-native media codecs (javax.imageio PNG, javax.sound.sampled WAV).
@@ -75,6 +86,56 @@ object Multimodal {
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
+    }
+
+    def encodePngGrad(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = gradPix(id, x, y)
+          img.setRGB(x, y, (p << 16) | (p << 8) | p)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode + nearest-neighbor 2× downsample: build the ⌈w/2⌉×⌈h/2⌉
+      * resized image from source pixels (2x, 2y) — the thumbnail/
+      * vision-preprocess resize step — then featurize it (exact gray sum).
+      * Returns (out_w, out_h, sum_gray).
+      */
+    def decodeResize2x(id: Long, png: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      require(img != null, s"undecodable gradient PNG for doc $id")
+      val (w2, h2) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
+      val resized = new java.awt.image.BufferedImage(
+        w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          resized.setRGB(x, y, img.getRGB(2 * x, 2 * y))
+          x += 1
+        }
+        y += 1
+      }
+      var sum = 0L
+      y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) { sum += resized.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      (w2, h2, sum)
     }
 
     def encodeWav(id: Long): Array[Byte] = {
@@ -178,13 +239,14 @@ object Multimodal {
   def ensureMediaTable(s: SparkSession, d: String): String = {
     import s.implicits._
     graft.Scratch.ensure(s,
-      s"media_v1_${MediaDocs}_${graft.Scratch.sanitize(d)}_" +
+      s"media_v2_${MediaDocs}_${graft.Scratch.sanitize(d)}_" +
         graft.Scratch.fingerprint(Tables.path(d, "documents"))) { dir =>
       Tables.load(s, d, "documents")
         .filter(col("doc_id") < MediaDocs)
         .select(col("doc_id"), col("source")).as[(Long, String)]
         .mapPartitions(_.map { case (id, src) =>
-          MediaAsset(id, src, JdkCodecs.encodePng(id), JdkCodecs.encodeWav(id))
+          MediaAsset(id, src, JdkCodecs.encodePng(id),
+            JdkCodecs.encodePngGrad(id), JdkCodecs.encodeWav(id))
         })
         .write.mode("overwrite").parquet(s"$dir/media")
     } + "/media"
@@ -216,6 +278,30 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  /** Image RESIZE over the binary media table — the vision-preprocess
+    * step the multimodal brief lists alongside decode/feature/frame: per
+    * partition, decode the gradient PNG, nearest-neighbor downsample 2×
+    * into a real resized image, featurize it (exact gray sum). Every
+    * output value has a closed form in (doc_id, x, y), restated
+    * relationally by the oracle (a cross join over the coordinate grid) —
+    * a resampler that picks one wrong source pixel fails the hash gate.
+    * Shape: same streaming mapPartitions boundary as [[mmDecodeReal]];
+    * per-row output is 4 scalars, so nothing image-sized crosses an
+    * exchange and the final sort is presentation-only.
+    */
+  private def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = ensureMediaTable(s, d)
+    s.read.parquet(path).select(col("doc_id"), col("png_grad"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val (w2, h2, sum) = JdkCodecs.decodeResize2x(id, png)
+        (id, w2, h2, sum)
+      })
+      .toDF("doc_id", "out_w", "out_h", "sum_gray")
+      .orderBy(col("doc_id"))
+  }
+
   private val FrameBytes = 256
   private val FrameStride = 4
 
@@ -245,6 +331,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_features" -> mmBinaryFeatures _,
     "mm_decode_real" -> mmDecodeReal _,
+    "mm_resize" -> mmResize _,
     "mm_frame_sample" -> mmFrameSample _
   )
 
@@ -264,6 +351,19 @@ object Multimodal {
         FROM documents
         WHERE length(text) // 256 > 0)
       ORDER BY doc_id, frame_idx""",
+    // the gradient closed form summed over the resized coordinate grid:
+    // source pixel (2x, 2y) for output (x, y), x < ceil(w/2), y < ceil(h/2)
+    "mm_resize" -> s"""
+      SELECT d.doc_id,
+             CAST((64 + d.doc_id % 64 + 1) // 2 AS INT) AS out_w,
+             CAST((48 + d.doc_id % 48 + 1) // 2 AS INT) AS out_h,
+             CAST(SUM((d.doc_id + 3*(2*gx.x) + 7*(2*gy.y)) % 256) AS BIGINT)
+               AS sum_gray
+      FROM documents d, range(0, 64) gx(x), range(0, 48) gy(y)
+      WHERE d.doc_id < $MediaDocs
+        AND 2*gx.x < 64 + d.doc_id % 64
+        AND 2*gy.y < 48 + d.doc_id % 48
+      GROUP BY d.doc_id ORDER BY d.doc_id""",
     // the generator's closed forms, restated independently in SQL: any
     // pixel/sample mis-decode breaks a SUM and fails the hash compare
     "mm_decode_real" -> s"""

@@ -24,7 +24,8 @@ class MultimodalSpec extends AnyFunSuite {
   test("encode -> decode round-trip matches the closed forms exactly") {
     for (id <- Seq(0L, 1L, 63L, 64L, 255L, 256L, 511L)) {
       val dec = JdkCodecs.decode(
-        MediaAsset(id, "s", JdkCodecs.encodePng(id), JdkCodecs.encodeWav(id)))
+        MediaAsset(id, "s", JdkCodecs.encodePng(id),
+          JdkCodecs.encodePngGrad(id), JdkCodecs.encodeWav(id)))
       assert(dec.width == MediaSpec.width(id), s"width id=$id")
       assert(dec.height == MediaSpec.height(id), s"height id=$id")
       assert(dec.mean_r == MediaSpec.red(id), s"mean_r id=$id")
@@ -35,8 +36,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize2x picks exactly the even-coordinate source pixels") {
+    for (id <- Seq(0L, 1L, 63L, 64L, 255L, 511L)) {
+      val (w2, h2, sum) = JdkCodecs.decodeResize2x(id, JdkCodecs.encodePngGrad(id))
+      val (w, h) = (MediaSpec.width(id), MediaSpec.height(id))
+      assert(w2 == (w + 1) / 2 && h2 == (h + 1) / 2, s"dims id=$id")
+      var want = 0L
+      for (y <- 0 until h2; x <- 0 until w2)
+        want += MediaSpec.gradPix(id, 2 * x, 2 * y)
+      assert(sum == want, s"gray sum id=$id")
+      // a one-off sampler (taking (2x+1, 2y), the classic off-by-one)
+      // would produce a different sum on the gradient — the closed form
+      // is pixel-position-sensitive, not just value-sensitive
+      var off = 0L
+      for (y <- 0 until h2; x <- 0 until w2)
+        off += MediaSpec.gradPix(id, math.min(2 * x + 1, w - 1), 2 * y)
+      assert(off != want, s"gradient must expose off-by-one sampling id=$id")
+    }
+  }
+
   test("a corrupted container fails loudly, not silently") {
-    val good = MediaAsset(3L, "s", JdkCodecs.encodePng(3L), JdkCodecs.encodeWav(3L))
+    val good = MediaAsset(3L, "s", JdkCodecs.encodePng(3L),
+      JdkCodecs.encodePngGrad(3L), JdkCodecs.encodeWav(3L))
     intercept[Exception] {
       JdkCodecs.decode(good.copy(png = good.png.take(10)))
     }
