@@ -122,7 +122,11 @@ object Bench {
     // (plus each one's planted near-dup copy) collide in EVERY LSH band —
     // worst-case bucket skew for the banded self-join, 20-clique
     // components for the label propagation
-    "sf1_dedup_semantic" -> "dedup_semantic")
+    "sf1_dedup_semantic" -> "dedup_semantic",
+    // k-means at 10×: assignment passes stay map-only and the update
+    // exchange stays partitions×k×dim-bounded regardless of corpus size —
+    // the canary checks the constant-factor claim, not just the shape
+    "sf1_cluster_kmeans" -> "cluster_kmeans")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the

@@ -622,6 +622,40 @@ object Relational {
       .orderBy(col("status_from_path"))
   }
 
+  /** Additive schema evolution, value-gated (promotes the r6 spec-only
+    * resilience claim to an oracle row): a table written in two EPOCHS —
+    * the second adds a column — is read back with `mergeSchema`, and the
+    * pre-evolution files must surface the new column as NULL, with every
+    * row of BOTH epochs intact. The aggregate groups on the evolved
+    * column (NULLs folded to 'none'), so either failure mode — a read
+    * error on the old files or a mis-aligned column — breaks the counts
+    * or the decimal sums against the oracle, which replays the epoch
+    * split from the raw table. This is the 100 TB reality that schema
+    * changes roll through a petabyte of immutable history file-by-file;
+    * scan-time reconciliation (not rewrite) is the only affordable path.
+    * Epoch table is build-once under a fingerprinted scratch key; the
+    * read is one pass, aggregate two-phase.
+    */
+  private def scanSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"schema_evo_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "orders"))) { dir =>
+      val o = Tables.load(s, d, "orders")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/t")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          substring(col("o_orderpriority"), 1, 1).as("o_prio_flag"))
+        .write.mode("append").parquet(s"$dir/t")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$dir/t")
+      .groupBy(coalesce(col("o_prio_flag"), lit("none")).as("prio_flag"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("prio_flag"))
+  }
+
   /** Logical-plan wire-format round-trip, DataFrame-built — the analog of
     * the reference's protobuf serde layer and its `roundtrip_test!` units
     * (rust/core/src/serde/logical_plan/mod.rs:56-920): the query below is
@@ -2368,6 +2402,7 @@ object Relational {
     "agg_bool" -> aggBool _,
     "agg_bitwise" -> aggBitwise _,
     "scan_file_lineage" -> scanFileLineage _,
+    "scan_schema_evolution" -> scanSchemaEvolution _,
     "plan_serde_roundtrip" -> planSerdeRoundtrip _,
     "plan_serde_sql" -> planSerdeSql _,
     "profile_partition_stats" -> profilePartitionStats _,
@@ -2585,6 +2620,16 @@ object Relational {
       FROM documents GROUP BY lang ORDER BY lang""",
     "scan_file_lineage" -> """
       SELECT o_orderstatus AS status_from_path, COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    // epoch split replayed from the raw table: even keys are the
+    // pre-evolution epoch (flag column absent -> NULL -> 'none')
+    "scan_schema_evolution" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'none'
+                  ELSE substr(o_orderpriority, 1, 1) END AS prio_flag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             COUNT(DISTINCT o_orderkey) AS n_orders
       FROM orders GROUP BY 1 ORDER BY 1""",
     "plan_serde_roundtrip" -> """
       SELECT l_returnflag,

@@ -113,17 +113,89 @@ object Streaming {
     */
   private def runToMemory(s: SparkSession, name: String, df: DataFrame,
                           mode: String,
-                          statePartitions: Option[Int] = None): DataFrame = {
+                          statePartitions: Option[Int] = None,
+                          checkpoint: Option[String] = None): DataFrame = {
     s.catalog.dropTempView(name) // re-runs in one session replace the sink
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       s.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val w0 = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+        .start()
       require(q.awaitTermination(300000), s"$name did not self-terminate")
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.table(name)
+  }
+
+  /** Checkpointed KILL-AND-RESTART recovery, executed for real — the
+    * operational claim every production stream rests on and no
+    * single-run row can gate: the SAME watermarked windowed aggregate
+    * (append mode) is run TWICE against a growing file source under one
+    * `checkpointLocation`. Run 1 drains the first half of the timeline
+    * and terminates (a planned shutdown); more files then land; run 2
+    * starts fresh from the checkpoint. Recovery is exactly-once by
+    * construction iff (a) run 2 resumes from committed OFFSETS (replaying
+    * run 1's files would double-emit and break the hash gate), (b) run
+    * 1's in-flight WINDOW STATE and WATERMARK survive (the windows
+    * straddling the split hold run-1 events that only emit correctly in
+    * run 2 if the recovered state merges them), and (c) append-mode
+    * finalization emits each window exactly once ACROSS runs.
+    * The sink is the fault-tolerant FILE sink (the memory sink refuses
+    * checkpoint recovery outright — Spark enforces that recovery needs a
+    * durable sink): each run appends parquet files recorded in the
+    * sink's `_spark_metadata` commit log, and the final read-back goes
+    * through that log, so a half-written or replayed batch can never
+    * leak into the result — sink-side exactly-once, exercised across a
+    * real restart. The row returns the committed output restricted to
+    * the provably-finalized
+    * region (window_end ≤ max ts − watermark − 61 s safety margin, the
+    * same eviction-contract pattern as the outer interval join and
+    * custom-state rows); the oracle is the batch aggregate under the
+    * same cutoff. Source/checkpoint live under a per-dataset scratch dir
+    * wiped at row start, so re-runs are deterministic. At 100 TB this IS
+    * the upgrade/failure drill: bounded state (watermark), resumable
+    * offsets, idempotent sink.
+    */
+  private[graft] def streamExecCheckpointRestart(s: SparkSession, d: String)
+      : DataFrame = {
+    ensureNanosConf(s)
+    val ev = events(s, d)
+    val Array(minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val splitUs = minUs + (maxUs - minUs) / 2
+    val root = new org.apache.hadoop.fs.Path(
+      s"target/ckpt_restart_${graft.Scratch.sanitize(d)}")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    def runOnce(): Unit = {
+      val agged = windowAgg(s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+        .withWatermark("ts", "10 minutes"))
+      val q = agged.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "ckpt_restart run did not self-terminate")
+    }
+    ev.filter(unix_micros(col("ts")) < splitUs)
+      .write.mode("append").parquet(src)
+    runOnce() // run 1: first half of the timeline, then planned shutdown
+    ev.filter(unix_micros(col("ts")) >= splitUs)
+      .write.mode("append").parquet(src)
+    runOnce() // run 2: recovery — offsets, window state, watermark
+    val cutoffUs = maxUs - (10 * 60 + 61) * 1000000L
+    s.read.parquet(out) // reads via the sink's _spark_metadata commit log
+      .filter(unix_micros(col("window_start")) + 3600L * 1000000L
+        <= cutoffUs)
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** [[windowAgg]] executed BY the streaming engine (complete mode,
@@ -573,6 +645,7 @@ object Streaming {
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_json_props" -> streamJsonProps _,
     "stream_exec_window_agg" -> streamExecWindowAgg _,
+    "stream_exec_ckpt_restart" -> (streamExecCheckpointRestart _),
     "stream_exec_interval_join" -> streamExecIntervalJoin _,
     "stream_exec_interval_join_outer" -> streamExecIntervalJoinOuter _,
     "stream_exec_dedup" -> streamExecDedup _,
@@ -632,6 +705,21 @@ object Streaming {
     // mode aggregation / inner interval join / key-set dedup are all
     // exactly their batch equivalents once the bounded source drains
     "stream_exec_window_agg" -> WindowAggSql,
+    // the batch aggregate restricted to the provably-finalized region:
+    // window_end <= max ts - watermark delay - 61 s safety margin
+    "stream_exec_ckpt_restart" -> """
+      WITH w AS (
+        SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP)
+                 AS window_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS maxts FROM events)
+      SELECT w.window_start, w.event_type, w.n, w.sum_value
+      FROM w, m
+      WHERE w.window_start + INTERVAL 1 HOUR
+              <= m.maxts - INTERVAL 661 SECOND
+      ORDER BY w.window_start, w.event_type""",
     // the two branch slices partition the corpus, so the unioned stream
     // aggregates to exactly the whole-table answer
     "stream_exec_union" -> WindowAggSql,

@@ -608,6 +608,34 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout-region users must emit their full session set (${got.size} vs ${want.size})")
   }
 
+  test("ckpt_restart: recovery spans two runs, output equals the batch cutoff") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("stream_exec_ckpt_restart")(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // local batch recompute under the same provably-finalized cutoff
+    val ev = streaming.Streaming.events(spark, sfDir)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val cutoffUs = maxUs - (10 * 60 + 61) * 1000000L
+    val want = streaming.Streaming.windowAgg(ev)
+      .filter(unix_micros(col("window_start")) + 3600L * 1000000L <= cutoffUs)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(got.nonEmpty, "finalized region must be non-empty")
+    // the one checkpoint must hold commits from BOTH runs: a single
+    // AvailableNow run is 2 batches (data + watermark flush), so >= 3
+    // committed batches proves run 2 resumed the same checkpoint instead
+    // of starting over (starting over would also double-emit and fail
+    // the equality above)
+    val commits = new java.io.File(
+      s"target/ckpt_restart_${graft.Scratch.sanitize(sfDir)}/ckpt/commits")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 3, s"expected commits from both runs, saw $commits")
+  }
+
   test("transformWithState session row matches the fMGWS machine; timer path non-vacuous") {
     // Same non-vacuity contract as the fMGWS spec — users whose final
     // session only an EXPIRED TIMER can emit must exist and be complete —
