@@ -718,17 +718,19 @@ object TextAnalysis {
     * the cleaned text (kept lines joined, original order).
     */
   private def textC4Filters(s: SparkSession, d: String): DataFrame = {
-    val ws = TF.words(col("text"))
-    val nLines = ceil(size(ws).cast("double") / 6).cast("int")
-    val mkLine = (i: Column) => {
-      val core = array_join(slice(ws, i * 6 + 1, lit(6)), " ")
-      val js = when(pmod(col("doc_id") + i, lit(11)) === 5,
-        lit(" javascript")).otherwise(lit(""))
-      val punct = when(pmod(col("doc_id") + i, lit(4)) =!= 3,
-        lit(".")).otherwise(lit(""))
-      concat(core, js, punct)
-    }
-    val pageLines = transform(sequence(lit(0), nLines - 1), mkLine)
+    // page construction: ONE linear regex pass chunks the normalized text
+    // into 6-word lines (replace every 6th inter-word space with \n; the
+    // scan resumes after each match, so groups tile exactly like a
+    // slice-based chunking — but without the per-line O(words) slice copy
+    // that made the first cut of this row quadratic per document), then
+    // an index-lambda appends the per-line plants in O(1) per line
+    val chunked = regexp_replace(TF.normText(col("text")),
+      "((?:\\S+ ){5}\\S+) ", "$1\n")
+    val pageLines = transform(split(chunked, "\n"), (l, i) => concat(l,
+      when(pmod(col("doc_id") + i, lit(11)) === 5, lit(" javascript"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id") + i, lit(4)) =!= 3, lit("."))
+        .otherwise(lit(""))))
     val page = concat(
       array_join(pageLines, "\n"),
       when(pmod(col("doc_id"), lit(29)) === 7, lit("\nlorem ipsum."))
@@ -737,9 +739,11 @@ object TextAnalysis {
         .otherwise(lit("")))
     // ---- the C4 kernel proper: operates on `page` alone ----
     val lines = split(col("page"), "\n")
+    // last-char set test == the anchored-regex terminal-punct rule, at a
+    // fraction of the interpreted-lambda cost
     val lineOk = (l: Column) =>
-      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 5 &&
-        !l.contains("javascript")
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(l, " ")) >= 5 && !l.contains("javascript")
     val kept = filter(lines, lineOk)
     docs(s, d)
       .select(col("doc_id"), page.as("page"))
