@@ -319,6 +319,45 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group simple OLS (y = a + b·x of extendedprice on quantity) —
+    * the `regr_slope`/`regr_intercept`/`regr_r2` analytics family, via
+    * the same engine-parity convention as [[aggCorr]]: all five
+    * co-moments as EXACT decimal sums in one two-phase aggregate, the
+    * closed forms evaluated once in double with identical expression
+    * trees on both engines, rounded at fixed precision. One shuffle of
+    * k×6 partial rows at any corpus size — regression over 100 TB costs
+    * exactly one aggregation pass, never an iterative solver, because
+    * the normal equations for 1-D OLS ARE re-aggregable moments.
+    */
+  private def aggRegression(s: SparkSession, d: String): DataFrame = {
+    val n = col("n").cast(DoubleType)
+    val sx = col("sx").cast(DoubleType)
+    val sy = col("sy").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType)
+    val syy = col("syy").cast(DoubleType)
+    val sxy = col("sxy").cast(DoubleType)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = (n * sxy - sx * sy) /
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sx"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(30, 4)))
+          .as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast(DecimalType(30, 4))).as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice"))
+          .cast(DecimalType(30, 4))).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((sy - slope * sx) / n, 4).as("intercept"),
+        round(r * r, 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Explicit GROUPING SETS (reference has no grouping-set nodes at all,
     * SURVEY.md §2.6/§2.8; rollup/cube are covered by agg_rollup/agg_cube).
     */
@@ -1930,6 +1969,52 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Last-touch attribution with a 7-day lookback — the marketing/ads
+    * rollup every event warehouse serves: each purchase is credited to
+    * the same user's most recent click strictly before it (in the total
+    * (ts, event_id) order, so timestamp ties are deterministic); clicks
+    * older than the lookback, or absent, leave the purchase organic.
+    * Same machinery as `join_asof` — tagged union + running-last window,
+    * ONE shuffle on the user key, linear per user at any scale (never a
+    * per-purchase subquery or a clicks×purchases join). The rollup's
+    * Σlag and Σclick_id columns make the JOIN itself value-gated: crediting
+    * one purchase to the wrong click shifts both sums and fails the hash
+    * compare.
+    */
+  private def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(true).as("is_click"), lit(null).cast(DoubleType).as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(false).as("is_click"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    val tagged = clicks.unionAll(purchases)
+      .withColumn("last_click_us",
+        last(when(col("is_click"), unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .withColumn("last_click_id",
+        last(when(col("is_click"), col("event_id")),
+          ignoreNulls = true).over(w))
+    tagged.filter(!col("is_click"))
+      .withColumn("lag_us", unix_micros(col("ts")) - col("last_click_us"))
+      .withColumn("attributed",
+        col("last_click_us").isNotNull && col("lag_us") <= lookbackUs)
+      .groupBy(col("attributed"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("attributed"), col("lag_us")).otherwise(lit(0L)))
+          .as("sum_lag_us"),
+        sum(when(col("attributed"), col("last_click_id")).otherwise(lit(0L)))
+          .as("sum_click_ids"))
+      .orderBy(col("attributed"))
+  }
+
   /** Fixed-grid downsampling: snap every event to its 15-minute bucket
     * and aggregate — the resample-to-grid step every time-series feature
     * pipeline starts with. The bucket key is pure integer arithmetic on
@@ -2356,6 +2441,7 @@ object Relational {
     "events_retention" -> eventsRetention _,
     "scd2_history" -> scd2History _,
     "events_seq_pairs" -> eventsSeqPairs _,
+    "events_attribution" -> eventsAttribution _,
     "ts_resample" -> tsResample _,
     "quality_expectations" -> qualityExpectations _,
     "agg_incremental_rollup" -> aggIncrementalRollup _,
@@ -2371,6 +2457,7 @@ object Relational {
     "agg_cube" -> aggCube _,
     "agg_stats" -> aggStats _,
     "agg_corr" -> aggCorr _,
+    "agg_regression" -> aggRegression _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_pivot" -> aggPivot _,
     "agg_histogram" -> aggHistogram _,
@@ -2763,6 +2850,26 @@ object Relational {
                CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       ORDER BY l_returnflag""",
+    "agg_regression" -> """
+      SELECT l_returnflag, n,
+             round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
+             round((sy - (nd*sxy - sx*sy) / (nd*sxx - sx*sx) * sx) / nd, 4)
+               AS intercept,
+             round(((nd*sxy - sx*sy) /
+                    sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy))) *
+                   ((nd*sxy - sx*sy) /
+                    sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy))), 6) AS r2
+      FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
     "agg_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority,
              CAST(grouping(o_orderstatus) AS INT) AS g_status,
@@ -3001,6 +3108,38 @@ object Relational {
       SELECT user_id, event_id, array_to_string(context, '|') AS context,
              event_type AS label
       FROM w WHERE rn > 3 ORDER BY user_id, event_id""",
+    "events_attribution" -> """
+      WITH t AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, event_id,
+               event_type = 'click' AS is_click, value
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT user_id, mts, event_id, is_click, value,
+               LAST_VALUE(CASE WHEN is_click THEN epoch_us(mts) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY mts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_us,
+               LAST_VALUE(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY mts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_id
+        FROM t),
+      p AS (
+        SELECT user_id, value, last_click_id,
+               epoch_us(mts) - last_click_us AS lag_us,
+               last_click_us IS NOT NULL
+                 AND epoch_us(mts) - last_click_us <= 604800000000
+                 AS attributed
+        FROM w WHERE NOT is_click)
+      SELECT attributed, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CASE WHEN attributed THEN lag_us ELSE 0 END)
+                  AS BIGINT) AS sum_lag_us,
+             CAST(SUM(CASE WHEN attributed THEN last_click_id ELSE 0 END)
+                  AS BIGINT) AS sum_click_ids
+      FROM p GROUP BY attributed ORDER BY attributed""",
     "ts_resample" -> """
       WITH b AS (
         SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))

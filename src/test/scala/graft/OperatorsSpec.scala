@@ -16,6 +16,74 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_regression matches Spark's native regr_* family") {
+    // the decimal-moment closed forms must agree with the built-in
+    // least-squares aggregates to rounding precision — an algebra slip
+    // in the moment formulas would diverge immediately
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val native = li.groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val got = SparkEntry.queries("agg_regression")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == native.keySet)
+    for ((k, (s, i, r)) <- got) {
+      val (ns, ni, nr) = native(k)
+      assert(math.abs(s - ns) < 1e-4, s"slope $k: $s vs $ns")
+      assert(math.abs(i - ni) < 1e-2, s"intercept $k: $i vs $ni")
+      assert(math.abs(r - nr) < 1e-4, s"r2 $k: $r vs $nr")
+    }
+  }
+
+  test("events_attribution equals a per-user local replay") {
+    import org.apache.spark.sql.functions._
+    val ev = streaming.Streaming.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val lookback = 7L * 24 * 3600 * 1000000L
+    case class Acc(n: Long = 0, v: BigDecimal = 0, users: Set[Long] = Set(),
+                   lag: Long = 0, clicks: Long = 0)
+    val acc = collection.mutable.Map(true -> Acc(), false -> Acc())
+    for ((_, evs) <- ev.groupBy(_._1)) {
+      var lastClick: Option[(Long, Long)] = None // (us, event_id)
+      for (e <- evs.sortBy(x => (x._2, x._3))) e._4 match {
+        case "click" => lastClick = Some((e._2, e._3))
+        case _ =>
+          val att = lastClick.exists(c => e._2 - c._1 <= lookback)
+          val a = acc(att)
+          acc(att) = Acc(a.n + 1,
+            a.v + BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+            a.users + e._1,
+            a.lag + (if (att) e._2 - lastClick.get._1 else 0L),
+            a.clicks + (if (att) lastClick.get._2 else 0L))
+      }
+    }
+    val df = SparkEntry.queries("events_attribution")(spark, sfDir)
+    val got = df.collect().map(r => r.getBoolean(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got.size == 2, "both attributed and organic groups must exist")
+    for ((att, a) <- acc if a.n > 0) {
+      val (n, v, nu, lag, cl) = got(att)
+      assert(n == a.n && nu == a.users.size.toLong &&
+        lag == a.lag && cl == a.clicks,
+        s"$att: got ($n,$nu,$lag,$cl) want (${a.n},${a.users.size},${a.lag},${a.clicks})")
+      assert(math.abs(v - a.v.toDouble) < 1e-6, s"$att: $v vs ${a.v}")
+    }
+    // one window + one aggregate, no join of clicks x purchases
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"attribution must not join:\n$p")
+  }
+
   test("approx_count_distinct (HLL++ sketch) lands within 5% of exact") {
     // the reference has no sketches at all (SURVEY §2.4/§2.8 list HLL as
     // absent); Spark's HLL++ is the 100 TB path for distinct counts —
