@@ -668,15 +668,20 @@ object TextAnalysis {
     * the first two md5 hex chars (engine-agnostic like every carve in
     * this file). `score·n > total` keeps the comparison in BIGINT
     * (exact); beyond ~10¹⁸ score-mass move it to DECIMAL.
+    *
+    * Reusable STAGE over any (doc_id, text) pool (`sample_importance`
+    * instantiates it on the raw corpus; `pipeline_curation` on the
+    * C4-cleaned URL-deduped survivors). Returns the kept above-mean
+    * scorers (doc_id, score, n_bigrams), unordered.
     */
-  private def sampleImportance(s: SparkSession, d: String): DataFrame = {
+  def importanceSelect(pool: DataFrame): DataFrame = {
     val w = TF.words(col("text"))
     val n = size(w)
     val bigrams = when(n >= 2,
       zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    val base = docs(s, d)
+    val base = pool
       .select(col("doc_id"), bigrams.as("bg"),
         (substring(md5(col("text")), 1, 1) === "0").as("is_target"))
     val bucket = conv(substring(md5(col("b")), 1, 2), 16, 10).cast("int")
@@ -695,7 +700,42 @@ object TextAnalysis {
     scored.crossJoin(broadcast(totals))
       .filter(col("score") * col("n_docs") > col("total"))
       .select(col("doc_id"), col("score"), col("n_bigrams"))
+  }
+
+  private def sampleImportance(s: SparkSession, d: String): DataFrame =
+    importanceSelect(docs(s, d).select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"))
+
+  /** The WEB-CRAWL curation pipeline — this round's stages composed in
+    * production order, as `pipeline_corpus` composes the dedup tier's:
+    * raw pages → C4 heuristic cleaning ([[stageC4]]) → URL-keyed
+    * keep-best dedup over the CLEANED docs, weighted by their cleaned
+    * word counts ([[stageUrlKeepBest]]) → DSIR-shape importance selection
+    * scoring the CLEANED text ([[importanceSelect]]). Each stage consumes
+    * the previous stage's output — the URL keeper ranks by post-C4
+    * length, the importance profile hashes the REBUILT text — so the row
+    * gates stage COMPOSITION, not each kernel alone; the oracle replays
+    * the whole chain. Shuffle shape is the sum of its parts: map-only
+    * clean, one two-phase max_by on the canon key, one broadcast-profile
+    * probe + doc-key sum — three linear passes at any corpus size.
+    */
+  private def pipelineCuration(s: SparkSession, d: String): DataFrame = {
+    val raw = docs(s, d).select(col("doc_id"), col("text"))
+    val cleaned = stageC4(raw.select(col("doc_id"), c4PageExpr.as("page")))
+    val kept = stageUrlKeepBest(cleaned, col("n_words_kept"))
+    val selected = importanceSelect(
+      kept.select(col("doc_id"), col("text_clean").as("text")))
+      .join(kept.select(col("doc_id"), col("n_words_kept")), Seq("doc_id"))
+    def funnel(stage: Int, name: String, df: DataFrame, words: Column) =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(words.cast("long")).as("n_words"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_words"))
+    funnel(0, "raw", raw, size(TF.words(col("text"))))
+      .unionAll(funnel(1, "c4", cleaned, col("n_words_kept")))
+      .unionAll(funnel(2, "url_dedup", kept, col("n_words_kept")))
+      .unionAll(funnel(3, "selected", selected, col("n_words_kept")))
+      .orderBy(col("stage"))
   }
 
   /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2) — the
@@ -717,13 +757,15 @@ object TextAnalysis {
     * Output: kept pages with raw/kept line counts, kept word count, and
     * the cleaned text (kept lines joined, original order).
     */
-  private def textC4Filters(s: SparkSession, d: String): DataFrame = {
-    // page construction: ONE linear regex pass chunks the normalized text
-    // into 6-word lines (replace every 6th inter-word space with \n; the
-    // scan resumes after each match, so groups tile exactly like a
-    // slice-based chunking — but without the per-line O(words) slice copy
-    // that made the first cut of this row quadratic per document), then
-    // an index-lambda appends the per-line plants in O(1) per line
+  /** Build the deterministic fixture PAGE for a (doc_id, text) frame —
+    * page construction: ONE linear regex pass chunks the normalized text
+    * into 6-word lines (replace every 6th inter-word space with \n; the
+    * scan resumes after each match, so groups tile exactly like a
+    * slice-based chunking — but without the per-line O(words) slice copy
+    * that made the first cut of this row quadratic per document), then
+    * an index-lambda appends the per-line plants in O(1) per line.
+    */
+  private def c4PageExpr: Column = {
     val chunked = regexp_replace(TF.normText(col("text")),
       "((?:\\S+ ){5}\\S+) ", "$1\n")
     val pageLines = transform(split(chunked, "\n"), (l, i) => concat(l,
@@ -731,13 +773,19 @@ object TextAnalysis {
         .otherwise(lit("")),
       when(pmod(col("doc_id") + i, lit(4)) =!= 3, lit("."))
         .otherwise(lit(""))))
-    val page = concat(
+    concat(
       array_join(pageLines, "\n"),
       when(pmod(col("doc_id"), lit(29)) === 7, lit("\nlorem ipsum."))
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(31)) === 5, lit("\nvar x = {."))
         .otherwise(lit("")))
-    // ---- the C4 kernel proper: operates on `page` alone ----
+  }
+
+  /** The C4 kernel proper, as a reusable STAGE over (doc_id, page):
+    * line rules + page rules; kept pages come back with their cleaned
+    * text and line/word accounting. Map-only.
+    */
+  def stageC4(pages: DataFrame): DataFrame = {
     val lines = split(col("page"), "\n")
     // last-char set test == the anchored-regex terminal-punct rule, at a
     // fraction of the interpreted-lambda cost
@@ -745,8 +793,7 @@ object TextAnalysis {
       substring(l, -1, 1).isin(".", "!", "?", "\"") &&
         size(split(l, " ")) >= 5 && !l.contains("javascript")
     val kept = filter(lines, lineOk)
-    docs(s, d)
-      .select(col("doc_id"), page.as("page"))
+    pages
       .select(col("doc_id"),
         size(lines).as("n_lines_raw"),
         size(kept).as("n_lines_kept"),
@@ -758,8 +805,11 @@ object TextAnalysis {
       .filter(col("page_ok") && col("n_lines_kept") >= 3)
       .select(col("doc_id"), col("n_lines_raw"), col("n_lines_kept"),
         col("n_words_kept"), col("text_clean"))
-      .orderBy(col("doc_id"))
   }
+
+  private def textC4Filters(s: SparkSession, d: String): DataFrame =
+    stageC4(docs(s, d).select(col("doc_id"), c4PageExpr.as("page")))
+      .orderBy(col("doc_id"))
 
   /** The canonicalization chain shared by [[textUrlCanon]] and
     * [[dedupUrlKeepBest]]: strip fragment, lowercase scheme+host, strip
@@ -801,25 +851,38 @@ object TextAnalysis {
     * single-task sort; identical skew story to `dedup_keep_latest` /
     * `agg_mode`. Output: canonical url, kept doc, its length, group size.
     */
-  private def dedupUrlKeepBest(s: SparkSession, d: String): DataFrame = {
+  /** Keep-best-per-canonical-URL as a reusable STAGE: the input frame
+    * (must carry doc_id) gets the fixture's planted messy URL, is
+    * canonicalized, and one row per canonical URL survives — the row
+    * maximizing (weight, −doc_id). All input columns pass through;
+    * `url_canon` and the group size `n_dupes` are appended.
+    */
+  def stageUrlKeepBest(df: DataFrame, weight: Column): DataFrame = {
     val messy = concat(
       lit("HTTPS://Site"), pmod(col("doc_id"), lit(7)),
       lit(".Example.COM:443/page/"), pmod(col("doc_id"), lit(40)),
       lit("?utm_campaign=c"), col("doc_id"),
       lit("#frag"), col("doc_id"))
-    val nw = size(TF.words(col("text")))
-    docs(s, d)
-      .select(canonUrlExpr(messy).as("url_canon"),
-        col("doc_id"), nw.as("n_words"))
+    val cols = df.columns.toSeq
+    df.withColumn("graft_w", weight)
+      .withColumn("url_canon", canonUrlExpr(messy))
       .groupBy(col("url_canon"))
       .agg(
-        max_by(struct(col("doc_id"), col("n_words")),
-          struct(col("n_words"), -col("doc_id"))).as("best"),
+        max_by(struct(cols.map(col): _*),
+          struct(col("graft_w"), -col("doc_id"))).as("best"),
         count(lit(1)).as("n_dupes"))
-      .select(col("url_canon"), col("best.doc_id").as("doc_id"),
-        col("best.n_words").as("n_words"), col("n_dupes"))
-      .orderBy(col("url_canon"))
+      .select(col("url_canon") +:
+        cols.map(c => col(s"best.$c").as(c)) :+ col("n_dupes"): _*)
   }
+
+  private def dedupUrlKeepBest(s: SparkSession, d: String): DataFrame =
+    stageUrlKeepBest(
+      docs(s, d).select(col("doc_id"),
+        size(TF.words(col("text"))).as("n_words")),
+      col("n_words"))
+      .select(col("url_canon"), col("doc_id"), col("n_words"),
+        col("n_dupes"))
+      .orderBy(col("url_canon"))
 
   /** The END-TO-END pre-training corpus pipeline — every stage above
     * composed in production order, reported as the funnel a real corpus
@@ -920,6 +983,7 @@ object TextAnalysis {
     "text_c4_filters" -> textC4Filters _,
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
     "sample_importance" -> sampleImportance _,
+    "pipeline_curation" -> pipelineCuration _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_split_grouped" -> sampleSplitGrouped _,
@@ -1066,6 +1130,112 @@ object TextAnalysis {
                '([?&])utm_[A-Za-z]+=[^&#]*&?', '\1', 'g'),
                '[?&]+$$', '') AS url_canon
       FROM p ORDER BY doc_id""",
+    // the full curation chain replayed: C4 kernel -> canon-URL keeper
+    // over the CLEANED docs -> importance selection over the CLEANED text
+    "pipeline_curation" -> raw"""
+      WITH base AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      built AS (
+        SELECT doc_id,
+               list_transform(range(CAST(ceil(len(ws)/6.0) AS INT)), i ->
+                 array_to_string(ws[i*6+1 : i*6+6], ' ') ||
+                 CASE WHEN (doc_id + i) % 11 = 5 THEN ' javascript'
+                      ELSE '' END ||
+                 CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END) AS pl
+        FROM base),
+      pages AS (
+        SELECT doc_id,
+               array_to_string(pl, chr(10)) ||
+               CASE WHEN doc_id % 29 = 7 THEN chr(10) || 'lorem ipsum.'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 31 = 5 THEN chr(10) || 'var x = {.'
+                    ELSE '' END AS page
+        FROM built),
+      c4k AS (
+        SELECT doc_id,
+               list_filter(string_split(page, chr(10)), l ->
+                 regexp_matches(l, '[.!?"]$$')
+                 AND len(string_split(l, ' ')) >= 5
+                 AND NOT contains(l, 'javascript')) AS kept_lines,
+               NOT contains(page, 'lorem ipsum')
+                 AND NOT contains(page, '{') AS page_ok
+        FROM pages),
+      cleaned AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(kept_lines,
+                 l -> len(string_split(l, ' ')))) AS BIGINT) AS n_words_kept,
+               array_to_string(kept_lines, chr(10)) AS text_clean
+        FROM c4k WHERE page_ok AND len(kept_lines) >= 3),
+      u0t AS (
+        SELECT doc_id, n_words_kept, text_clean,
+               'HTTPS://Site' || (doc_id % 7) || '.Example.COM:443/page/' ||
+               (doc_id % 40) || '?utm_campaign=c' || doc_id ||
+               '#frag' || doc_id AS u0
+        FROM cleaned),
+      us AS (SELECT *, regexp_replace(u0, '#.*$$', '') AS u1 FROM u0t),
+      uh AS (
+        SELECT *, lower(regexp_extract(u1, '^[A-Za-z]+://[^/?#]+')) ||
+               regexp_replace(u1, '^[A-Za-z]+://[^/?#]+', '') AS u2
+        FROM us),
+      up AS (
+        SELECT *, regexp_replace(u2, '^(https?://[^/:]+):(?:80|443)/', '\1/')
+                 AS u3
+        FROM uh),
+      uc AS (
+        SELECT doc_id, n_words_kept, text_clean,
+               regexp_replace(regexp_replace(u3,
+                 '([?&])utm_[A-Za-z]+=[^&#]*&?', '\1', 'g'),
+                 '[?&]+$$', '') AS url_canon
+        FROM up),
+      kept AS (
+        SELECT doc_id, n_words_kept, text_clean FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY url_canon
+                      ORDER BY n_words_kept DESC, doc_id ASC) AS rn
+          FROM uc) WHERE rn = 1),
+      basew AS (
+        SELECT doc_id,
+               string_split(lower(regexp_replace(trim(text_clean),
+                 '\s+', ' ', 'g')), ' ') AS ws2,
+               substr(md5(text_clean), 1, 1) = '0' AS is_target
+        FROM kept),
+      bg AS (
+        SELECT doc_id, is_target,
+               unnest([ws2[i] || ' ' || ws2[i+1] FOR i IN range(1, len(ws2))])
+                 AS b
+        FROM basew),
+      ex AS (
+        SELECT doc_id, is_target,
+               CAST((strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(b), 2, 1)) - 1)
+                 AS INT) AS bucket
+        FROM bg),
+      prof AS (
+        SELECT bucket, COUNT(*) AS tcnt FROM ex WHERE is_target
+        GROUP BY bucket),
+      scored AS (
+        SELECT e.doc_id, CAST(SUM(COALESCE(p.tcnt, 0)) AS BIGINT) AS score
+        FROM ex e LEFT JOIN prof p ON e.bucket = p.bucket
+        WHERE NOT e.is_target GROUP BY e.doc_id),
+      tot AS (
+        SELECT CAST(SUM(score) AS BIGINT) AS total, COUNT(*) AS n_docs
+        FROM scored),
+      selw AS (
+        SELECT k.doc_id, k.n_words_kept
+        FROM kept k JOIN scored s ON k.doc_id = s.doc_id, tot
+        WHERE s.score * tot.n_docs > tot.total)
+      SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split($NormSql, ' '))) AS BIGINT) AS n_words
+      FROM documents
+      UNION ALL
+      SELECT 1, 'c4', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
+      FROM cleaned
+      UNION ALL
+      SELECT 2, 'url_dedup', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
+      FROM kept
+      UNION ALL
+      SELECT 3, 'selected', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
+      FROM selw
+      ORDER BY stage""",
     "sample_importance" -> s"""
       WITH basew AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws,
