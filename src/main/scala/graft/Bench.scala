@@ -61,10 +61,10 @@ object Bench {
     */
   private def ensureSf1Dir(spark: SparkSession, sfDir: String): String =
     Scratch.ensure(spark,
-      s"sf1eq_v3_${Sf1Reps}_${Scratch.sanitize(sfDir)}_" +
+      s"sf1eq_v4_${Sf1Reps}_${Scratch.sanitize(sfDir)}_" +
         Scratch.fingerprint(s"$sfDir/lineitem.parquet",
           s"$sfDir/orders.parquet", s"$sfDir/documents.parquet",
-          s"$sfDir/embeddings.parquet")) { dir =>
+          s"$sfDir/embeddings.parquet", s"$sfDir/events.parquet")) { dir =>
       // a real SF1 table is many files/row-groups; one 6M-row row group
       // would serialize the scan onto a single core — hence repartition(32)
       def replicate(df: org.apache.spark.sql.DataFrame, keyCol: String,
@@ -87,7 +87,20 @@ object Bench {
       val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val estep = embs.agg(max(col("vec_id"))).head().getLong(0) + 1
       replicate(embs, "vec_id", estep, s"$dir/embeddings.parquet")
-      val replicated = Set("lineitem", "orders", "documents", "embeddings")
+      // events replicate on BOTH keys: user_id so key cardinality (not
+      // per-key depth) scales — the honest shape for per-user-window
+      // linearity claims — and event_id to keep ids unique
+      val evd = spark.read.parquet(s"$sfDir/events.parquet")
+      val ustep = evd.agg(max(col("user_id"))).head().getLong(0) + 1
+      val evstep = evd.agg(max(col("event_id"))).head().getLong(0) + 1
+      evd.crossJoin(broadcast(spark.range(Sf1Reps).select(col("id").as("rep"))))
+        .withColumn("user_id", col("user_id") + col("rep") * ustep)
+        .withColumn("event_id", col("event_id") + col("rep") * evstep)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val replicated =
+        Set("lineitem", "orders", "documents", "embeddings", "events")
       for (t <- Tables.all if !replicated(t))
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
@@ -126,7 +139,13 @@ object Bench {
     // k-means at 10×: assignment passes stay map-only and the update
     // exchange stays partitions×k×dim-bounded regardless of corpus size —
     // the canary checks the constant-factor claim, not just the shape
-    "sf1_cluster_kmeans" -> "cluster_kmeans")
+    "sf1_cluster_kmeans" -> "cluster_kmeans",
+    // the events tier at 10× USERS (constant per-user depth): the as-of
+    // attribution window and its one user-key shuffle must scale with
+    // key cardinality, the per-user-window linearity claim
+    "sf1_events_attribution" -> "events_attribution",
+    // per-user double-direction navigation windows at 10× users
+    "sf1_window_fill_forward" -> "window_fill_forward")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the
