@@ -99,14 +99,21 @@ object Graph {
     * dedup. Wedge totals (Σ deg·(deg−1)/2) come from exact integer
     * sums; the clustering coefficient 3T/W divides two exact longs.
     */
-  private def triangles(s: SparkSession, d: String): DataFrame = {
-    val und = tradeFlows(s, d).filter(col("src") =!= col("dst"))
+  /** Undirected significant-trade edges — pair flow above the MEAN pair
+    * flow (data-relative, so the graph keeps structure at any SF). The
+    * nation²-bounded graph shared by [[triangles]] and [[bfs]].
+    */
+  private def significantEdges(s: SparkSession, d: String): DataFrame =
+    tradeFlows(s, d).filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
       .withColumn("avg_s", avg(col("support")).over())
       .filter(col("support") > col("avg_s"))
       .select(col("a"), col("b"))
+
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = significantEdges(s, d)
       .localCheckpoint(true) // nation²-bounded; reused 4× below
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -135,9 +142,57 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** Single-source BFS (hop distances) over the significant-trade graph —
+    * the frontier-expansion primitive under reachability, radius, and
+    * "within-k-hops" queries, written as the standard Pregel-style driver
+    * loop: each level is one equi-join of the FRONTIER (not the full
+    * distance table) against the edge list, an anti-join drops
+    * already-visited nodes, and the loop stops when a level adds nothing.
+    * Per-level driver work is one count (graph-level metadata, the same
+    * contract as [[Dedup.connectedComponents]]' convergence check);
+    * `localCheckpoint` keeps lineage flat across levels. On the fixture
+    * the graph is nation²-bounded, but the shape is the 100 TB one:
+    * frontier×edges joins, never node×node. Unreached nodes report −1.
+    * Oracle: a depth-capped recursive CTE taking MIN(dist) per node.
+    */
+  private def bfs(s: SparkSession, d: String): DataFrame = {
+    val und = significantEdges(s, d).localCheckpoint(true)
+    val edges = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val nodes = und
+      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+      .localCheckpoint(true)
+    val srcNode = nodes.agg(min(col("node")).cast("long")).head().getLong(0)
+    var dist = nodes.filter(col("node") === srcNode)
+      .select(col("node"), lit(0).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    var level = 1
+    var active = true
+    while (active && level <= 30) {
+      val next = frontier.join(edges, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(level).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) active = false
+      else {
+        dist = dist.unionAll(next).localCheckpoint(true)
+        frontier = next
+        level += 1
+      }
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("dist"), lit(-1)).as("dist"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerank _,
-    "graph_triangles" -> triangles _
+    "graph_triangles" -> triangles _,
+    "graph_bfs" -> bfs _
   )
 
   private def iterCte(prev: String, name: String): String = s"""
@@ -167,6 +222,33 @@ object Graph {
       SELECT n.n_name AS nation, ROUND(r3.rank, 6) AS pagerank
       FROM r3 JOIN nation n ON n.n_nationkey = r3.node
       ORDER BY pagerank DESC, nation""",
+    // min-hop distances via a depth-capped recursive CTE (the cap stops
+    // cycle-inflated dist rows; MIN per node recovers true BFS levels)
+    "graph_bfs" -> """
+      WITH RECURSIVE flows AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      sup AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                     COUNT(*) AS support
+              FROM flows GROUP BY 1, 2),
+      und AS (SELECT a, b FROM sup
+              WHERE support > (SELECT AVG(support) FROM sup)),
+      e AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+      nodes AS (SELECT DISTINCT u AS node FROM e),
+      reach(node, dist) AS (
+        SELECT (SELECT MIN(node) FROM nodes), 0
+        UNION
+        SELECT e.v, r.dist + 1 FROM reach r JOIN e ON r.node = e.u
+        WHERE r.dist < 30),
+      lab AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+      SELECT n.node, COALESCE(l.dist, -1) AS dist
+      FROM nodes n LEFT JOIN lab l ON n.node = l.node
+      ORDER BY n.node""",
     "graph_triangles" -> """
       WITH flows AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
                      FROM customer c

@@ -974,6 +974,43 @@ class PlanSpec extends AnyFunSuite {
     }, "minmax normalization out of [0,1]")
   }
 
+  test("graph_bfs: levels are valid BFS distances on the significant graph") {
+    val df = SparkEntry.queries("graph_bfs")(spark, sfDir)
+    val dist = df.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).intValue)
+      .toMap
+    assert(dist.values.count(_ == 0) == 1, "exactly one source at level 0")
+    assert(dist.values.exists(_ >= 1), "frontier must actually expand")
+    // BFS level invariant: every reached node at level k>0 has a neighbor
+    // at level k-1, and no edge skips a level by more than 1
+    import org.apache.spark.sql.functions._
+    val flows = Tables.load(spark, sfDir, "customer")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+    val rows = flows.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue))
+    val mean = rows.map(_._3).sum.toDouble / rows.length
+    val es = rows.filter(_._3 > mean).flatMap(e =>
+      Seq((e._1, e._2), (e._2, e._1)))
+    for ((u, v) <- es) {
+      val (du, dv) = (dist(u), dist(v))
+      if (du >= 0 && dv >= 0)
+        assert(math.abs(du - dv) <= 1, s"edge ($u,$v) skips a level: $du,$dv")
+    }
+    for ((n, k) <- dist if k > 0)
+      assert(es.exists { case (u, v) => v == n && dist(u) == k - 1 },
+        s"node $n at level $k has no level-${k - 1} neighbor")
+  }
+
   test("graph_pagerank: iteration joins broadcast, mass is conserved") {
     val df = SparkEntry.queries("graph_pagerank")(spark, sfDir)
     val rows = df.collect()
