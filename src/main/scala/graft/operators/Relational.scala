@@ -411,6 +411,54 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction=
+    * "nearest")` / kdb `aj` nearest variant): each click matched to the
+    * CLOSEST purchase of the same user in either time direction, ties
+    * broken backward (the earlier purchase). Same one-shuffle shape as
+    * [[joinAsof]] — tagged union, one per-user sort — with TWO frames
+    * off that single sort: running-last over (-∞, current] finds the
+    * at-or-before candidate (same-timestamp purchases sort before the
+    * click via the side key, so ties land here deterministically),
+    * running-first over [current, +∞) the strictly-after one; a scalar
+    * CASE picks the smaller gap. Never a per-row subquery or a
+    * clicks×purchases product; linear per user at any scale.
+    */
+  private def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("l_event"),
+        lit(null).cast(LongType).as("r_event"), lit(1).as("side"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("l_event"),
+        col("event_id").as("r_event"), lit(0).as("side"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("r_event"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col("ts"))
+    val rUs = when(col("r_event").isNotNull, us)
+    val base = l.unionByName(r)
+      .withColumn("prev_us", last(rUs, ignoreNulls = true).over(wPrev))
+      .withColumn("prev_event", last(col("r_event"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_us", first(rUs, ignoreNulls = true).over(wNext))
+      .withColumn("next_event", first(col("r_event"), ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+    val backward = col("next_event").isNull ||
+      (col("prev_event").isNotNull && us - col("prev_us") <= col("next_us") - us)
+    val none = col("prev_event").isNull && col("next_event").isNull
+    base.select(col("l_event").as("event_id"), col("user_id"),
+      when(none, lit(null).cast(LongType))
+        .when(backward, col("prev_event")).otherwise(col("next_event"))
+        .as("nearest_event"),
+      when(none, lit(null).cast(StringType))
+        .when(backward, lit("backward")).otherwise(lit("forward"))
+        .as("direction"),
+      when(none, lit(null).cast(LongType))
+        .when(backward, us - col("prev_us")).otherwise(col("next_us") - us)
+        .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (interval-containment) join: clicks matched to every purchase
     * window [p_ts, p_ts + 30 min] of the same user. The naive predicate
     * `c.ts BETWEEN p.ts AND p.ts + W` is a non-equi join — Spark would plan
@@ -2431,6 +2479,7 @@ object Relational {
     "scan_csv_malformed" -> scanCsvMalformed _,
     "join_cross" -> joinCross _,
     "join_asof" -> joinAsof _,
+    "join_asof_nearest" -> joinAsofNearest _,
     "join_range" -> joinRange _,
     "join_bucketed" -> joinBucketed _,
     "join_salted" -> joinSalted _,
@@ -2889,6 +2938,43 @@ object Relational {
     // (event_id < 1e10 by fixture contract; DuckDB 1.0 arg_max has no
     // composite key) — via a fully independent algorithm (no window, no
     // union trick).
+    "join_asof_nearest" -> """
+      WITH t AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
+               CASE WHEN event_type = 'click' THEN event_id END AS l_event,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS r_event,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *,
+          LAST_VALUE(CASE WHEN r_event IS NOT NULL THEN epoch_us(mts) END
+                     IGNORE NULLS) OVER win1 AS prev_us,
+          LAST_VALUE(r_event IGNORE NULLS) OVER win1 AS prev_event,
+          FIRST_VALUE(CASE WHEN r_event IS NOT NULL THEN epoch_us(mts) END
+                      IGNORE NULLS) OVER win2 AS next_us,
+          FIRST_VALUE(r_event IGNORE NULLS) OVER win2 AS next_event
+        FROM t
+        WINDOW win1 AS (PARTITION BY user_id ORDER BY mts, side, r_event
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               win2 AS (PARTITION BY user_id ORDER BY mts, side, r_event
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      p AS (SELECT user_id, l_event, epoch_us(mts) AS us,
+                   prev_us, prev_event, next_us, next_event
+            FROM w WHERE side = 1)
+      SELECT l_event AS event_id, user_id,
+        CASE WHEN prev_event IS NULL AND next_event IS NULL THEN NULL
+             WHEN next_event IS NULL OR (prev_event IS NOT NULL
+                  AND us - prev_us <= next_us - us) THEN prev_event
+             ELSE next_event END AS nearest_event,
+        CASE WHEN prev_event IS NULL AND next_event IS NULL THEN NULL
+             WHEN next_event IS NULL OR (prev_event IS NOT NULL
+                  AND us - prev_us <= next_us - us) THEN 'backward'
+             ELSE 'forward' END AS direction,
+        CASE WHEN prev_event IS NULL AND next_event IS NULL THEN NULL
+             WHEN next_event IS NULL OR (prev_event IS NOT NULL
+                  AND us - prev_us <= next_us - us) THEN us - prev_us
+             ELSE next_us - us END AS gap_us
+      FROM p ORDER BY event_id""",
     "join_asof" -> """
       WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                  FROM events WHERE event_type = 'click'),

@@ -40,6 +40,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_nearest: every match is the true minimum-gap purchase") {
+    import org.apache.spark.sql.functions._
+    val ev = streaming.Streaming.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchByUser = ev.filter(_._4 == "purchase").groupBy(_._1)
+    val df = SparkEntry.queries("join_asof_nearest")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val clickUs = ev.filter(_._4 == "click").map(e => e._3 -> (e._1, e._2)).toMap
+    assert(got.nonEmpty)
+    for ((cid, nearest, gap) <- got) {
+      val (user, cus) = clickUs(cid)
+      val ps = purchByUser.getOrElse(user, Array.empty)
+      if (ps.isEmpty) assert(nearest == -1L, s"click $cid: match without purchases")
+      else {
+        val minGap = ps.map(p => math.abs(p._2 - cus)).min
+        assert(gap == minGap, s"click $cid: gap $gap, true min $minGap")
+        assert(ps.exists(p => p._3 == nearest && math.abs(p._2 - cus) == minGap),
+          s"click $cid matched a non-minimal purchase")
+      }
+    }
+    // single union + window — a clicks x purchases join would be the
+    // quadratic formulation this row exists to avoid
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"nearest as-of must not join:\n$p")
+  }
+
   test("events_attribution equals a per-user local replay") {
     import org.apache.spark.sql.functions._
     val ev = streaming.Streaming.events(spark, sfDir)
