@@ -358,6 +358,38 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact WEIGHTED median per group (the 50th weighted percentile —
+    * inventory-weighted price being the classic): order each group by
+    * value with a unique tie-break key, take the exact-decimal running
+    * weight off ONE window sort, and the median is the smallest value
+    * whose cumulative weight reaches half the group total (both totals
+    * exact DECIMAL, so the crossing test `2·cum ≥ tot` is engine-exact —
+    * no float accumulation anywhere). A run of equal values straddling
+    * the crossing yields the same answer under any tie order, and the
+    * final `min(value)` is a plain two-phase aggregate. Exactness
+    * contract note for 100 TB: this is the EXACT tier (one per-group
+    * sort, like the percentile rows); the sort-free scale path is
+    * `agg_approx_quantile` / `agg_histogram_eqdepth`.
+    */
+  private def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wdec = col("l_quantity").cast(DecimalType(18, 2))
+    Tables.load(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), wdec.as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
+        max(col("tot")).cast(DoubleType).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Explicit GROUPING SETS (reference has no grouping-set nodes at all,
     * SURVEY.md §2.6/§2.8; rollup/cube are covered by agg_rollup/agg_cube).
     */
@@ -2507,6 +2539,7 @@ object Relational {
     "agg_stats" -> aggStats _,
     "agg_corr" -> aggCorr _,
     "agg_regression" -> aggRegression _,
+    "agg_weighted_median" -> aggWeightedMedian _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_pivot" -> aggPivot _,
     "agg_histogram" -> aggHistogram _,
@@ -2899,6 +2932,23 @@ object Relational {
                CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       ORDER BY l_returnflag""",
+    "agg_weighted_median" -> """
+      WITH b AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS DECIMAL(18,2)) AS w,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_returnflag) AS tot
+        FROM lineitem)
+      SELECT l_returnflag,
+             MIN(l_extendedprice) AS weighted_median,
+             CAST(MAX(tot) AS DOUBLE) AS total_weight
+      FROM b WHERE cum * 2 >= tot
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_regression" -> """
       SELECT l_returnflag, n,
              round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,

@@ -207,6 +207,23 @@ object Streaming {
       "complete")
       .orderBy(col("window_start"), col("event_type"))
 
+  /** The sliding-window aggregate executed BY the streaming engine
+    * (complete mode, 1-minute watermark): each event lands in 2
+    * overlapping 1-hour/30-minute windows, so this exec row gates the
+    * engine's window-EXPANSION path (one state row per open window
+    * instance), which the tumbling exec row never touches. Same oracle
+    * as the batch twin.
+    */
+  private def streamExecSlidingAgg(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, "graft_exec_slide",
+      readEventStream(s, d).withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n"),
+          col("sum_value")),
+      "complete")
+      .orderBy(col("window_start"))
+
   /** Watermarked stream-stream interval join (the streaming form of
     * `join_range`), executed end-to-end: state on both sides is bounded by
     * the 1-hour watermarks + the 30-minute join interval, and inner-join
@@ -645,12 +662,24 @@ object Streaming {
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_json_props" -> streamJsonProps _,
     "stream_exec_window_agg" -> streamExecWindowAgg _,
+    "stream_exec_sliding_agg" -> streamExecSlidingAgg _,
     "stream_exec_ckpt_restart" -> (streamExecCheckpointRestart _),
     "stream_exec_interval_join" -> streamExecIntervalJoin _,
     "stream_exec_interval_join_outer" -> streamExecIntervalJoinOuter _,
     "stream_exec_dedup" -> streamExecDedup _,
     "stream_exec_session" -> streamExecSession _
   )
+
+  private val SlidingOracleSql = """
+      WITH slid AS (
+        SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP)
+                 - CASE WHEN k = 1 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                 AS window_start,
+               value
+        FROM events, (SELECT unnest([0, 1]) AS k))
+      SELECT window_start, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM slid GROUP BY window_start ORDER BY window_start"""
 
   private val WindowAggSql = """
       SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
@@ -705,6 +734,7 @@ object Streaming {
     // mode aggregation / inner interval join / key-set dedup are all
     // exactly their batch equivalents once the bounded source drains
     "stream_exec_window_agg" -> WindowAggSql,
+    "stream_exec_sliding_agg" -> SlidingOracleSql,
     // the batch aggregate restricted to the provably-finalized region:
     // window_end <= max ts - watermark delay - 61 s safety margin
     "stream_exec_ckpt_restart" -> """
@@ -780,16 +810,7 @@ object Streaming {
     // merging session windows drained under AvailableNow equal the batch
     // gaps-and-islands sessionization exactly
     "stream_exec_session" -> SessionAggSql,
-    "stream_sliding_agg" -> """
-      WITH slid AS (
-        SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP)
-                 - CASE WHEN k = 1 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
-                 AS window_start,
-               value
-        FROM events, (SELECT unnest([0, 1]) AS k))
-      SELECT window_start, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM slid GROUP BY window_start ORDER BY window_start""",
+    "stream_sliding_agg" -> SlidingOracleSql,
     "stream_json_props" -> """
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -16,6 +16,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_weighted_median equals a local exact recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      val sorted = g.sortBy(_._2)
+      val tot = g.map(e => BigDecimal(e._3).setScale(2)).sum
+      var cum = BigDecimal(0)
+      val med = sorted.find { e =>
+        cum += BigDecimal(e._3).setScale(2); cum * 2 >= tot
+      }.get._2
+      k -> med
+    }
+    val got = SparkEntry.queries("agg_weighted_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("agg_regression matches Spark's native regr_* family") {
     // the decimal-moment closed forms must agree with the built-in
     // least-squares aggregates to rounding precision — an algebra slip
