@@ -358,6 +358,40 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group skewness and excess kurtosis from exact decimal raw
+    * moments — completing the moments family ([[aggCorr]] covariance/
+    * correlation, [[aggRegression]] OLS): Σx..Σx⁴ as exact DECIMAL sums
+    * in one two-phase aggregate, then the population closed forms
+    * evaluated once in double. m2^1.5 is spelled `m2·√m2` — sqrt is
+    * IEEE-correctly-rounded where `pow(x, 1.5)` is libm-dependent, so
+    * the expression tree is engine-exact like the rest of the family.
+    * k×5 partial rows cross the exchange at any corpus size.
+    */
+  private def aggSkewKurt(s: SparkSession, d: String): DataFrame = {
+    val n = col("n").cast(DoubleType)
+    val s1 = col("s1").cast(DoubleType)
+    val s2 = col("s2").cast(DoubleType)
+    val s3 = col("s3").cast(DoubleType)
+    val s4 = col("s4").cast(DoubleType)
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m
+    val m4 = s4 / n - lit(4.0) * m * (s3 / n) +
+      lit(6.0) * m * m * (s2 / n) - lit(3.0) * m * m * m * m
+    val x = col("l_quantity")
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 2))).as("s1"),
+        sum((x * x).cast(DecimalType(30, 4))).as("s2"),
+        sum((x * x * x).cast(DecimalType(30, 6))).as("s3"),
+        sum((x * x * x * x).cast(DecimalType(38, 8))).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact WEIGHTED median per group (the 50th weighted percentile —
     * inventory-weighted price being the classic): order each group by
     * value with a unique tie-break key, take the exact-decimal running
@@ -2540,6 +2574,7 @@ object Relational {
     "agg_corr" -> aggCorr _,
     "agg_regression" -> aggRegression _,
     "agg_weighted_median" -> aggWeightedMedian _,
+    "agg_skew_kurt" -> aggSkewKurt _,
     "agg_grouping_sets" -> aggGroupingSets _,
     "agg_pivot" -> aggPivot _,
     "agg_histogram" -> aggHistogram _,
@@ -2930,6 +2965,28 @@ object Relational {
                CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
                CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
                CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
+    "agg_skew_kurt" -> """
+      SELECT l_returnflag, n,
+             round((s3/nd - 3.0*(s1/nd)*(s2/nd) + 2.0*(s1/nd)*(s1/nd)*(s1/nd))
+                   / ((s2/nd - (s1/nd)*(s1/nd))
+                      * sqrt(s2/nd - (s1/nd)*(s1/nd))), 6) AS skewness,
+             round((s4/nd - 4.0*(s1/nd)*(s3/nd)
+                    + 6.0*(s1/nd)*(s1/nd)*(s2/nd)
+                    - 3.0*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd))
+                   / ((s2/nd - (s1/nd)*(s1/nd))
+                      * (s2/nd - (s1/nd)*(s1/nd))) - 3.0, 6) AS kurtosis
+      FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,4)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_quantity*l_quantity*l_quantity
+                    AS DECIMAL(30,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity
+                    AS DECIMAL(38,8))) AS DOUBLE) AS s4
         FROM lineitem GROUP BY l_returnflag)
       ORDER BY l_returnflag""",
     "agg_weighted_median" -> """

@@ -36,6 +36,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("agg_skew_kurt matches Spark's native skewness/kurtosis") {
+    import org.apache.spark.sql.functions._
+    val native = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val got = SparkEntry.queries("agg_skew_kurt")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == native.keySet)
+    for ((k, (sk, ku)) <- got) {
+      val (ns, nk) = native(k)
+      assert(math.abs(sk - ns) < 1e-5, s"skew $k: $sk vs $ns")
+      assert(math.abs(ku - nk) < 1e-5, s"kurt $k: $ku vs $nk")
+    }
+  }
+
   test("agg_regression matches Spark's native regr_* family") {
     // the decimal-moment closed forms must agree with the built-in
     // least-squares aggregates to rounding precision — an algebra slip
