@@ -163,7 +163,10 @@ object Graph {
     val nodes = und
       .select(explode(array(col("a"), col("b"))).as("node")).distinct()
       .localCheckpoint(true)
-    val srcNode = nodes.agg(min(col("node")).cast("long")).head().getLong(0)
+    val srcRow = nodes.agg(min(col("node")).cast("long")).head()
+    require(!srcRow.isNullAt(0),
+      "significant-trade graph is empty at this scale factor; bfs has no source")
+    val srcNode = srcRow.getLong(0)
     var dist = nodes.filter(col("node") === srcNode)
       .select(col("node"), lit(0).as("dist")).localCheckpoint(true)
     var frontier = dist

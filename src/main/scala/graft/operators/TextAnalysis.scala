@@ -797,7 +797,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(lines).as("n_lines_raw"),
         size(kept).as("n_lines_kept"),
-        aggregate(kept, lit(0),
+        aggregate(kept, lit(0L),
           (acc, l) => acc + size(split(l, " "))).as("n_words_kept"),
         array_join(kept, "\n").as("text_clean"),
         (!col("page").contains("lorem ipsum") &&
@@ -1300,7 +1300,7 @@ object TextAnalysis {
              CAST(len(lines) AS INT) AS n_lines_raw,
              CAST(len(kept) AS INT) AS n_lines_kept,
              CAST(list_sum(list_transform(kept,
-               l -> len(string_split(l, ' ')))) AS INT) AS n_words_kept,
+               l -> len(string_split(l, ' ')))) AS BIGINT) AS n_words_kept,
              array_to_string(kept, chr(10)) AS text_clean
       FROM c4
       WHERE page_ok AND len(kept) >= 3

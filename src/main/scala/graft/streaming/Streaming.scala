@@ -166,8 +166,12 @@ object Streaming {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head.toSeq.map(_.asInstanceOf[Long]).toArray
     val splitUs = minUs + (maxUs - minUs) / 2
+    // pid-suffixed like Scratch.ensure's tmp dirs: a concurrent
+    // Verify/Bench/test process on the same dataset gets its own tree, so
+    // the wipe-at-row-start below can never race a sibling's in-flight run
     val root = new org.apache.hadoop.fs.Path(
-      s"target/ckpt_restart_${graft.Scratch.sanitize(d)}")
+      s"target/ckpt_restart_${graft.Scratch.sanitize(d)}" +
+        s"_pid${java.lang.ProcessHandle.current.pid}")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     val src = s"$root/src"
