@@ -706,6 +706,76 @@ object TextAnalysis {
     importanceSelect(docs(s, d).select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"))
 
+  /** Model-scored quality classification (the fastText/CCNet shape —
+    * Joulin et al. 2017; Wenzek et al. 2020 §4.3: a linear classifier
+    * over hashed n-gram features scores every crawled page, and a
+    * threshold on the score gates the corpus). The heuristic tiers
+    * (`text_gopher_quality`, `text_c4_filters`) cover RULES; this row
+    * covers the LEARNED tier those pipelines layer on top: 256-bucket
+    * hashed-bigram features (the same md5-2-hex-chars bucketing as
+    * [[importanceSelect]] — engine-agnostic by construction), a weight
+    * vector TRAINED from two labeled corpus slices, and a sign
+    * threshold on the linear score.
+    *
+    * Training is the multinomial-NB-flavored closed form a one-pass
+    * distributed trainer produces: positive seed = the md5-'0' content
+    * carve (the "Wikipedia-like" slice), negative seed = the md5-'f'
+    * carve (the "junk" slice), and each bucket's weight is the
+    * cross-multiplied count contrast `pos_cnt·neg_total −
+    * neg_cnt·pos_total` — the integer-exact sign of the per-bucket
+    * log-likelihood ratio (`pos_cnt/pos_total > neg_cnt/neg_total` ⇔
+    * weight > 0), so scoring stays in BIGINT and hash-matches a second
+    * engine where fastText's float softmax never could. The sigmoid is
+    * monotone, so "P(keep) > ½" IS "score > 0" — the threshold needs no
+    * float at all. Swap the contrast for real trained floats to get
+    * fastText proper at the cost of the oracle.
+    *
+    * Scale: the model is ≤256 rows (two count aggregates + one 1-row
+    * total, broadcast to the probe — NEVER a corpus-side shuffle on
+    * bucket; plan-asserted in the spec), scoring is a map-side
+    * broadcast probe + one partial-combined sum per doc_id, and the
+    * gate is a codegen sign test — linear end to end, the exact plan
+    * CCNet runs over Common Crawl. Weight magnitudes are
+    * O(slice_bigrams²) ≈ 10¹⁰ at 100 TB-per-slice scale; the per-doc
+    * BIGINT score holds to ~10⁸ bigrams/doc beyond which the sum moves
+    * to DECIMAL. Output: every scored pool doc (both classes — the
+    * downstream mixture sampler wants the score, not just survivors)
+    * with its score, feature count, and the gate decision.
+    */
+  private def textQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val w = TF.words(col("text"))
+    val n = size(w)
+    val bigrams = when(n >= 2,
+      zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val firstHex = substring(md5(col("text")), 1, 1)
+    val base = docs(s, d)
+      .select(col("doc_id"), bigrams.as("bg"),
+        when(firstHex === "0", "pos").when(firstHex === "f", "neg")
+          .otherwise("pool").as("slice"))
+    val bucket = conv(substring(md5(col("b")), 1, 2), 16, 10).cast("int")
+    val ex = base
+      .select(col("doc_id"), col("slice"), explode(col("bg")).as("b"))
+      .select(col("doc_id"), col("slice"), bucket.as("bucket"))
+    val counts = ex.filter(col("slice") =!= "pool")
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("slice") === "pos", 1L).otherwise(0L)).as("pc"),
+           sum(when(col("slice") === "neg", 1L).otherwise(0L)).as("nc"))
+    val totals = counts.agg(sum(col("pc")).as("pt"), sum(col("nc")).as("nt"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (col("pc") * col("nt") - col("nc") * col("pt")).as("wgt"))
+    ex.filter(col("slice") === "pool")
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("wgt"), lit(0L))).as("score"),
+           count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("score"), col("n_bigrams"),
+        when(col("score") > 0, 1).otherwise(0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The WEB-CRAWL curation pipeline — this round's stages composed in
     * production order, as `pipeline_corpus` composes the dedup tier's:
     * raw pages → C4 heuristic cleaning ([[stageC4]]) → URL-keyed
@@ -983,6 +1053,7 @@ object TextAnalysis {
     "text_c4_filters" -> textC4Filters _,
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
     "sample_importance" -> sampleImportance _,
+    "text_quality_classifier" -> textQualityClassifier _,
     "pipeline_curation" -> pipelineCuration _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
@@ -1267,6 +1338,43 @@ object TextAnalysis {
       FROM scored s, tot
       WHERE s.score * tot.n_docs > tot.total
       ORDER BY s.doc_id""",
+    "text_quality_classifier" -> s"""
+      WITH basew AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws,
+               CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'pos'
+                    WHEN substr(md5(text), 1, 1) = 'f' THEN 'neg'
+                    ELSE 'pool' END AS slice
+        FROM documents),
+      bg AS (
+        SELECT doc_id, slice,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+                 AS b
+        FROM basew),
+      ex AS (
+        SELECT doc_id, slice,
+               CAST((strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(b), 2, 1)) - 1)
+                 AS INT) AS bucket
+        FROM bg),
+      cnts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN slice = 'pos' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pc,
+               CAST(SUM(CASE WHEN slice = 'neg' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nc
+        FROM ex WHERE slice <> 'pool' GROUP BY bucket),
+      tot AS (
+        SELECT CAST(SUM(pc) AS BIGINT) AS pt, CAST(SUM(nc) AS BIGINT) AS nt
+        FROM cnts),
+      wts AS (SELECT bucket, pc * nt - nc * pt AS wgt FROM cnts, tot),
+      scored AS (
+        SELECT e.doc_id, CAST(SUM(COALESCE(w.wgt, 0)) AS BIGINT) AS score,
+               COUNT(*) AS n_bigrams
+        FROM ex e LEFT JOIN wts w ON e.bucket = w.bucket
+        WHERE e.slice = 'pool' GROUP BY e.doc_id)
+      SELECT doc_id, score, n_bigrams,
+             CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM scored ORDER BY doc_id""",
     "text_c4_filters" -> s"""
       WITH base AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

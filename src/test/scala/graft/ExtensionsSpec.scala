@@ -968,6 +968,51 @@ class TextPipelineSpec extends AnyFunSuite {
       s"corpus shuffled for the 256-row profile:\n$p")
   }
 
+  test("text_quality_classifier equals a local NB-contrast recompute; model broadcasts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def buckets(t: String): Seq[Int] = {
+      val w = mkNorm(t)
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => Integer.parseInt(
+        md5hex(p.mkString(" ")).substring(0, 2), 16)).toSeq
+    }
+    def slice(t: String): String = md5hex(t).head match {
+      case '0' => "pos"; case 'f' => "neg"; case _ => "pool"
+    }
+    val bySlice = docs.groupBy { case (_, t) => slice(t) }
+    val posCnt = bySlice("pos").values.flatMap(buckets)
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val negCnt = bySlice("neg").values.flatMap(buckets)
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val (pt, nt) = (posCnt.values.sum, negCnt.values.sum)
+    assert(pt > 0 && nt > 0, "both training slices must be non-empty")
+    def wgt(b: Int): Long =
+      if (!posCnt.contains(b) && !negCnt.contains(b)) 0L
+      else posCnt.getOrElse(b, 0L) * nt - negCnt.getOrElse(b, 0L) * pt
+    val want = bySlice("pool").flatMap { case (id, t) =>
+      val bs = buckets(t)
+      if (bs.isEmpty) None
+      else {
+        val sc = bs.map(wgt).sum
+        Some(id -> ((sc, bs.size.toLong, if (sc > 0) 1 else 0)))
+      }
+    }
+    val df = SparkEntry.queries("text_quality_classifier")(spark, sfDir)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    val kept = got.values.count(_._3 == 1)
+    assert(kept > 0 && kept < got.size,
+      "sign threshold must actually separate the pool")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the 256-row model:\n$p")
+  }
+
   test("text_c4_filters: every kept line obeys every rule, every rule fires") {
     val rows = SparkEntry.queries("text_c4_filters")(spark, sfDir).collect()
     val corpus = Tables.load(spark, sfDir, "documents").count()
