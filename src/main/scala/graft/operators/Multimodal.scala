@@ -138,6 +138,40 @@ object Multimodal {
       (w2, h2, sum)
     }
 
+    /** 64-bit average-hash (aHash) over a decoded image — the classic
+      * perceptual image fingerprint: sample the image on an 8×8
+      * nearest-neighbor grid (source pixel (⌊x·w/8⌋, ⌊y·h/8⌋) — the same
+      * NN convention as [[decodeResize2x]]), then set bit (63 − (y·8+x))
+      * when that sample is strictly above the 64-sample mean. The mean
+      * compare is the integer cross-multiplication `p·64 > Σp` — no
+      * division, no float, so the bit pattern is engine-exact and the
+      * DuckDB oracle replays it from the gradient closed form.
+      */
+    def averageHash64(png: Array[Byte], id: Long): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      require(img != null, s"undecodable gradient PNG for doc $id")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val p = new Array[Long](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val g = (img.getRGB(x * w / 8, y * h / 8) & 0xff).toLong
+          p(y * 8 + x) = g; sum += g; x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var k = 0
+      while (k < 64) {
+        if (p(k) * 64 > sum) bits |= 1L << (63 - k)
+        k += 1
+      }
+      bits
+    }
+
     def encodeWav(id: Long): Array[Byte] = {
       val n = nSamples(id)
       val amp = amplitude(id)
@@ -302,6 +336,57 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash image near-dup — the image-side twin of the text
+    * tier's `dedup_simhash`, closing the multimodal↔dedup gap: every
+    * gradient PNG is DECODED per partition and fingerprinted with the
+    * 64-bit average-hash ([[JdkCodecs.averageHash64]] — 8×8 NN sample
+    * grid, strictly-above-mean bits, integer-exact), then near-dup pairs
+    * (hamming ≤ 3) are found with the EXACT quarter-blocking pigeonhole
+    * the SimHash row uses: ≤3 differing bits across 4 disjoint 16-bit
+    * quarters forces at least one identical quarter, so an equi-join on
+    * (quarter, value) has perfect recall and the hamming filter gives
+    * perfect precision — never an image×image cross join (plan-asserted
+    * in the spec). The fixture's wrapped-gradient field makes the tier
+    * non-vacuous end to end: ids sharing `id mod 256` produce identical
+    * pixel FORMULAS at different canvas sizes, so the corpus contains
+    * both exact hash collisions (~120 pairs) and near-misses at every
+    * hamming distance — threshold 3 keeps ~0.4% of all pairs.
+    *
+    * Scale: decode + hash is map-only (8 scalar bytes cross the exchange
+    * per image, never pixels); the blocking join is |corpus|×4 rows on a
+    * 16-bit key — the production pHash-dedup plan over a billion-image
+    * corpus. Oracle: the aHash closed form in (doc_id, x, y) restated
+    * relationally over the 8×8 grid, then brute-force pairs (exact at
+    * oracle SF).
+    */
+  private def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = ensureMediaTable(s, d)
+    val sigs = s.read.parquet(path).select(col("doc_id"), col("png_grad"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        (id, JdkCodecs.averageHash64(png, id))
+      })
+      .toDF("doc_id", "phash")
+    val quarters = sigs.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("q"),
+            shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("qv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("phash"), col("blk.q"), col("blk.qv"))
+    quarters.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
+        col("q"), col("qv"))
+      .join(quarters.select(col("doc_id").as("doc_b"),
+        col("phash").as("ph_b"), col("q"), col("qv")), Seq("q", "qv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private val FrameBytes = 256
   private val FrameStride = 4
 
@@ -332,6 +417,7 @@ object Multimodal {
     "mm_binary_features" -> mmBinaryFeatures _,
     "mm_decode_real" -> mmDecodeReal _,
     "mm_resize" -> mmResize _,
+    "mm_phash_dedup" -> mmPhashDedup _,
     "mm_frame_sample" -> mmFrameSample _
   )
 
@@ -364,6 +450,37 @@ object Multimodal {
         AND 2*gx.x < 64 + d.doc_id % 64
         AND 2*gy.y < 48 + d.doc_id % 48
       GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // the aHash closed form over the 8×8 sample grid (NN source pixel
+    // (x·w//8, y·h//8), strictly-above-mean bits via p·64 > Σp), hash
+    // assembled in 32-bit halves, then brute-force pairs — exact at
+    // oracle SF while the Spark side runs the banded blocking join
+    "mm_phash_dedup" -> s"""
+      WITH g AS (
+        SELECT doc_id, 64 + doc_id % 64 AS w, 48 + doc_id % 48 AS h
+        FROM documents WHERE doc_id < $MediaDocs),
+      px AS (
+        SELECT doc_id, (yy.y * 8 + xx.x) AS k,
+               (doc_id + 3 * ((xx.x * w) // 8) + 7 * ((yy.y * h) // 8)) % 256
+                 AS p
+        FROM g, range(0, 8) xx(x), range(0, 8) yy(y)),
+      tot AS (SELECT doc_id, SUM(p) AS s FROM px GROUP BY doc_id),
+      bits AS (
+        SELECT px.doc_id,
+               SUM(CASE WHEN p * 64 > s AND k < 32
+                        THEN (1::UBIGINT << CAST(31 - k AS INT))
+                        ELSE 0::UBIGINT END) AS hi,
+               SUM(CASE WHEN p * 64 > s AND k >= 32
+                        THEN (1::UBIGINT << CAST(63 - k AS INT))
+                        ELSE 0::UBIGINT END) AS lo
+        FROM px JOIN tot ON px.doc_id = tot.doc_id GROUP BY px.doc_id),
+      ph AS (
+        SELECT doc_id, hi::UBIGINT * 4294967296::UBIGINT + lo::UBIGINT AS ph
+        FROM bits)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= 3
+      ORDER BY doc_a, doc_b""",
     // the generator's closed forms, restated independently in SQL: any
     // pixel/sample mis-decode breaks a SUM and fails the hash compare
     "mm_decode_real" -> s"""

@@ -66,6 +66,51 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("averageHash64 matches the grid closed form; decode is position-exact") {
+    for (id <- Seq(0L, 1L, 63L, 64L, 255L, 256L, 511L)) {
+      val got = JdkCodecs.averageHash64(JdkCodecs.encodePngGrad(id), id)
+      val (w, h) = (MediaSpec.width(id), MediaSpec.height(id))
+      val samples = for (y <- 0 until 8; x <- 0 until 8)
+        yield MediaSpec.gradPix(id, x * w / 8, y * h / 8).toLong
+      val s = samples.sum
+      var want = 0L
+      for (k <- 0 until 64) if (samples(k) * 64 > s) want |= 1L << (63 - k)
+      assert(got == want, s"aHash id=$id")
+      assert(got != 0L && got != -1L, s"degenerate hash id=$id")
+    }
+  }
+
+  test("mm_phash_dedup equals brute-force hamming<=3; blocking is cartesian-free") {
+    def ahash(id: Long): Long = {
+      val (w, h) = (MediaSpec.width(id), MediaSpec.height(id))
+      val samples = for (y <- 0 until 8; x <- 0 until 8)
+        yield MediaSpec.gradPix(id, x * w / 8, y * h / 8).toLong
+      val s = samples.sum
+      var bits = 0L
+      for (k <- 0 until 64) if (samples(k) * 64 > s) bits |= 1L << (63 - k)
+      bits
+    }
+    val nDocs = math.min(
+      Tables.load(spark, sfDir, "documents").count(),
+      operators.Multimodal.MediaDocs.toLong)
+    val hs = (0L until nDocs).map(id => id -> ahash(id)).toMap
+    val want = (for {
+      a <- 0L until nDocs; b <- (a + 1) until nDocs
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val df = operators.Multimodal.queries("mm_phash_dedup")(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(got.exists(_._3 == 0), "fixture must contain exact hash collisions")
+    assert(got.exists(_._3 > 0), "fixture must contain non-identical near-dups")
+    assert(got.size.toLong < nDocs * (nDocs - 1) / 20,
+      "hamming gate must be selective, not all-pairs")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must go through the quarter-block equi-join:\n$p")
+  }
+
   test("mm_decode_real decodes the generated corpus at sf0.001") {
     val rows = operators.Multimodal.queries("mm_decode_real")(spark, sfDir)
       .collect()
