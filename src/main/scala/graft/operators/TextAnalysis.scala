@@ -601,6 +601,59 @@ object TextAnalysis {
       .orderBy(col("source"), col("bin_id"))
   }
 
+  /** Deterministic GLOBAL training-order shuffle + range sharding — the
+    * step every pretraining run actually consumes that [[packShards]]
+    * (size balance) and [[packSequences]] (token budgets) don't gate:
+    * the corpus is put in a seeded pseudo-random global order and cut
+    * into shards that preserve it (shard 0's last example precedes shard
+    * 1's first — the property that lets a trainer stream shard files in
+    * name order and see the full shuffle).
+    *
+    * The sort key is the seeded content-independent hash
+    * `md5(seed ':' doc_id)` — fixed-width lowercase hex in both engines,
+    * so the order is engine-exact and reshuffling is one seed bump (swap
+    * in xxhash64 for a faster key at the cost of the oracle — same
+    * trade documented on the SimHash row's native kernel). Shard
+    * boundaries are FIXED key-space ranges (first hex digit ÷ 2 — the
+    * no-sampling range partition you use when the key is known-uniform;
+    * Spark's RangePartitioner samples, which would make shard membership
+    * nondeterministic), so assignment is a pure function of the key.
+    * The per-shard order manifest is what gates the ORDER itself, fully
+    * distributed: rank within shard by (key, doc_id), then first/last
+    * doc, Σ rank·doc_id (any transposition of distinct docs changes it),
+    * and the shard's [min_key, max_key] span, whose pairwise
+    * disjointness the spec checks — a global sort that leaked across a
+    * boundary fails the hash gate.
+    *
+    * Scale: the only exchange is the hash partition on shard (in
+    * production thousands of shards, one writer task chain each — the
+    * per-shard window IS the sort the ordered file write needs); no
+    * single-partition global sort anywhere (plan-asserted). The
+    * manifest aggregate is two-phase on shard.
+    */
+  private def packGlobalShuffle(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val keyed = docs(s, d).select(col("doc_id"),
+        md5(concat(lit("42:"), col("doc_id").cast("string"))).as("k"),
+        TF.tokenCountWs(col("text")).cast("long").as("tok_ws"))
+      // first hex digit ÷ (16/nShards): fixed range boundaries at
+      // 0x2, 0x4, … — shard is a pure function of the key, no sampling
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(k, 1, 1))") - 1) /
+          (16 / nShards)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("rnk", row_number().over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_ws")).as("sum_tokens"),
+        min_by(col("doc_id"), col("rnk")).as("first_doc"),
+        max_by(col("doc_id"), col("rnk")).as("last_doc"),
+        sum(col("rnk").cast("long") * col("doc_id")).as("order_check"),
+        min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy(col("shard"))
+  }
+
   /** Gopher-style quality-rule filter (Rae et al. 2112.11446 Table A1,
     * adapted to the fixture corpus): word-count bounds, mean-word-length
     * bounds, and a minimum stopword count — the cheap heuristic gate that
@@ -1063,6 +1116,7 @@ object TextAnalysis {
     "text_lm_score" -> textLmScore _,
     "pack_shards" -> packShards _,
     "pack_sequences" -> packSequences _,
+    "pack_global_shuffle" -> packGlobalShuffle _,
     "text_gopher_quality" -> textGopherQuality _,
     "text_clean" -> textClean _,
     "text_decontaminate" -> textDecontaminate _,
@@ -1571,6 +1625,29 @@ object TextAnalysis {
              CAST(SUM(tok_ws) AS BIGINT) AS sum_tokens,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM r GROUP BY shard ORDER BY shard""",
+    "pack_global_shuffle" -> raw"""
+      WITH t AS (
+        SELECT doc_id, md5('42:' || doc_id) AS k,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS tok_ws
+        FROM documents),
+      r AS (
+        SELECT doc_id, k, tok_ws,
+               CAST((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) // 2
+                 AS INT) AS shard
+        FROM t),
+      o AS (
+        SELECT shard, doc_id, k, tok_ws,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                 AS rnk
+        FROM r)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(tok_ws) AS BIGINT) AS sum_tokens,
+             arg_min(doc_id, rnk) AS first_doc,
+             arg_max(doc_id, rnk) AS last_doc,
+             CAST(SUM(rnk * doc_id) AS BIGINT) AS order_check,
+             MIN(k) AS min_key, MAX(k) AS max_key
+      FROM o GROUP BY shard ORDER BY shard""",
     "text_clean" -> """
       SELECT doc_id,
              CAST(length(text) AS INT) AS n_raw,

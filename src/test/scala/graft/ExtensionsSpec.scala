@@ -1013,6 +1013,45 @@ class TextPipelineSpec extends AnyFunSuite {
       s"corpus shuffled for the 256-row model:\n$p")
   }
 
+  test("pack_global_shuffle: seeded order exact, shard ranges disjoint, no global sort") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def key(id: Long): String = md5hex(s"42:$id")
+    def shard(id: Long): Int =
+      Integer.parseInt(key(id).substring(0, 1), 16) / 2
+    val want = docs.groupBy { case (id, _) => shard(id) }.map { case (s0, ds) =>
+      val ordered = ds.map { case (id, t) =>
+        (key(id), id, t.trim.split("\\s+").length.toLong)
+      }.sortBy { case (k, id, _) => (k, id) }
+      val ranks = ordered.zipWithIndex.map { case ((k, id, tok), i) =>
+        (k, id, tok, i + 1L)
+      }
+      s0 -> ((ranks.length.toLong, ranks.map(_._3).sum,
+        ranks.head._2, ranks.last._2,
+        ranks.map { case (_, id, _, r) => r * id }.sum,
+        ranks.map(_._1).min, ranks.map(_._1).max))
+    }
+    val df = SparkEntry.queries("pack_global_shuffle")(spark, sfDir)
+    val rows = df.collect()
+    val got = rows.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+      r.getString(7)))).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(got.size == 8, "every fixed key-space range must be populated")
+    // the range property that lets a trainer stream shards in name order:
+    // shard s's entire key span precedes shard s+1's
+    val spans = rows.sortBy(_.getInt(0)).map(r => (r.getString(6), r.getString(7)))
+    spans.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA < loB, s"shard ranges overlap: $hiA !< $loB")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"),
+      s"per-shard window must partition on shard:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global order must never funnel through one partition:\n$p")
+  }
+
   test("text_c4_filters: every kept line obeys every rule, every rule fires") {
     val rows = SparkEntry.queries("text_c4_filters")(spark, sfDir).collect()
     val corpus = Tables.load(spark, sfDir, "documents").count()
