@@ -200,6 +200,70 @@ object HashImpls {
     best
   }
 
+  /** The planted subword vocabulary for [[greedyTokenCount]] — the
+    * BPE-merge-table stand-in: full fixture words plus overlapping
+    * prefixes/infixes so greedy LONGEST-match is load-bearing (at "table"
+    * the 5-char entry must beat "tab"/"ta"; at "sort" no entry matches and
+    * the tokenizer must fall back through "so"+"r"+"t"-style pieces).
+    * Single characters (and the space) are the implicit byte-fallback
+    * tier, as in every production BPE. A real tokenizer swaps this array
+    * for its merge table; the kernel below is unchanged. Deterministic
+    * literal so the DuckDB oracle can replay the match from the same
+    * list.
+    */
+  val TokenVocab: Array[String] = Array(
+    "table", "tab", "ta", "value", "val", "stream", "str", "window",
+    "wind", "filter", "fil", "order", "ord", "query", "qu", "ue", "row",
+    "key", "scan", "sc", "hash", "ha", "sh", "merge", "mer", "ge",
+    "batch", "ba", "tch", "spark", "sp", "ark", "line", "li", "ne",
+    "so", "part", "par", "agg", "group", "gro", "column", "col", "um",
+    "customer", "cust", "om", "the", "th", "he", "data", "da", "big",
+    "slow", "sl", "ow", "fast", "fa", "st", "small", "sm", "all",
+    "join", "jo", "in", "dup", "du", "vector", "vec", "tor", "an",
+    "ar", "re", "am", "or", "er", "le")
+
+  /** First-char-indexed candidate lists, longest first — greedy
+    * longest-match is one array probe + a short prefix scan per position.
+    */
+  private val vocabByFirst: Array[Array[String]] = {
+    val m = new Array[Array[String]](128)
+    TokenVocab.groupBy(_.charAt(0)).foreach { case (c, ws) =>
+      require(c < 128, "vocab must be ASCII for the first-char index")
+      m(c) = ws.sortBy(-_.length)
+    }
+    m
+  }
+
+  /** Greedy longest-match subword token count over [[TokenVocab]] with
+    * single-character byte-fallback → LONG. One pass, no allocation: the
+    * budget meter for context-window packing where whitespace word counts
+    * over- or under-state the real sequence length.
+    */
+  def greedyTokenCount(s: UTF8String): Long = {
+    val str = s.toString
+    val len = str.length
+    var i = 0
+    var n = 0L
+    while (i < len) {
+      var adv = 1
+      val c = str.charAt(i)
+      if (c < 128) {
+        val cands = vocabByFirst(c)
+        if (cands != null) {
+          var j = 0
+          while (j < cands.length && adv == 1) {
+            if (str.startsWith(cands(j), i) && cands(j).length > 1)
+              adv = cands(j).length
+            j += 1
+          }
+        }
+      }
+      i += adv
+      n += 1
+    }
+    n
+  }
+
   /** Dot product, strict left-to-right accumulation. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -387,6 +451,7 @@ object GraftFunctions {
     "word_shingles" -> (es => WordShingles(es(0),
       if (es.length > 1) intArg(es(1), "word_shingles") else 3)),
     "max_run_count" -> (es => MaxRunCount(es.head)),
+    "greedy_token_count" -> (es => GreedyTokenCount(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "hyperplane_bands" -> (es =>
@@ -423,6 +488,8 @@ object GraftFunctions {
   def word_shingles(c: Column, n: Int): Column =
     call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
   def max_run_count(c: Column): Column = call_function("max_run_count", c)
+  def greedy_token_count(c: Column): Column =
+    call_function("greedy_token_count", c)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
@@ -446,6 +513,23 @@ case class MaxRunCount(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.maxRunCount($c)")
   override protected def withNewChildInternal(c: Expression): MaxRunCount =
+    copy(child = c)
+}
+
+/** Greedy longest-match subword token count of a STRING → LONG (see
+  * [[HashImpls.greedyTokenCount]] / [[HashImpls.TokenVocab]]). Native
+  * one-pass kernel that stays inside whole-stage codegen — tokenizing
+  * 100 TB through an interpreted UDF would dominate the packing stage.
+  */
+case class GreedyTokenCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "greedy_token_count"
+  override protected def nullSafeEval(v: Any): Any =
+    HashImpls.greedyTokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.greedyTokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): GreedyTokenCount =
     copy(child = c)
 }
 

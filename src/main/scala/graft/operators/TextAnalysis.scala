@@ -601,6 +601,41 @@ object TextAnalysis {
       .orderBy(col("source"), col("bin_id"))
   }
 
+  /** Context-window packing metered by SUBWORD tokens — the budget that
+    * actually fills a model's context, where the whitespace word counts
+    * [[packSequences]] meters with over- or under-state sequence length
+    * (a "customer"-heavy shard packs very differently once it costs 2
+    * subword tokens, not 1 word). Token counts come from the native
+    * greedy longest-match kernel
+    * ([[graft.functions.HashImpls.greedyTokenCount]] — BPE-shaped:
+    * planted merge-table vocabulary with overlapping entries, longest
+    * match wins, single-char byte fallback; one codegen'd pass per doc,
+    * no allocation), then the per-source cumulative window and
+    * boundary-crossing bin rule are exactly [[packSequences]]'s — never
+    * a global window. The vocabulary is a deterministic literal shared
+    * with the oracle, which replays the greedy match itself via a
+    * recursive CTE (one recursion level per TOKEN, correlated max-length
+    * probe into the vocab per step) — the tokenizer's every
+    * longest-match decision is hash-gated, not just the plumbing.
+    */
+  private def textTokenBudget(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val budget = 256
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+        GraftFunctions.greedy_token_count(TF.normText(col("text")))
+          .as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin_id", expr(s"cast((cum - tok) div $budget as int)"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
   /** Deterministic GLOBAL training-order shuffle + range sharding — the
     * step every pretraining run actually consumes that [[packShards]]
     * (size balance) and [[packSequences]] (token budgets) don't gate:
@@ -1117,6 +1152,7 @@ object TextAnalysis {
     "pack_shards" -> packShards _,
     "pack_sequences" -> packSequences _,
     "pack_global_shuffle" -> packGlobalShuffle _,
+    "text_token_budget" -> textTokenBudget _,
     "text_gopher_quality" -> textGopherQuality _,
     "text_clean" -> textClean _,
     "text_decontaminate" -> textDecontaminate _,
@@ -1625,6 +1661,36 @@ object TextAnalysis {
              CAST(SUM(tok_ws) AS BIGINT) AS sum_tokens,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM r GROUP BY shard ORDER BY shard""",
+    // the greedy tokenizer replayed move-by-move: one recursion level
+    // per TOKEN, a correlated max-length vocab probe per step — any
+    // longest-match decision the kernel gets wrong lands in a different
+    // bin sum and fails the hash gate
+    "text_token_budget" -> s"""
+      WITH RECURSIVE v(w, l) AS (SELECT * FROM (VALUES ${
+        graft.functions.HashImpls.TokenVocab
+          .map(w => s"('$w', ${w.length})").mkString(", ")})),
+      t AS (SELECT doc_id, source, $NormSql AS s0 FROM documents),
+      step(doc_id, pos, n) AS (
+        SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM t
+        UNION ALL
+        SELECT st.doc_id,
+               st.pos + COALESCE((SELECT MAX(l) FROM v
+                                  WHERE substr(t.s0, CAST(st.pos AS INT), l)
+                                          = w), 1),
+               st.n + 1
+        FROM step st JOIN t ON st.doc_id = t.doc_id
+        WHERE st.pos <= len(t.s0)),
+      toks AS (SELECT doc_id, MAX(n) AS tok FROM step GROUP BY doc_id),
+      binned AS (
+        SELECT t.source, t.doc_id, toks.tok,
+               SUM(toks.tok) OVER (PARTITION BY t.source ORDER BY t.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks JOIN t ON toks.doc_id = t.doc_id)
+      SELECT source, CAST((cum - tok) // 256 AS INT) AS bin_id,
+             CAST(COUNT(*) AS INT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+             MIN(doc_id) AS first_doc
+      FROM binned GROUP BY source, bin_id ORDER BY source, bin_id""",
     "pack_global_shuffle" -> raw"""
       WITH t AS (
         SELECT doc_id, md5('42:' || doc_id) AS k,

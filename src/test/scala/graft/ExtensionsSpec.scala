@@ -1013,6 +1013,38 @@ class TextPipelineSpec extends AnyFunSuite {
       s"corpus shuffled for the 256-row model:\n$p")
   }
 
+  test("text_token_budget: subword-metered bins equal local recompute; codegen'd") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tok(t: String): Long = graft.functions.HashImpls.greedyTokenCount(
+      UTF8String.fromString(t.trim.toLowerCase.replaceAll("\\s+", " ")))
+    val want = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, t) =>
+        val k = tok(t)
+        val bin = (cum / 256).toInt
+        cum += k
+        ((src, bin), (id, k))
+      }.groupBy(_._1).map { case (key, xs) =>
+        key -> ((xs.length, xs.map(_._2._2).sum, xs.map(_._2._1).min))
+      }
+    }
+    // subword metering must actually disagree with whitespace word counts
+    // somewhere, or the row is the pack_sequences twin with extra steps
+    assert(docs.exists { case (_, _, t) =>
+      tok(t) != t.trim.split("\\s+").length.toLong
+    }, "subword and word counts never diverged on the fixture")
+    val df = SparkEntry.queries("text_token_budget")(spark, sfDir)
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("greedy_token_count"), s"kernel not in plan:\n$p")
+    assert(p.contains("*("), s"tokenizer fell out of codegen:\n$p")
+  }
+
   test("pack_global_shuffle: seeded order exact, shard ranges disjoint, no global sort") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()

@@ -51,6 +51,27 @@ object KernelProperties extends Properties("graft.kernels") {
           HashImpls.maxRunCount(arr(ts)) == want
     }
 
+  property("greedyTokenCount equals a naive scan-the-whole-vocab reference") = {
+    val fixtureWords = Gen.oneOf("table", "value", "customer", "sort",
+      "the", "query", "window", "stream", "zzz", "qux", "a", "xylophone")
+    forAll(Gen.listOfN(12, fixtureWords), Gen.alphaNumStr.map(_.take(30))) {
+      (ws, extra) =>
+        def naive(str: String): Long = {
+          var i = 0
+          var n = 0L
+          while (i < str.length) {
+            val ms = HashImpls.TokenVocab.filter(w => str.startsWith(w, i))
+            i += (if (ms.isEmpty) 1 else ms.map(_.length).max)
+            n += 1
+          }
+          n
+        }
+        val s = (ws :+ extra).mkString(" ")
+        HashImpls.greedyTokenCount(UTF8String.fromString(s)) == naive(s) &&
+          HashImpls.greedyTokenCount(UTF8String.fromString("")) == 0L
+    }
+  }
+
   property("rolling hash is prefix-compositional: h(a+b) derivable from h(a)") =
     forAll(Gen.alphaNumStr.map(_.take(40)), Gen.alphaNumStr.map(_.take(40))) {
       (a, b) =>
