@@ -15,7 +15,17 @@ this script is `sbt "runMain graft.Demo <sf_dir>"`):
       --jars graft.jar \
       --conf spark.sql.extensions=graft.functions.GraftExtensions \
       examples/pyspark_client.py /root/testdata/sf0.001
+
+Or, against a pip-installed PySpark (its bundled Spark launches the JVM),
+point GRAFT_CLASSES at the compiled library and run the script directly:
+
+    GRAFT_CLASSES=target/scala-2.13/classes \
+      python3 examples/pyspark_client.py /root/testdata/sf0.001
+
+`PySparkClientSpec` runs exactly that as a conditional CI step — green
+where a matching PySpark exists, a documented skip otherwise.
 """
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -44,19 +54,27 @@ QUERIES = {
     # a graft native function (codegen'd Catalyst expression), visible to
     # Python because GraftExtensions injects it into the SQL registry
     "native_fns": """
-        SELECT doc_id, word_shingles(lower(text), 3) AS shingles
+        SELECT doc_id, word_shingles(split(lower(text), ' '), 3) AS shingles,
+               greedy_token_count(lower(text)) AS n_subword_tokens
         FROM documents ORDER BY doc_id LIMIT 5""",
 }
 
 
 def main(sf_dir: str) -> None:
-    spark = (SparkSession.builder
-             .appName("graft-pyspark-client")
-             .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-             .config("spark.sql.shuffle.partitions", "32")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-             .getOrCreate())
+    builder = (SparkSession.builder
+               .appName("graft-pyspark-client")
+               .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+               .config("spark.sql.shuffle.partitions", "32")
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+               .config("spark.ui.enabled", "false"))
+    # spark-submit --jars puts the library on the classpath itself; a
+    # direct `python3` launch passes it via GRAFT_CLASSES instead
+    classes = os.environ.get("GRAFT_CLASSES")
+    if classes:
+        builder = builder.config("spark.driver.extraClassPath",
+                                 os.path.abspath(classes))
+    spark = builder.getOrCreate()
 
     # ctx.register_table() of the reference == temp views here
     for t in TABLES:

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -338,7 +338,8 @@ object HashImpls {
   * "functions, not UDFs" rule.
   */
 case class RollingHash(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
   override protected def nullSafeEval(v: Any): Any =
@@ -350,7 +351,8 @@ case class RollingHash(child: Expression)
 
 /** 64-bit SimHash of an ARRAY<STRING> of tokens → LONG. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(v: Any): Any =
@@ -362,8 +364,9 @@ case class SimHash64(child: Expression)
 
 /** k-permutation MinHash signature of an ARRAY<STRING> → ARRAY<LONG>[k]. */
 case class MinHash64(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(k > 0 && k <= 1024, s"minhash k out of range: $k")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash64"
   override protected def nullSafeEval(v: Any): Any =
@@ -378,7 +381,9 @@ case class MinHash64(child: Expression, k: Int)
   * higher-order functions outside whole-stage codegen).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -391,7 +396,9 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** Dot product of two ARRAY<DOUBLE> vectors → DOUBLE. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -409,10 +416,11 @@ case class DotProduct(left: Expression, right: Expression)
   */
 case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
                            seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(bands > 0 && bands <= 256, s"band count out of range: $bands")
   require(rowsPerBand > 0 && rowsPerBand <= 63,
     s"rows per band out of range: $rowsPerBand")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_bands"
   override protected def nullSafeEval(v: Any): Any =
@@ -505,7 +513,8 @@ object GraftFunctions {
   * `aggregate` form.
   */
 case class MaxRunCount(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "max_run_count"
   override protected def nullSafeEval(v: Any): Any =
@@ -522,7 +531,8 @@ case class MaxRunCount(child: Expression)
   * 100 TB through an interpreted UDF would dominate the packing stage.
   */
 case class GreedyTokenCount(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "greedy_token_count"
   override protected def nullSafeEval(v: Any): Any =
@@ -553,8 +563,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   * interpreted per element, which dominates dedup runtime at scale.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(n > 0 && n <= 16, s"shingle width out of range: $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
   override protected def nullSafeEval(v: Any): Any =

@@ -1013,6 +1013,23 @@ class TextPipelineSpec extends AnyFunSuite {
       s"corpus shuffled for the 256-row model:\n$p")
   }
 
+  test("native functions reject mistyped input at ANALYSIS time, not codegen") {
+    // regression: word_shingles(STRING) used to pass analysis and explode
+    // inside Janino mid-query with an inscrutable ClassCastException
+    // (caught by the pyspark client walkthrough); ImplicitCastInputTypes
+    // turns that into an up-front AnalysisException naming the mismatch
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles('not an array', 3)").collect()
+    }
+    assert(e.getMessage.contains("word_shingles") ||
+      e.getMessage.toLowerCase.contains("mismatch"), e.getMessage)
+    // and the cast tier works where a cast EXISTS: int array → double array
+    val ok = spark.sql(
+      "SELECT cosine_sim(array(1, 0), array(1, 0)) AS c").head.getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+  }
+
   test("text_token_budget: subword-metered bins equal local recompute; codegen'd") {
     import org.apache.spark.unsafe.types.UTF8String
     val docs = Tables.load(spark, sfDir, "documents")
