@@ -177,17 +177,33 @@ object Streaming {
     val src = s"$root/src"
     val ckpt = s"$root/ckpt"
     val out = s"$root/out"
+    // Cost audit (sf0.1, 32 cores, r9): each run executes TWO
+    // micro-batches — the data batch (~50k rows, addBatch ≈ 1.4 s) and a
+    // 0-ROW batch that exists to advance the watermark and finalize
+    // windows, which still cost addBatch ≈ 0.85 s at 32 shuffle
+    // partitions: pure state-store machinery (32 stores × snapshot +
+    // commit) over only ~1,800 state rows. Same finding as the r7
+    // interval-join audit — store count per state volume is the knob —
+    // so the run uses 8 state partitions (consistent across BOTH runs:
+    // the count is baked into the checkpoint at batch 0 and recovery
+    // must match). Took the row 4.8 s → ~3.4 s; the remaining cost is
+    // two query startups + two source appends + the commit-log read,
+    // i.e. the restart drill itself, not a plan defect.
     def runOnce(): Unit = {
-      val agged = windowAgg(s.readStream
-        .schema(s.read.parquet(src).schema).parquet(src)
-        .withWatermark("ts", "10 minutes"))
-      val q = agged.writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(300000),
-        "ckpt_restart run did not self-terminate")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val agged = windowAgg(s.readStream
+          .schema(s.read.parquet(src).schema).parquet(src)
+          .withWatermark("ts", "10 minutes"))
+        val q = agged.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000),
+          "ckpt_restart run did not self-terminate")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }
     ev.filter(unix_micros(col("ts")) < splitUs)
       .write.mode("append").parquet(src)
@@ -290,6 +306,18 @@ object Streaming {
     * fetch inlined as a literal, the same pattern as the recursive-CTE
     * bounds. At 100 TB nothing changes: state stays watermark-bounded
     * on both sides and the emission contract is the same eviction rule.
+    *
+    * Cost audit (sf0.1, 32 cores, r9 — already on 8 state partitions):
+    * warm total ≈ 3.5 s = trigger 2.6 s (data batch 1.8 s of which
+    * queryPlanning 0.4-0.7 s — the outer-join plan is the most
+    * expensive the streaming planner builds per batch — + the 0-row
+    * watermark/eviction batch 0.8 s) + the 1-row cutoff pre-query and
+    * memory-sink read-back ≈ 0.9 s. State commits ≈ 1.9 s CUMULATIVE
+    * across the interval join's 4-stores-per-partition layout over
+    * 39,908 rows → 48 after eviction; store count is already sized to
+    * the state (the r7 knob), so the remaining cost is the two
+    * micro-batch lifecycles themselves — the price of executing the
+    * eviction contract for real, not a plan defect.
     */
   private def streamExecIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
     val minMax = events(s, d)
