@@ -525,6 +525,44 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Bounded-staleness as-of join (pandas `merge_asof(tolerance=...)` /
+    * kdb `wj` window bound): backward as-of like [[joinAsof]], but a
+    * match only counts when the candidate is at most 15 minutes stale —
+    * the real-time-features contract ("join the latest price, unless
+    * it's too old to trust"). For the backward direction the nearest
+    * candidate is within tolerance iff ANY candidate is, so the
+    * tolerance is a scalar post-filter on the same one-shuffle
+    * tagged-union running-last frame — no second window, no join. The
+    * emitted `gap_us` hash-gates the staleness computation itself, not
+    * just the pick. Completes the as-of family: backward
+    * ([[joinAsof]]), nearest ([[joinAsofNearest]]), bounded (this).
+    */
+  private def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 15L * 60 * 1000000
+    val ev = graft.streaming.Streaming.events(s, d)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("l_event"),
+        lit(null).cast(LongType).as("r_event"), lit(1).as("side"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("l_event"),
+        col("event_id").as("r_event"), lit(0).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("r_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val rUs = when(col("r_event").isNotNull, us)
+    val inTol = col("gap") <= tolUs
+    l.unionByName(r)
+      .withColumn("cand_event", last(col("r_event"), ignoreNulls = true).over(w))
+      .withColumn("cand_us", last(rUs, ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("gap", us - col("cand_us"))
+      .select(col("l_event").as("event_id"), col("user_id"),
+        when(inTol, col("cand_event")).as("asof_event"),
+        when(inTol, col("gap")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (interval-containment) join: clicks matched to every purchase
     * window [p_ts, p_ts + 30 min] of the same user. The naive predicate
     * `c.ts BETWEEN p.ts AND p.ts + W` is a non-equi join — Spark would plan
@@ -2546,6 +2584,7 @@ object Relational {
     "join_cross" -> joinCross _,
     "join_asof" -> joinAsof _,
     "join_asof_nearest" -> joinAsofNearest _,
+    "join_asof_tolerance" -> joinAsofTolerance _,
     "join_range" -> joinRange _,
     "join_bucketed" -> joinBucketed _,
     "join_salted" -> joinSalted _,
@@ -3094,6 +3133,22 @@ object Relational {
              arg_max(r.value, r.ord) AS asof_value
       FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
       GROUP BY l.event_id, l.user_id
+      ORDER BY event_id""",
+    // backward-nearest within tolerance == any-candidate within tolerance
+    // for the backward direction, so the oracle restricts the join window
+    "join_asof_tolerance" -> """
+      WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click'),
+           r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                          * 10000000000 + event_id AS ord
+                 FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id AS event_id, l.user_id AS user_id,
+             arg_max(r.event_id, r.ord) AS asof_event,
+             epoch_us(l.ts) - arg_max(epoch_us(r.ts), r.ord) AS gap_us
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+                         AND r.ts >= l.ts - INTERVAL 15 MINUTE
+      GROUP BY l.event_id, l.user_id, l.ts
       ORDER BY event_id""",
     "join_range" -> """
       SELECT c.event_id AS click_event, p.event_id AS purchase_event,

@@ -748,8 +748,45 @@ object Similarity {
     } finally { qv.unpersist(blocking = true); () }
   }
 
+  /** Scalar int8 quantization of the embedding corpus — the storage
+    * compression step every 100 TB vector store runs before ANN (4× over
+    * float32; FAISS `SQ8` / ScaNN's scalar path): per-vector symmetric
+    * max-abs scaling, `q_i = ⌊v_i·127/maxabs⌋` clamped into [-127,127] by
+    * construction. `floor` (not round-nearest) keeps the lattice
+    * engine-exact — rounding tie rules are library-dependent where
+    * IEEE-754 division and floor are bit-identical everywhere; production
+    * swaps in round-nearest for ~half an ulp of extra precision at the
+    * cost of the oracle. Float→double widening is exact, so the DuckDB
+    * replay matches bit for bit.
+    *
+    * Map-only: one pass of higher-order projections per vector, no
+    * shuffle except the presentation sort; the quantized stats
+    * (Σq, min/max, saturation count — the max-abs elements hit ±127 by
+    * construction, so `n_sat ≥ 1` everywhere) hash-gate the full lattice
+    * placement of every component. At scale the q-vectors (plus the one
+    * float scale per vector) are what lands in the ANN index files.
+    */
+  private def embQuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("ma") === 0d,
+          transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"),
+          x => floor(x * lit(127.0) / col("ma")))))
+    e.select(col("vec_id"),
+        size(col("v")).as("n_dims"),
+        aggregate(col("q"), lit(0L), (a, b) => a + b).as("sum_q"),
+        array_min(col("q")).cast("int").as("min_q"),
+        array_max(col("q")).cast("int").as("max_q"),
+        size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_kmeans" -> (clusterKmeans _),
+    "emb_quantize_int8" -> embQuantizeInt8 _,
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
     "ann_ivf_full_probe" -> ivfFullProbe _,
@@ -865,6 +902,27 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "cluster_kmeans" -> KmOracleSql,
+    // same double-widened values, same IEEE division, same floor — the
+    // whole int8 lattice replayed componentwise
+    "emb_quantize_int8" -> """
+      WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x))) AS ma
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id, v,
+               CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v,
+                      x -> CAST(floor(x * 127.0 / ma) AS BIGINT)) END AS q
+        FROM base)
+      SELECT vec_id,
+             CAST(len(v) AS INT) AS n_dims,
+             CAST(list_sum(q) AS BIGINT) AS sum_q,
+             CAST(list_min(q) AS INT) AS min_q,
+             CAST(list_max(q) AS INT) AS max_q,
+             CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat
+      FROM qz ORDER BY vec_id""",
     "ann_brute_topk" -> BruteOracleSql,
     "ann_ivf_topk" -> RecallGateOracleSql,
     "ann_pq_topk" -> RecallGateOracleSql,

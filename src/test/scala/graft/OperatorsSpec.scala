@@ -111,6 +111,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"nearest as-of must not join:\n$p")
   }
 
+  test("join_asof_tolerance: bounded staleness, every verdict brute-checked") {
+    import org.apache.spark.sql.functions._
+    val tolUs = 15L * 60 * 1000000
+    val ev = streaming.Streaming.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchByUser = ev.filter(_._4 == "purchase").groupBy(_._1)
+    val clickUs = ev.filter(_._4 == "click").map(e => e._3 -> (e._1, e._2)).toMap
+    val df = SparkEntry.queries("join_asof_tolerance")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.length == clickUs.size, "one output row per click")
+    var matched = 0
+    var prunedByTol = 0
+    for ((cid, asof, gap) <- got) {
+      val (user, cus) = clickUs(cid)
+      val cands = purchByUser.getOrElse(user, Array.empty)
+        .filter(p => p._2 <= cus)
+      val inTol = cands.filter(p => cus - p._2 <= tolUs)
+      if (inTol.isEmpty) {
+        assert(asof == -1L, s"click $cid matched beyond tolerance")
+        if (cands.nonEmpty) prunedByTol += 1
+      } else {
+        matched += 1
+        // nearest backward candidate, ties to the larger event id
+        val best = inTol.maxBy(p => (p._2, p._3))
+        assert(asof == best._3 && gap == cus - best._2,
+          s"click $cid: got ($asof,$gap), want (${best._3},${cus - best._2})")
+      }
+    }
+    assert(matched > 0, "tolerance must admit some matches")
+    // the bound must do real work: some clicks have a backward candidate
+    // that is too stale — otherwise this row is join_asof with extra steps
+    assert(prunedByTol > 0, "no click was pruned by the staleness bound")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"bounded as-of must not join:\n$p")
+  }
+
+  test("emb_quantize_int8 equals a local float->double->floor replay; map-only") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val want = vecs.map { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val ma = d.map(math.abs).max
+      val q = if (ma == 0) d.map(_ => 0L)
+              else d.map(x => math.floor(x * 127.0 / ma).toLong)
+      id -> ((d.length, q.sum, q.min.toInt, q.max.toInt,
+        q.count(x => math.abs(x) == 127)))
+    }.toMap
+    val df = SparkEntry.queries("emb_quantize_int8")(spark, sfDir)
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    assert(got == want)
+    // symmetric max-abs scaling saturates the max element by construction,
+    // and nothing may leave the int8 lattice
+    assert(got.values.forall(v => v._5 >= 1 && v._3 >= -127 && v._4 <= 127))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization must be map-only (presentation sort excepted):\n$p")
+  }
+
   test("events_attribution equals a per-user local replay") {
     import org.apache.spark.sql.functions._
     val ev = streaming.Streaming.events(spark, sfDir)
