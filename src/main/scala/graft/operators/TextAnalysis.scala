@@ -689,6 +689,74 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  /** Weighted deterministic source INTERLEAVING — the write-time mixture
+    * step between [[sampleMixture]] (which documents survive) and
+    * [[packGlobalShuffle]] (global order): how the surviving sources are
+    * WOVEN into the training stream so a prefix of any length carries
+    * the target mixture (epoch composition), rather than draining one
+    * source before the next. Classic deterministic stride scheduling
+    * (weighted round-robin / WFQ virtual time): each source gets an
+    * integer stride ∝ 1/weight, its docs are ranked in seeded-hash
+    * order, and doc rank r is scheduled at virtual time r·stride; the
+    * merged (time, source, rank) order interleaves sources at exactly
+    * their weight ratios. The row gates the composition of the first
+    * K=200 positions — counts, id sums, and the virtual-time span per
+    * source — which pins both the schedule and the per-source order.
+    *
+    * Scale: per-source rank windows (the partition key is the source),
+    * then the K-prefix is a TakeOrdered top-K — shuffle output is K
+    * rows, never a materialized global sort; the trailing aggregate
+    * groups ≤ K rows. Same shape at any corpus size.
+    */
+  private def packInterleave(s: SparkSession, d: String): DataFrame = {
+    val K = 200
+    val srcNum = regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+    val keyed = docs(s, d).select(col("doc_id"), col("source"),
+        md5(concat(lit("7:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("stride", pmod(srcNum, lit(4)) + 1)
+    val w = Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("rnk", row_number().over(w))
+      .withColumn("p", col("rnk").cast("long") * col("stride"))
+      .orderBy(col("p"), col("source"), col("rnk")).limit(K)
+      .groupBy(col("source"), col("stride"))
+      .agg(count(lit(1)).as("n_window"),
+        sum(col("doc_id")).as("sum_doc"),
+        min(col("p")).as("min_p"), max(col("p")).as("max_p"))
+      .orderBy(col("source"))
+  }
+
+  /** Epoch-over-epoch corpus DRIFT detection — the data-quality gate a
+    * production pipeline runs between crawls ("did today's distribution
+    * move?"), complementing the point-in-time gates (`quality_
+    * expectations` checks rows, this checks the DISTRIBUTION): 256-bucket
+    * hashed-unigram count profiles for two epochs (even/odd doc_id — the
+    * yesterday/today stand-in), compared by the integer cross-multiplied
+    * imbalance `drift = cA·nB − cB·nA` per bucket (the exact sign/scale
+    * of the rate difference cA/nA − cB/nB without a float anywhere —
+    * same arithmetic family as the classifier's weight contrast). Top-20
+    * buckets by |drift| are the report a pipeline alerts on.
+    *
+    * Scale: one corpus pass, one two-phase aggregate on the 256-bucket
+    * key (map-side combine reduces each partition to ≤256 rows before
+    * the exchange), a 1-row totals broadcast, and a top-k TakeOrdered —
+    * linear at any corpus size, shuffle output bounded by buckets.
+    */
+  private def qualityDrift(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int")
+    val ex = docs(s, d)
+      .select((pmod(col("doc_id"), lit(2)) === 0).as("is_a"),
+        explode(TF.words(col("text"))).as("w"))
+      .select(col("is_a"), bucket.as("bucket"))
+    val counts = ex.groupBy(col("bucket"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+           sum(when(!col("is_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("c_a"), col("c_b"),
+        (col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("drift"))
+      .orderBy(abs(col("drift")).desc, col("bucket")).limit(20)
+  }
+
   /** Gopher-style quality-rule filter (Rae et al. 2112.11446 Table A1,
     * adapted to the fixture corpus): word-count bounds, mean-word-length
     * bounds, and a minimum stopword count — the cheap heuristic gate that
@@ -1153,6 +1221,8 @@ object TextAnalysis {
     "pack_sequences" -> packSequences _,
     "pack_global_shuffle" -> packGlobalShuffle _,
     "text_token_budget" -> textTokenBudget _,
+    "pack_interleave" -> packInterleave _,
+    "quality_drift" -> qualityDrift _,
     "text_gopher_quality" -> textGopherQuality _,
     "text_clean" -> textClean _,
     "text_decontaminate" -> textDecontaminate _,
@@ -1661,6 +1731,42 @@ object TextAnalysis {
              CAST(SUM(tok_ws) AS BIGINT) AS sum_tokens,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM r GROUP BY shard ORDER BY shard""",
+    "pack_interleave" -> raw"""
+      WITH t AS (
+        SELECT doc_id, source, md5('7:' || doc_id) AS k,
+               (CAST(regexp_extract(source, '(\d+)$$', 1) AS INT) % 4) + 1
+                 AS stride
+        FROM documents),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id)
+                 AS rnk
+        FROM t),
+      p AS (SELECT *, CAST(rnk AS BIGINT) * stride AS p FROM r),
+      w AS (SELECT * FROM p ORDER BY p, source, rnk LIMIT 200)
+      SELECT source, stride, COUNT(*) AS n_window,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc,
+             MIN(p) AS min_p, MAX(p) AS max_p
+      FROM w GROUP BY source, stride ORDER BY source""",
+    "quality_drift" -> s"""
+      WITH ex AS (
+        SELECT doc_id % 2 = 0 AS is_a,
+               CAST((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+                 AS INT) AS bucket
+        FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS w
+              FROM documents)),
+      cnts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        FROM ex GROUP BY bucket),
+      tot AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+        FROM cnts)
+      SELECT bucket, c_a, c_b,
+             CAST(c_a * n_b - c_b * n_a AS BIGINT) AS drift
+      FROM cnts, tot
+      ORDER BY abs(c_a * n_b - c_b * n_a) DESC, bucket LIMIT 20""",
     // the greedy tokenizer replayed move-by-move: one recursion level
     // per TOKEN, a correlated max-length vocab probe per step — any
     // longest-match decision the kernel gets wrong lands in a different

@@ -1101,6 +1101,61 @@ class TextPipelineSpec extends AnyFunSuite {
       s"global order must never funnel through one partition:\n$p")
   }
 
+  test("pack_interleave: WFQ stride schedule exact, prefix carries the mixture") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def stride(src: String): Int =
+      src.reverse.takeWhile(_.isDigit).reverse.toInt % 4 + 1
+    val scheduled = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map { case (id, _) => (md5hex(s"7:$id"), id, src) }
+        .sortBy { case (k, id, _) => (k, id) }
+        .zipWithIndex.map { case ((_, id, s0), i) =>
+          (( i + 1L) * stride(s0), s0, i + 1L, id)
+        }
+    }.sortBy { case (p, s0, r, _) => (p, s0, r) }.take(200)
+    val want = scheduled.groupBy(_._2).map { case (s0, xs) =>
+      s0 -> ((stride(s0), xs.length.toLong, xs.map(_._4).sum,
+        xs.map(_._1).min, xs.map(_._1).max))
+    }
+    val got = SparkEntry.queries("pack_interleave")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // the mixture property: stride-1 sources must out-schedule stride-4
+    // sources by roughly their weight ratio inside the prefix
+    val byStride = got.values.groupBy(_._1)
+      .map { case (st, vs) => st -> vs.map(_._2).sum / vs.size.toDouble }
+    assert(byStride(1) > 2 * byStride(4),
+      s"stride-1 sources not favored: $byStride")
+    val df = SparkEntry.queries("pack_interleave")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"K-prefix must be a top-K, not a materialized global sort:\n$p")
+  }
+
+  test("quality_drift: top-20 cross-multiplied imbalances equal a local replay") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = collection.mutable.Map[Int, (Long, Long)]().withDefaultValue((0L, 0L))
+    for ((id, t) <- docs; w <- mkNorm(t)) {
+      val b = Integer.parseInt(md5hex(w).substring(0, 2), 16)
+      val (a0, b0) = counts(b)
+      counts(b) = if (id % 2 == 0) (a0 + 1, b0) else (a0, b0 + 1)
+    }
+    val nA = counts.values.map(_._1).sum
+    val nB = counts.values.map(_._2).sum
+    val want = counts.toSeq.map { case (b, (ca, cb)) =>
+      (b, ca, cb, ca * nB - cb * nA)
+    }.sortBy { case (b, _, _, d) => (-math.abs(d), b) }.take(20)
+    val got = SparkEntry.queries("quality_drift")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.exists(_._4 != 0), "fixture epochs must show measurable drift")
+  }
+
   test("text_c4_filters: every kept line obeys every rule, every rule fires") {
     val rows = SparkEntry.queries("text_c4_filters")(spark, sfDir).collect()
     val corpus = Tables.load(spark, sfDir, "documents").count()
