@@ -655,8 +655,72 @@ object Dedup {
         count(lit(1)).cast("int").as("n_kept"))
       .orderBy(col("doc_id"))
 
+  /** ASYMMETRIC containment dedup (Broder's containment coefficient
+    * C(A,B) = |A∩B| / |A|): find fragments that live INSIDE larger
+    * documents — quotes, syndicated excerpts, boilerplate blocks — which
+    * symmetric Jaccard structurally misses (a 50-word quote inside a
+    * 500-word page has J ≈ 0.1 but C = 1.0). The fixture plants the
+    * fragment side deterministically (every doc_id % 29 == 0 document's
+    * first-half word span, the "quote"), so each planted fragment must
+    * surface its source at C = 1.0 and the machinery is non-vacuous; the
+    * oracle replays the same plant.
+    *
+    * Scale shape: prefix filtering still applies on the PROBE (fragment)
+    * side — if C ≥ t then among the fragment's floor((1-t)·|A|)+1
+    * df-rarest shingles at least one is in B — but the corpus side
+    * indexes its FULL postings (containment has no bound on |B|), which
+    * is exactly the asymmetric batch-vs-corpus index layout
+    * [[dedupIncremental]] already uses: cost is Σ_prefix df, linear-ish
+    * in corpus size, never fragments×corpus. Shingles travel as
+    * xxhash64 longs; verification is exact on the string shingle sets,
+    * so precision is exact and recall is the prefix-filter guarantee
+    * (exact, not probabilistic). Corpus-absent fragment shingles keep
+    * their prefix slots via df = 0 (they probe nothing but still count
+    * toward |A| — dropping them would shift the prefix and could lose a
+    * candidate).
+    */
+  private def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val t = 0.9
+    val base = docs(s, d).select(col("doc_id"), TF.words(col("text")).as("ws"))
+    val frags = base.filter(pmod(col("doc_id"), lit(29)) === 0)
+      .select(col("doc_id").as("frag_id"),
+        GraftFunctions.word_shingles(
+          slice(col("ws"), lit(1), (size(col("ws")) / 2).cast("int")),
+          ShingleN).as("shf"))
+      .filter(size(col("shf")) > 0)
+    // cache released by the session owner via Caches.releaseAll (the
+    // lazy-builder contract documented on graft.Caches)
+    val corpus = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
+    val inv = corpus.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val finv = frags
+      .select(col("frag_id"), size(col("shf")).as("szf"),
+        explode(col("shf")).as("s0"))
+      .select(col("frag_id"), col("szf"), xxhash64(col("s0")).as("s"))
+    val w = Window.partitionBy(col("frag_id"))
+      .orderBy(col("df").asc, col("s"))
+    val prefix = finv.join(dfreq, Seq("s"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= floor((lit(1.0) - t) * col("szf")) + 1)
+      .select(col("frag_id"), col("s"))
+    val candidates = prefix.join(inv, Seq("s"))
+      .select(col("frag_id"), col("doc_id")).distinct()
+    candidates.join(frags, Seq("frag_id"))
+      .join(corpus, Seq("doc_id"))
+      .withColumn("common", size(array_intersect(col("shf"), col("sh"))))
+      .withColumn("containment",
+        lit(1.0) * col("common") / size(col("shf")))
+      .filter(col("containment") >= t)
+      .select(col("frag_id"), col("doc_id"), col("containment"))
+      .orderBy(col("frag_id"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_segment" -> dedupSegment _,
     "dedup_segment_keep" -> dedupSegmentKeep _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
@@ -747,6 +811,32 @@ object Dedup {
       FROM r WHERE rn = 1
       GROUP BY doc_id ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> JaccardOracle,
+    // the same fragment plant (first-half word span of doc_id % 29 == 0),
+    // brute-force containment — exact at oracle SF while the Spark side
+    // runs the asymmetric prefix-filtered probe
+    "dedup_containment" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS ws
+        FROM documents),
+      corpus AS (
+        SELECT doc_id, list_distinct([ ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+          for i in range(1, len(ws)-1) ]) AS sh
+        FROM w WHERE len(ws) >= 3),
+      fr AS (
+        SELECT doc_id AS frag_id, ws[1 : len(ws)//2] AS fws
+        FROM w WHERE doc_id % 29 = 0),
+      fsh AS (
+        SELECT frag_id,
+               list_distinct([ fws[i] || ' ' || fws[i+1] || ' ' || fws[i+2]
+                 for i in range(1, len(fws)-1) ]) AS shf
+        FROM fr WHERE len(fws) >= 3)
+      SELECT f.frag_id, c.doc_id,
+             1.0 * len(list_intersect(f.shf, c.sh)) / len(f.shf)
+               AS containment
+      FROM fsh f, corpus c
+      WHERE len(f.shf) > 0
+        AND 1.0 * len(list_intersect(f.shf, c.sh)) / len(f.shf) >= 0.9
+      ORDER BY frag_id, doc_id""",
     "dedup_minhash_lsh" -> JaccardOracle,
     // connected components of the pair graph via recursive transitive
     // closure (tiny at oracle SF; the Spark side is the distributed form)

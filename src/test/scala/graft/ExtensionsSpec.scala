@@ -1191,6 +1191,40 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rows.exists(_._4 > 1), "fixture must actually collide URLs")
   }
 
+  test("dedup_containment: planted quotes found at C=1.0, verdicts brute-checked") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh3(ws: Seq[String]): Set[String] =
+      if (ws.length < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+    val corpus = docs.map { case (id, t) => id -> sh3(mkNorm(t).toSeq) }
+      .filter(_._2.nonEmpty)
+    val frags = docs.collect { case (id, t) if id % 29 == 0 =>
+      val ws = mkNorm(t).toSeq
+      id -> sh3(ws.take(ws.length / 2))
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (fid, shf) <- frags; (did, sh) <- corpus
+      c = shf.intersect(sh).size.toDouble / shf.size if c >= 0.9
+    } yield (fid, did, c)).toSet
+    val got = SparkEntry.queries("dedup_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // every planted fragment is a subspan of its source: C(frag, source)=1
+    for ((fid, shf) <- frags)
+      assert(got.contains((fid, fid, 1.0)),
+        s"fragment $fid did not surface its own source at C=1.0")
+    // asymmetry is the point: these same pairs are invisible to the
+    // symmetric Jaccard tier at its 0.8 threshold
+    val jInvisible = frags.exists { case (fid, shf) =>
+      val sh = corpus(fid)
+      val j = shf.intersect(sh).size.toDouble /
+        (shf.size + sh.size - shf.intersect(sh).size)
+      j < 0.8
+    }
+    assert(jInvisible, "fixture quotes must be below the Jaccard threshold")
+  }
+
   test("text_decontaminate equals brute-force 5-gram overlap; bench side broadcasts") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
