@@ -348,6 +348,52 @@ object Streaming {
       .orderBy(col("click_event"), col("purchase_event"))
   }
 
+  /** The windowed aggregate executed across MULTIPLE rate-limited
+    * micro-batches in ONE run — the incremental-ingestion path neither
+    * the single-batch exec rows (AvailableNow drains the one-file source
+    * in one batch) nor the restart row (two runs, two batches each)
+    * gate: a 4-file copy of the events table is consumed under
+    * `maxFilesPerTrigger = 1`, so the SAME windowed state accumulates
+    * across ≥4 incremental batches — partial windows carried in the
+    * state store between batches, merged as later files land — and the
+    * complete-mode drain must equal the batch answer exactly (same
+    * oracle as the batch twin). This is steady-state production
+    * ingestion in miniature: bounded per-batch work, state as the
+    * carrier of incremental correctness. The spec attaches a listener
+    * and asserts ≥4 batches actually executed with rows in more than
+    * one — a source that coalesced to one batch would pass the hash gate
+    * while gating nothing.
+    *
+    * The 4-way time-quartile split is built once under a fingerprinted
+    * scratch key (4 sequential appends → 4 part files); split boundaries
+    * only shape batch contents, never the final aggregate.
+    */
+  private def streamExecMultiBatch(s: SparkSession, d: String): DataFrame = {
+    ensureNanosConf(s)
+    val ev = events(s, d)
+    val src = graft.Scratch.ensure(s,
+      s"events_split4_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "events"))) { dir =>
+      val Array(minUs, maxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = maxUs - minUs + 1
+      for (i <- 0 until 4) {
+        ev.filter(
+          unix_micros(col("ts")) >= minUs + i * span / 4 &&
+          unix_micros(col("ts")) < minUs + (i + 1) * span / 4)
+          .coalesce(1).write.mode("append").parquet(s"$dir/data")
+      }
+    } + "/data"
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    runToMemory(s, "graft_exec_multi",
+      windowAgg(stream.withWatermark("ts", "1 minute")), "complete",
+      statePartitions = Some(8))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Streaming dedup (dropDuplicatesWithinWatermark) executed end-to-end.
     * Which representative row survives is arrival-dependent, so the row
     * returns only the key set — deterministic, and exactly batch DISTINCT.
@@ -694,6 +740,7 @@ object Streaming {
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_json_props" -> streamJsonProps _,
     "stream_exec_window_agg" -> streamExecWindowAgg _,
+    "stream_exec_multi_batch" -> streamExecMultiBatch _,
     "stream_exec_sliding_agg" -> streamExecSlidingAgg _,
     "stream_exec_ckpt_restart" -> (streamExecCheckpointRestart _),
     "stream_exec_interval_join" -> streamExecIntervalJoin _,
@@ -766,6 +813,9 @@ object Streaming {
     // mode aggregation / inner interval join / key-set dedup are all
     // exactly their batch equivalents once the bounded source drains
     "stream_exec_window_agg" -> WindowAggSql,
+    // incremental accumulation across >=4 rate-limited batches must drain
+    // to exactly the one-batch / batch-mode answer
+    "stream_exec_multi_batch" -> WindowAggSql,
     "stream_exec_sliding_agg" -> SlidingOracleSql,
     // the batch aggregate restricted to the provably-finalized region:
     // window_end <= max ts - watermark delay - 61 s safety margin

@@ -608,6 +608,39 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout-region users must emit their full session set (${got.size} vs ${want.size})")
   }
 
+  test("stream_exec_multi_batch: >=4 rate-limited batches accumulate to the batch answer") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import StreamingQueryListener._
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "graft_exec_multi")
+          batches.add((e.progress.batchId, e.progress.numInputRows)): Unit
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val got = SparkEntry.queries("stream_exec_multi_batch")(spark, sfDir)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = SparkEntry.queries("stream_window_agg")(spark, sfDir)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want, s"incremental drain diverged: ${got.size} vs ${want.size}")
+      // listener events drain asynchronously off the bus
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (batches.size < 4 && System.nanoTime() < deadline) Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      val bs = batches.asScala.toSeq
+      assert(bs.size >= 4, s"expected >=4 rate-limited batches, saw $bs")
+      assert(bs.count(_._2 > 0) >= 2,
+        s"rows must arrive incrementally across batches, saw $bs")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("ckpt_restart: recovery spans two runs, output equals the batch cutoff") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("stream_exec_ckpt_restart")(spark, sfDir)
