@@ -898,7 +898,7 @@ object TextAnalysis {
     * downstream mixture sampler wants the score, not just survivors)
     * with its score, feature count, and the gate decision.
     */
-  private def textQualityClassifier(s: SparkSession, d: String): DataFrame = {
+  def classifierScores(pool: DataFrame): DataFrame = {
     val w = TF.words(col("text"))
     val n = size(w)
     val bigrams = when(n >= 2,
@@ -906,7 +906,7 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val firstHex = substring(md5(col("text")), 1, 1)
-    val base = docs(s, d)
+    val base = pool
       .select(col("doc_id"), bigrams.as("bg"),
         when(firstHex === "0", "pos").when(firstHex === "f", "neg")
           .otherwise("pool").as("slice"))
@@ -930,6 +930,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"), col("n_bigrams"),
         when(col("score") > 0, 1).otherwise(0).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  private def textQualityClassifier(s: SparkSession, d: String): DataFrame =
+    classifierScores(docs(s, d).select(col("doc_id"), col("text")))
+
+  /** The PRETRAINING-corpus assembly pipeline — the round's new stages
+    * composed in production order, the third composition row beside
+    * `pipeline_corpus` (dedup tier) and `pipeline_curation` (crawl
+    * tier): raw corpus → LEARNED quality gate ([[classifierScores]] —
+    * held-out pos/neg seed slices train the model, only positively
+    * scored pool docs survive) → n-gram DECONTAMINATION against the
+    * md5-'0' eval carve ([[decontaminate]] — any 5-gram overlap drops
+    * the doc) → EXACT dedup (keep-first per normalized text). The
+    * funnel accounts each stage in both documents and SUBWORD tokens
+    * ([[graft.functions.HashImpls.greedyTokenCount]]) — the budget a
+    * trainer actually consumes — so the row gates the composed
+    * machinery AND the token-mass bookkeeping every data card reports.
+    * Shuffle shape: classifier = broadcast model probe; decontamination
+    * = broadcast bench-shingle join; dedup = one two-phase min
+    * aggregate on a 16-byte key — three linear passes, no stage holds
+    * more than k×buckets driver-side state.
+    */
+  private def pipelinePretraining(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val raw = docs(s, d).select(col("doc_id"), col("text"))
+    val scored = classifierScores(raw)
+    val kept = raw.join(
+      scored.filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
+    val bench = raw.filter(substring(md5(col("text")), 1, 1) === "0")
+      .select(col("text"))
+    val contaminated = decontaminate(kept, bench).select(col("doc_id"))
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val keepers = clean
+      .select(col("doc_id"), md5(TF.normText(col("text"))).as("gk"))
+      .groupBy(col("gk")).agg(min(col("doc_id")).as("doc_id"))
+    val uniq = clean.join(keepers.select(col("doc_id")), Seq("doc_id"))
+    def funnel(stage: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+        sum(GraftFunctions.greedy_token_count(TF.normText(col("text"))))
+          .as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    funnel(0, "raw", raw)
+      .unionAll(funnel(1, "quality_kept", kept))
+      .unionAll(funnel(2, "decontaminated", clean))
+      .unionAll(funnel(3, "deduped", uniq))
+      .orderBy(col("stage"))
   }
 
   /** The WEB-CRAWL curation pipeline — this round's stages composed in
@@ -1210,6 +1257,7 @@ object TextAnalysis {
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
     "sample_importance" -> sampleImportance _,
     "text_quality_classifier" -> textQualityClassifier _,
+    "pipeline_pretraining" -> pipelinePretraining _,
     "pipeline_curation" -> pipelineCuration _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
@@ -1498,6 +1546,98 @@ object TextAnalysis {
       FROM scored s, tot
       WHERE s.score * tot.n_docs > tot.total
       ORDER BY s.doc_id""",
+    // the full chain replayed: classifier carve/train/score -> 5-gram
+    // decontamination of the survivors -> exact keep-first dedup, with
+    // every stage's doc and greedy-subword-token mass re-derived
+    "pipeline_pretraining" -> s"""
+      WITH RECURSIVE v(w, l) AS (SELECT * FROM (VALUES ${
+        graft.functions.HashImpls.TokenVocab
+          .map(w => s"('$w', ${w.length})").mkString(", ")})),
+      raw AS (SELECT doc_id, text, $NormSql AS s0 FROM documents),
+      step(doc_id, pos, n) AS (
+        SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM raw
+        UNION ALL
+        SELECT st.doc_id,
+               st.pos + COALESCE((SELECT MAX(l) FROM v
+                                  WHERE substr(t.s0, CAST(st.pos AS INT), l)
+                                          = w), 1),
+               st.n + 1
+        FROM step st JOIN raw t ON st.doc_id = t.doc_id
+        WHERE st.pos <= len(t.s0)),
+      toks AS (SELECT doc_id, MAX(n) AS tok FROM step GROUP BY doc_id),
+      basew AS (
+        SELECT doc_id, string_split(s0, ' ') AS ws,
+               CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'pos'
+                    WHEN substr(md5(text), 1, 1) = 'f' THEN 'neg'
+                    ELSE 'pool' END AS slice
+        FROM raw),
+      bg AS (
+        SELECT doc_id, slice,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+                 AS b
+        FROM basew),
+      ex AS (
+        SELECT doc_id, slice,
+               CAST((strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(b), 2, 1)) - 1)
+                 AS INT) AS bucket
+        FROM bg),
+      cnts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN slice = 'pos' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pc,
+               CAST(SUM(CASE WHEN slice = 'neg' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nc
+        FROM ex WHERE slice <> 'pool' GROUP BY bucket),
+      tot AS (
+        SELECT CAST(SUM(pc) AS BIGINT) AS pt, CAST(SUM(nc) AS BIGINT) AS nt
+        FROM cnts),
+      wts AS (SELECT bucket, pc * nt - nc * pt AS wgt FROM cnts, tot),
+      scored AS (
+        SELECT e.doc_id, CAST(SUM(COALESCE(w2.wgt, 0)) AS BIGINT) AS score
+        FROM ex e LEFT JOIN wts w2 ON e.bucket = w2.bucket
+        WHERE e.slice = 'pool' GROUP BY e.doc_id),
+      kept AS (
+        SELECT r.doc_id, r.text, r.s0 FROM raw r
+        JOIN scored sc ON r.doc_id = sc.doc_id WHERE sc.score > 0),
+      ksh AS (
+        SELECT doc_id,
+               list_distinct([ w5[i] || ' ' || w5[i+1] || ' ' || w5[i+2] ||
+                               ' ' || w5[i+3] || ' ' || w5[i+4]
+                 for i in range(1, len(w5)-3) ]) AS sh
+        FROM (SELECT doc_id, string_split(s0, ' ') AS w5 FROM kept)
+        WHERE len(w5) >= 5),
+      bsh AS (
+        SELECT list_distinct([ w5[i] || ' ' || w5[i+1] || ' ' || w5[i+2] ||
+                               ' ' || w5[i+3] || ' ' || w5[i+4]
+                 for i in range(1, len(w5)-3) ]) AS sh
+        FROM (SELECT string_split(s0, ' ') AS w5 FROM raw
+              WHERE substr(md5(text), 1, 1) = '0')
+        WHERE len(w5) >= 5),
+      bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM bsh),
+      contaminated AS (
+        SELECT DISTINCT k.doc_id
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM ksh) k
+        JOIN bench USING (shingle)),
+      clean AS (
+        SELECT * FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      keepers AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY s0),
+      uniq AS (SELECT c.* FROM clean c JOIN keepers USING (doc_id)),
+      funnel AS (
+        SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens
+        FROM raw JOIN toks USING (doc_id)
+        UNION ALL
+        SELECT 1, 'quality_kept', COUNT(*), CAST(SUM(tok) AS BIGINT)
+        FROM kept JOIN toks USING (doc_id)
+        UNION ALL
+        SELECT 2, 'decontaminated', COUNT(*), CAST(SUM(tok) AS BIGINT)
+        FROM clean JOIN toks USING (doc_id)
+        UNION ALL
+        SELECT 3, 'deduped', COUNT(*), CAST(SUM(tok) AS BIGINT)
+        FROM uniq JOIN toks USING (doc_id))
+      SELECT * FROM funnel ORDER BY stage""",
     "text_quality_classifier" -> s"""
       WITH basew AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws,

@@ -1001,6 +1001,31 @@ class TextPipelineSpec extends AnyFunSuite {
       s"corpus shuffled for the 256-row profile:\n$p")
   }
 
+  test("pipeline_pretraining: funnel composes classifier/decontam/dedup exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("pipeline_pretraining")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "quality_kept", "decontaminated", "deduped"))
+    val nd = rows.map(_._3)
+    val nt = rows.map(_._4)
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b && b > 0 })
+    assert(nt.zip(nt.tail).forall { case (a, b) => a >= b && b > 0 })
+    assert(nd(0) > nd(1), "classifier gate must drop documents")
+    assert(nd(1) > nd(2), "decontamination must drop overlapping documents")
+    // composition checks against the standalone rows: stage-1 count is
+    // the classifier's keep set; stage-0 token mass is the token-budget
+    // row's corpus total — the same kernels, re-derived independently
+    val keeps = SparkEntry.queries("text_quality_classifier")(spark, sfDir)
+      .filter(col("keep") === 1).count()
+    assert(nd(1) == keeps, s"stage 1 ${nd(1)} != classifier keeps $keeps")
+    val budgetTotal = SparkEntry.queries("text_token_budget")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum(col("sum_tokens")))
+      .head.getLong(0)
+    assert(nt(0) == budgetTotal,
+      s"raw token mass ${nt(0)} != token-budget total $budgetTotal")
+  }
+
   test("text_quality_classifier equals a local NB-contrast recompute; model broadcasts") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
