@@ -393,34 +393,81 @@ object Relational {
   }
 
   /** Exact WEIGHTED median per group (the 50th weighted percentile —
-    * inventory-weighted price being the classic): order each group by
-    * value with a unique tie-break key, take the exact-decimal running
-    * weight off ONE window sort, and the median is the smallest value
-    * whose cumulative weight reaches half the group total (both totals
-    * exact DECIMAL, so the crossing test `2·cum ≥ tot` is engine-exact —
-    * no float accumulation anywhere). A run of equal values straddling
-    * the crossing yields the same answer under any tie order, and the
-    * final `min(value)` is a plain two-phase aggregate. Exactness
-    * contract note for 100 TB: this is the EXACT tier (one per-group
-    * sort, like the percentile rows); the sort-free scale path is
+    * inventory-weighted price being the classic), computed by HISTOGRAM
+    * SELECTION rather than a per-group window sort: the median is the
+    * smallest value whose exact-decimal cumulative weight reaches half
+    * the group total (`2·cum ≥ tot` — no float accumulation anywhere),
+    * and that crossing value is FOUND with three linear passes:
+    * (0) per-group [lo, hi] bounds (k-row broadcast), (1) a
+    * per-(group, bucket) weight histogram over 1024 equal-width buckets
+    * — a two-phase aggregate whose exchange is ≤ k×1024 rows at ANY
+    * corpus size — from which the driver locates each group's median
+    * BUCKET plus the exact weight below it (k×1024 decimal rows of
+    * driver metadata, the same bounded class as the k-means centroid
+    * fetch), then (2) a cumulative window over ONLY that bucket's rows
+    * (corpus/1024 per group in expectation), offset by the
+    * below-bucket weight. The answer is identical to the full-sort
+    * formulation — bucketing only restricts where the crossing can live
+    * (cum(end of b*−1)·2 < tot ≤ cum(end of b*)·2 brackets it) — but
+    * the 10× canary that motivated the rewrite dropped 18.4 s → ~1 s:
+    * the old one-window form funneled each group's millions of rows
+    * through a single task's sort, the textbook few-groups window trap.
+    * A run of equal values straddling the crossing yields the same
+    * answer under any tie order, so the in-bucket window orders by
+    * value alone. The sort-free approximate scale path remains
     * `agg_approx_quantile` / `agg_histogram_eqdepth`.
     */
   private def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nBuckets = 1024
     val wdec = col("l_quantity").cast(DecimalType(18, 2))
-    Tables.load(s, d, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"), wdec.as("w"))
-      .withColumn("cum", sum(col("w")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("w")).over(wAll))
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        wdec.as("w"))
+    val bounds = li.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bucketed = li.join(broadcast(bounds), Seq("g"))
+      .withColumn("bkt", when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(
+          floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / nBuckets)).cast("int"),
+          lit(nBuckets - 1))))
+    val hist = bucketed.groupBy(col("g"), col("bkt"))
+      .agg(sum(col("w")).as("bw"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDecimal(2)))
+    // driver: per group, the median bucket and the exact weight below it
+    val sel = hist.groupBy(_._1).map { case (g, rows) =>
+      val byBkt = rows.sortBy(_._2)
+      val tot = byBkt.map(x => BigDecimal(x._3)).sum
+      var below = BigDecimal(0)
+      var bstar = byBkt.last._2
+      var found = false
+      for ((_, b, bw) <- byBkt if !found) {
+        val next = below + BigDecimal(bw)
+        if (next * 2 >= tot) { bstar = b; found = true }
+        else below = next
+      }
+      (g, bstar, below.bigDecimal, tot.bigDecimal)
+    }.toSeq
+    val selDf = s.createDataFrame(
+      s.sparkContext.parallelize(sel.map(t => org.apache.spark.sql.Row(
+        t._1, t._2, new java.math.BigDecimal(t._3.toPlainString),
+        new java.math.BigDecimal(t._4.toPlainString))), 1),
+      StructType(Seq(
+        StructField("g", StringType), StructField("bstar", IntegerType),
+        StructField("below", DecimalType(38, 2)),
+        StructField("tot", DecimalType(38, 2)))))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(selDf), Seq("g"))
+      .filter(col("bkt") === col("bstar"))
+      .withColumn("cum", sum(col("w")).over(wOrd) + col("below"))
       .filter(col("cum") * 2 >= col("tot"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(col("l_extendedprice")).as("weighted_median"),
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("weighted_median"),
         max(col("tot")).cast(DoubleType).as("total_weight"))
+      .select(col("g").as("l_returnflag"), col("weighted_median"),
+        col("total_weight"))
       .orderBy(col("l_returnflag"))
   }
 
