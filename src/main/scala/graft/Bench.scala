@@ -156,7 +156,18 @@ object Bench {
     // BFS frontier×edges joins over the trade graph built from a 10×
     // lineitem — edge-construction aggregate scales; the nation²-bounded
     // level loop must not
-    "sf1_graph_bfs" -> "graph_bfs")
+    "sf1_graph_bfs" -> "graph_bfs",
+    // r9-era rows get their 10× stress points: the asymmetric
+    // prefix-vs-full-postings containment probe (10× replicas multiply
+    // every posting list — the Σ prefix·df worst case)
+    "sf1_dedup_containment" -> "dedup_containment",
+    // broadcast-model scoring at 10× pool size — must stay map-side
+    "sf1_text_quality_classifier" -> "text_quality_classifier",
+    // the codegen tokenizer pass + per-source cumulative windows at 10×
+    // docs per source
+    "sf1_text_token_budget" -> "text_token_budget",
+    // seeded-order shard windows at 10× rows per fixed key-space range
+    "sf1_pack_global_shuffle" -> "pack_global_shuffle")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the
