@@ -245,19 +245,22 @@ object HashImpls {
     var i = 0
     var n = 0L
     while (i < len) {
-      var adv = 1
+      var adv = 0
       val c = str.charAt(i)
       if (c < 128) {
         val cands = vocabByFirst(c)
         if (cands != null) {
           var j = 0
-          while (j < cands.length && adv == 1) {
-            if (str.startsWith(cands(j), i) && cands(j).length > 1)
-              adv = cands(j).length
+          while (j < cands.length && adv == 0) {
+            if (str.startsWith(cands(j), i)) adv = cands(j).length
             j += 1
           }
         }
       }
+      // byte fallback advances one CODEPOINT (not one UTF-16 unit): the
+      // oracle's recursive CTE steps in DuckDB characters, so a
+      // supplementary-plane char must count as ONE token in both engines
+      if (adv == 0) adv = Character.charCount(str.codePointAt(i))
       i += adv
       n += 1
     }

@@ -103,8 +103,11 @@ object Dedup {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s"))
     val prefix = inv.join(dfreq, Seq("s"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <=
-        floor((lit(1.0) - JaccardThreshold) * col("sz")) + 1)
+      // |x| − ⌈t·|x|⌉ + 1 in EXACT integer form (sz div 5 for t = 0.8):
+      // the float floor((1−t)·sz)+1 computes (1−0.8) as 0.19999…, which
+      // under-counts the prefix by one whenever t·sz is integral (sz = 5
+      // → prefix 1 where the ppjoin recall guarantee needs 2)
+      .filter(col("rk") <= expr("sz div 5") + 1)
       .select(col("doc_id"), col("s"))
     val candidates = prefix.select(col("doc_id").as("doc_a"), col("s"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -704,7 +707,11 @@ object Dedup {
     val prefix = finv.join(dfreq, Seq("s"), "left")
       .na.fill(0L, Seq("df"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= floor((lit(1.0) - t) * col("szf")) + 1)
+      // prefix length |A| − ⌈t·|A|⌉ + 1 in EXACT integer form (szf div 10
+      // for t = 0.9): the float spelling floor((1−t)·szf)+1 under-counts
+      // by one whenever t·szf is integral ((1−0.9) is 0.0999…, so
+      // szf = 40 yielded prefix 4 where recall needs 5)
+      .filter(col("rk") <= expr("szf div 10") + 1)
       .select(col("frag_id"), col("s"))
     val candidates = prefix.join(inv, Seq("s"))
       .select(col("frag_id"), col("doc_id")).distinct()

@@ -362,12 +362,17 @@ object Multimodal {
   private def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = ensureMediaTable(s, d)
+    // cached: the quarter self-join below reads sigs from BOTH sides, and
+    // without the cache each side re-runs the ImageIO decode + hash pass —
+    // the dominant cost here. Released by the session owner
+    // (Caches.releaseAll), the lazy-builder contract on graft.Caches.
     val sigs = s.read.parquet(path).select(col("doc_id"), col("png_grad"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, png) =>
         (id, JdkCodecs.averageHash64(png, id))
       })
       .toDF("doc_id", "phash")
+      .cache()
     val quarters = sigs.select(col("doc_id"), col("phash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("q"),

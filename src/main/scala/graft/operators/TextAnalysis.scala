@@ -894,9 +894,14 @@ object TextAnalysis {
     * CCNet runs over Common Crawl. Weight magnitudes are
     * O(slice_bigrams²) ≈ 10¹⁰ at 100 TB-per-slice scale; the per-doc
     * BIGINT score holds to ~10⁸ bigrams/doc beyond which the sum moves
-    * to DECIMAL. Output: every scored pool doc (both classes — the
-    * downstream mixture sampler wants the score, not just survivors)
-    * with its score, feature count, and the gate decision.
+    * to DECIMAL. Output: every FEATURIZABLE pool doc — both verdict
+    * classes, since the downstream mixture sampler wants the score, not
+    * just survivors — with its score, feature count, and the gate
+    * decision. Pool docs with fewer than 2 normalized words carry no
+    * bigram features and get NO row (no verdict), exactly as the oracle
+    * and fastText itself behave on featureless input; a pipeline that
+    * must route them treats absence as its own bucket
+    * (`pipeline_pretraining` drops them with the negative class).
     */
   def classifierScores(pool: DataFrame): DataFrame = {
     val w = TF.words(col("text"))

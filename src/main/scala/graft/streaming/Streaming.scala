@@ -168,10 +168,22 @@ object Streaming {
     val splitUs = minUs + (maxUs - minUs) / 2
     // pid-suffixed like Scratch.ensure's tmp dirs: a concurrent
     // Verify/Bench/test process on the same dataset gets its own tree, so
-    // the wipe-at-row-start below can never race a sibling's in-flight run
+    // the wipe-at-row-start below can never race a sibling's in-flight
+    // run. Sibling dirs whose pid is DEAD are reaped here (the row can't
+    // self-clean at the end — the returned frame lazily reads the sink),
+    // so repeated runs don't accumulate source+checkpoint copies, while a
+    // LIVE sibling's tree is never touched.
+    val prefix = s"ckpt_restart_${graft.Scratch.sanitize(d)}_pid"
+    Option(new java.io.File("target").listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(prefix)) {
+        val alive = f.getName.stripPrefix(prefix).toLongOption
+          .exists(p => java.lang.ProcessHandle.of(p)
+            .map[Boolean](_.isAlive).orElse(false))
+        if (!alive) graft.Scratch.purge(f.getPath)
+      }
+    })
     val root = new org.apache.hadoop.fs.Path(
-      s"target/ckpt_restart_${graft.Scratch.sanitize(d)}" +
-        s"_pid${java.lang.ProcessHandle.current.pid}")
+      s"target/$prefix${java.lang.ProcessHandle.current.pid}")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     val src = s"$root/src"

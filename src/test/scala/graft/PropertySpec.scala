@@ -68,7 +68,13 @@ object KernelProperties extends Properties("graft.kernels") {
         }
         val s = (ws :+ extra).mkString(" ")
         HashImpls.greedyTokenCount(UTF8String.fromString(s)) == naive(s) &&
-          HashImpls.greedyTokenCount(UTF8String.fromString("")) == 0L
+          HashImpls.greedyTokenCount(UTF8String.fromString("")) == 0L &&
+          // byte fallback counts CODEPOINTS (oracle parity: DuckDB len()
+          // is character-based) — one astral char is ONE token, and mixed
+          // input advances past it without splitting the surrogate pair
+          HashImpls.greedyTokenCount(UTF8String.fromString("😀")) == 1L &&
+          HashImpls.greedyTokenCount(
+            UTF8String.fromString("😀table")) == 2L
     }
   }
 
