@@ -689,6 +689,32 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  /** `parse_url` component extraction — the URL-structure API surface
+    * (protocol/host/path/query/fragment plus keyed query-parameter
+    * lookup) that sits underneath the canonicalization tier
+    * (`text_url_canon` rewrites; this row READS). Spark's parse_url is
+    * java.net.URI-backed and case-preserving; the oracle restates each
+    * component as an anchored regex over the same planted messy URL, so
+    * the two engines' decompositions are compared field by field.
+    * Map-only codegen projection, shuffle-free bar the presentation
+    * sort.
+    */
+  private def exprUrlParse(s: SparkSession, d: String): DataFrame = {
+    val messy = concat(
+      lit("HTTPS://Site"), pmod(col("doc_id"), lit(7)),
+      lit(".Example.COM:443/page/"), pmod(col("doc_id"), lit(40)),
+      lit("?utm_campaign=c"), col("doc_id"), lit("#frag"), col("doc_id"))
+    docs(s, d).select(col("doc_id"), messy.as("u0"))
+      .select(col("doc_id"),
+        expr("parse_url(u0, 'PROTOCOL')").as("proto"),
+        expr("parse_url(u0, 'HOST')").as("host"),
+        expr("parse_url(u0, 'PATH')").as("path"),
+        expr("parse_url(u0, 'QUERY')").as("query"),
+        expr("parse_url(u0, 'REF')").as("ref"),
+        expr("parse_url(u0, 'QUERY', 'utm_campaign')").as("campaign"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted deterministic source INTERLEAVING — the write-time mixture
     * step between [[sampleMixture]] (which documents survive) and
     * [[packGlobalShuffle]] (global order): how the surviving sources are
@@ -1275,6 +1301,7 @@ object TextAnalysis {
     "pack_global_shuffle" -> packGlobalShuffle _,
     "text_token_budget" -> textTokenBudget _,
     "pack_interleave" -> packInterleave _,
+    "expr_url_parse" -> exprUrlParse _,
     "quality_drift" -> qualityDrift _,
     "text_gopher_quality" -> textGopherQuality _,
     "text_clean" -> textClean _,
@@ -1876,6 +1903,24 @@ object TextAnalysis {
              CAST(SUM(tok_ws) AS BIGINT) AS sum_tokens,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM r GROUP BY shard ORDER BY shard""",
+    // each URI component re-derived by an anchored regex, independent of
+    // java.net.URI: a parser that folded the port into host, lowercased,
+    // or mis-bounded query/fragment fails the field compare
+    "expr_url_parse" -> raw"""
+      WITH t AS (
+        SELECT doc_id,
+               'HTTPS://Site' || (doc_id % 7) || '.Example.COM:443/page/' ||
+               (doc_id % 40) || '?utm_campaign=c' || doc_id ||
+               '#frag' || doc_id AS u0
+        FROM documents)
+      SELECT doc_id,
+             regexp_extract(u0, '^([A-Za-z]+)://', 1) AS proto,
+             regexp_extract(u0, '^[A-Za-z]+://([^/:?#]+)', 1) AS host,
+             regexp_extract(u0, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(u0, '\?([^#]*)', 1) AS query,
+             regexp_extract(u0, '#(.*)$$', 1) AS ref,
+             regexp_extract(u0, '[?&]utm_campaign=([^&#]*)', 1) AS campaign
+      FROM t ORDER BY doc_id""",
     "pack_interleave" -> raw"""
       WITH t AS (
         SELECT doc_id, source, md5('7:' || doc_id) AS k,

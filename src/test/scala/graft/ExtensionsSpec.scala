@@ -1237,6 +1237,20 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(droppedLines > 0, "line-level rules must actually drop lines")
   }
 
+  test("expr_url_parse: components recompose the planted URL losslessly") {
+    val rows = SparkEntry.queries("expr_url_parse")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows.take(50)) {
+      val id = r.getLong(0)
+      val rebuilt = s"${r.getString(1)}://${r.getString(2)}:443" +
+        s"${r.getString(3)}?${r.getString(4)}#${r.getString(5)}"
+      assert(rebuilt == s"HTTPS://Site${id % 7}.Example.COM:443/page/" +
+        s"${id % 40}?utm_campaign=c$id#frag$id",
+        s"decomposition lost information: $rebuilt")
+      assert(r.getString(6) == s"c$id", "keyed query lookup")
+    }
+  }
+
   test("dedup_url_keep_best: one keeper per canonical URL, best by (len, id)") {
     val rows = SparkEntry.queries("dedup_url_keep_best")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
