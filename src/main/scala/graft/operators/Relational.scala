@@ -65,6 +65,41 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** MULTILINE CSV round-trip — quoted embedded newlines, the CSV edge
+    * every "export text to CSV" pipeline eventually hits: each document's
+    * spaces become real newlines, the writer quotes the field (univocity
+    * minimal quoting), and the read-back must reassemble every record
+    * across line boundaries under `multiLine=true`. Correctness is gated
+    * three ways per language group: row count, exact character mass, and
+    * a per-row md5-prefix sum over the reassembled content — a parser
+    * that splits one quoted record in two (or drops a trailing line)
+    * shifts all three. Scale note, and why this path is QUARANTINED to
+    * explicit opt-in at 100 TB: `multiLine=true` makes each FILE an
+    * unsplittable parse unit (newlines no longer delimit records, so
+    * there is no in-file split point) — the production layout keeps
+    * multiline payloads in parquet (or `\n`-escaped CSV, the
+    * `scan_csv_roundtrip` splittable path), and when multiline CSV must
+    * be ingested, parallelism comes from many files, one task each.
+    */
+  private def scanCsvMultiline(s: SparkSession, d: String): DataFrame = {
+    val ctx = new SessionContext(s)
+    val src = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        translate(col("text"), " ", "\n").as("text_ml"))
+    val path = scratch("documents_multiline_csv")
+    ctx.writeCsv(src, path, header = true, delimiter = ",")
+    s.read.schema(src.schema)
+      .option("header", "true").option("multiLine", "true")
+      .csv(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text_ml"))).cast(LongType).as("sum_chars"),
+        sum(size(split(col("text_ml"), "\n"))).cast(LongType).as("sum_lines"),
+        sum(conv(substring(md5(col("text_ml")), 1, 4), 16, 10)
+          .cast(LongType)).as("sum_md5_16"))
+      .orderBy(col("lang"))
+  }
+
   /** Malformed-line-tolerant CSV ingest — the real-world arrival shape:
     * a correct `|`-CSV dump of lineitem plus an injected junk file
     * (short rows, wrong delimiter, non-numeric numerics, blank-ish
@@ -2609,6 +2644,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> scanParquet _,
     "scan_csv_roundtrip" -> csvRoundtrip _,
+    "scan_csv_multiline" -> scanCsvMultiline _,
     "scan_csv_header" -> csvHeaderRoundtrip _,
     "scan_ndjson" -> scanNdjson _,
     "ddl_external_table" -> ddlExternalTable _,
@@ -2737,6 +2773,23 @@ object Relational {
       SELECT l_linestatus, ${ds("l_quantity")} AS sum_qty,
              ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "scan_csv_multiline" -> """
+      WITH t AS (
+        SELECT lang, replace(text, ' ', chr(10)) AS text_ml FROM documents)
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(length(text_ml)) AS BIGINT) AS sum_chars,
+             CAST(SUM(len(string_split(text_ml, chr(10)))) AS BIGINT)
+               AS sum_lines,
+             CAST(SUM(
+               (strpos('0123456789abcdef', substr(md5(text_ml), 1, 1)) - 1)
+                 * 4096
+               + (strpos('0123456789abcdef', substr(md5(text_ml), 2, 1)) - 1)
+                 * 256
+               + (strpos('0123456789abcdef', substr(md5(text_ml), 3, 1)) - 1)
+                 * 16
+               + (strpos('0123456789abcdef', substr(md5(text_ml), 4, 1)) - 1))
+               AS BIGINT) AS sum_md5_16
+      FROM t GROUP BY lang ORDER BY lang""",
     "scan_csv_header" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n,
              ${ds("o_totalprice")} AS sum_price,
