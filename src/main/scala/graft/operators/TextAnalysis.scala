@@ -1025,7 +1025,15 @@ object TextAnalysis {
     */
   private def pipelineCuration(s: SparkSession, d: String): DataFrame = {
     val raw = docs(s, d).select(col("doc_id"), col("text"))
-    val cleaned = stageC4(raw.select(col("doc_id"), c4PageExpr.as("page")))
+    // stage 0→1: the crawl front — raw HTML built from the fixture docs,
+    // boilerplate-extracted ([[stageHtmlExtract]]); pages with no
+    // surviving content line leave the funnel here
+    val extracted = stageHtmlExtract(
+        raw.select(col("doc_id"), htmlPageExpr.as("html")))
+      .filter(col("n_lines_kept") >= 1)
+    // stage 2: C4 consumes the EXTRACTED text as its page (line-per-line)
+    val cleaned = stageC4(
+      extracted.select(col("doc_id"), col("text_clean").as("page")))
     val kept = stageUrlKeepBest(cleaned, col("n_words_kept"))
     val selected = importanceSelect(
       kept.select(col("doc_id"), col("text_clean").as("text")))
@@ -1036,9 +1044,10 @@ object TextAnalysis {
         .select(lit(stage).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_words"))
     funnel(0, "raw", raw, size(TF.words(col("text"))))
-      .unionAll(funnel(1, "c4", cleaned, col("n_words_kept")))
-      .unionAll(funnel(2, "url_dedup", kept, col("n_words_kept")))
-      .unionAll(funnel(3, "selected", selected, col("n_words_kept")))
+      .unionAll(funnel(1, "html", extracted, col("n_words_kept")))
+      .unionAll(funnel(2, "c4", cleaned, col("n_words_kept")))
+      .unionAll(funnel(3, "url_dedup", kept, col("n_words_kept")))
+      .unionAll(funnel(4, "selected", selected, col("n_words_kept")))
       .orderBy(col("stage"))
   }
 
@@ -1113,6 +1122,111 @@ object TextAnalysis {
 
   private def textC4Filters(s: SparkSession, d: String): DataFrame =
     stageC4(docs(s, d).select(col("doc_id"), c4PageExpr.as("page")))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic fixture HTML page for a (doc_id, text) frame — the
+    * crawl-ingest FRONT the curation tiers assume already happened
+    * (every C4/Gopher/classifier stage consumes extracted text; a real
+    * pipeline starts at raw HTML). The normalized text is chunked into
+    * 6-word lines (same single-pass regex as [[c4PageExpr]]), each
+    * wrapped in `<p>…</p>` carrying the C4 plants (javascript token,
+    * terminal-punct variation) plus an id-keyed inline link; id-keyed
+    * nav blocks (pure links), a `<head>` with `<style>`, a body
+    * `<script>`, an `<h1>`, and a link+copyright footer complete the
+    * page, and the whole page is a single tag stream with NO newlines —
+    * line structure must be recovered from block tags, as in real HTML.
+    * Every extraction rule in [[stageHtmlExtract]] is exercised by
+    * construction: script/style strip (their text must never surface),
+    * block-tag line breaking, link-density (nav dies, inline links
+    * survive), min-words (the h1/title line dies), stopword-density
+    * (the footer dies). The lorem/brace plants ride along as full
+    * sentences so the downstream C4 PAGE rules stay non-vacuous in the
+    * composed `pipeline_curation`.
+    */
+  private def htmlPageExpr: Column = {
+    val chunked = regexp_replace(TF.normText(col("text")),
+      "((?:\\S+ ){5}\\S+) ", "$1\n")
+    val pageLines = transform(split(chunked, "\n"), (l, i) => concat(
+      lit("<p>"), l,
+      when(pmod(col("doc_id") + i, lit(11)) === 5, lit(" javascript"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id") + i, lit(5)) === 2,
+        lit(" <a href=\"/m\">more info here</a>")).otherwise(lit("")),
+      when(pmod(col("doc_id") + i, lit(4)) =!= 3, lit("."))
+        .otherwise(lit("")),
+      lit("</p>"),
+      when(pmod(col("doc_id") + i, lit(7)) === 3,
+        lit("<div class=\"nav\"><a href=\"/h\">home</a> " +
+          "<a href=\"/b\">about</a> <a href=\"/c\">contact</a></div>"))
+        .otherwise(lit(""))))
+    concat(
+      lit("<html><head><title>doc page</title><style>p{color:#000}</style>" +
+        "</head><body><script>var t=1;track('p')</script>" +
+        "<h1> fixture document heading</h1>"),
+      array_join(pageLines, ""),
+      when(pmod(col("doc_id"), lit(29)) === 7,
+        lit("<p>it is a lorem ipsum placeholder paragraph.</p>"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(31)) === 5,
+        lit("<p>function of a var x = { layout.</p>")).otherwise(lit("")),
+      lit("<div class=\"footer\"><a href=\"/t\">terms</a> " +
+        "copyright 2026 example corp</div></body></html>"))
+  }
+
+  /** HTML → text boilerplate extraction as a reusable STAGE over
+    * (doc_id, html) — the deterministic jusText/trafilatura-shaped core
+    * (Pomikálek 2011 §3.3: classify text blocks by link density,
+    * stopword density, and length — here without the DOM):
+    *  1. drop `<script>`/`<style>` blocks (their text is code, not
+    *     content);
+    *  2. break the tag stream into candidate lines at block-closing tags
+    *     (`</p>`, `</div>`, `</h1>`);
+    *  3. per line: count links BEFORE stripping (`<a ` occurrences),
+    *     strip all tags, collapse whitespace;
+    *  4. keep lines with ≥ 5 words AND link density 4·links < words AND
+    *     ≥ 1 stopword.
+    * Output: per input doc, raw/kept line counts, total link count, kept
+    * word count, and the extracted text (kept lines joined, original
+    * order). Pure single-pass string/array projection — map-only,
+    * shuffle-free, linear at any corpus size; at 100 TB this is the same
+    * scan-shaped pass as the C4 stage it feeds.
+    */
+  def stageHtmlExtract(pages: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("html"),
+      "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
+    val lines = split(regexp_replace(noStyle, "</p>|</div>|</h1>", "\n"), "\n")
+    val feats = transform(lines, l => {
+      val s0 = trim(regexp_replace(regexp_replace(l, "<[^>]*>", ""),
+        "\\s+", " "))
+      struct(
+        regexp_count(l, lit("<a ")).as("links"),
+        s0.as("s"),
+        size(split(s0, " ")).as("w"),
+        size(filter(split(s0, " "), t => t.isInCollection(TF.Stopwords)))
+          .as("st"))
+    })
+    val keep = (f: Column) =>
+      f.getField("w") >= 5 &&
+        f.getField("links") * 4 < f.getField("w") &&
+        f.getField("st") >= 1
+    val kept = filter(feats, keep)
+    pages.select(col("doc_id"),
+      size(lines).as("n_lines_raw"),
+      size(kept).as("n_lines_kept"),
+      aggregate(feats, lit(0L), (a, f) => a + f.getField("links"))
+        .as("n_links"),
+      aggregate(kept, lit(0L), (a, f) => a + f.getField("w"))
+        .as("n_words_kept"),
+      array_join(transform(kept, f => f.getField("s")), "\n")
+        .as("text_clean"))
+  }
+
+  private def textHtmlExtract(s: SparkSession, d: String): DataFrame =
+    stageHtmlExtract(docs(s, d).select(col("doc_id"), htmlPageExpr.as("html")))
+      .select(col("doc_id"), col("n_lines_raw"), col("n_lines_kept"),
+        col("n_links"), col("n_words_kept"),
+        substring(col("text_clean"), 1, 80).as("clean_head"))
       .orderBy(col("doc_id"))
 
   /** The canonicalization chain shared by [[textUrlCanon]] and
@@ -1285,6 +1399,7 @@ object TextAnalysis {
     "pipeline_corpus" -> pipelineCorpus _,
     "text_url_canon" -> textUrlCanon _,
     "text_c4_filters" -> textC4Filters _,
+    "text_html_extract" -> textHtmlExtract _,
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
     "sample_importance" -> sampleImportance _,
     "text_quality_classifier" -> textQualityClassifier _,
@@ -1321,6 +1436,90 @@ object TextAnalysis {
 
   /** Shared DuckDB-side normalization (mirrors TextFunctions.normText). */
   val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  /** Shared oracle CTE chain replaying [[htmlPageExpr]] (page build) and
+    * [[stageHtmlExtract]] (script/style strip → block-tag line break →
+    * per-line link count / tag strip / word+stopword count → keep rules)
+    * — prefixed with `WITH ` by `text_html_extract` and
+    * `pipeline_curation`. Final CTE `ext` carries one row per document
+    * with the extraction summary and the extracted text.
+    */
+  private val HtmlExtractCtes = raw"""
+      base AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      built AS (
+        SELECT doc_id,
+               list_transform(range(CAST(ceil(len(ws)/6.0) AS INT)), i ->
+                 '<p>' || array_to_string(ws[i*6+1 : i*6+6], ' ') ||
+                 CASE WHEN (doc_id + i) % 11 = 5 THEN ' javascript'
+                      ELSE '' END ||
+                 CASE WHEN (doc_id + i) % 5 = 2
+                      THEN ' <a href="/m">more info here</a>' ELSE '' END ||
+                 CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END ||
+                 '</p>' ||
+                 CASE WHEN (doc_id + i) % 7 = 3
+                      THEN '<div class="nav"><a href="/h">home</a> ' ||
+                           '<a href="/b">about</a> ' ||
+                           '<a href="/c">contact</a></div>'
+                      ELSE '' END) AS pl
+        FROM base),
+      pages AS (
+        SELECT doc_id,
+               '<html><head><title>doc page</title>' ||
+               '<style>p{color:#000}</style></head>' ||
+               '<body><script>var t=1;track(''p'')</script>' ||
+               '<h1> fixture document heading</h1>' ||
+               array_to_string(pl, '') ||
+               CASE WHEN doc_id % 29 = 7
+                    THEN '<p>it is a lorem ipsum placeholder paragraph.</p>'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 31 = 5
+                    THEN '<p>function of a var x = { layout.</p>'
+                    ELSE '' END ||
+               '<div class="footer"><a href="/t">terms</a> ' ||
+               'copyright 2026 example corp</div></body></html>' AS html
+        FROM built),
+      lns AS (
+        SELECT doc_id,
+               string_split(regexp_replace(regexp_replace(regexp_replace(
+                 html,
+                 '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                 '</p>|</div>|</h1>', chr(10), 'g'), chr(10)) AS lines
+        FROM pages),
+      fw AS (
+        SELECT doc_id, lines,
+               list_transform(lines, l -> {
+                 'links': len(regexp_extract_all(l, '<a ')),
+                 's': trim(regexp_replace(regexp_replace(l,
+                        '<[^>]*>', '', 'g'), '\s+', ' ', 'g'))
+               }) AS f0
+        FROM lns),
+      fx AS (
+        SELECT doc_id, lines,
+               list_transform(f0, f -> {
+                 'links': f.links, 's': f.s,
+                 'w': len(string_split(f.s, ' ')),
+                 'st': list_sum(list_transform(string_split(f.s, ' '),
+                         x -> CASE WHEN x IN ('the','a','an','and','of',
+                                'to','in','is','on','for','with')
+                              THEN 1 ELSE 0 END))
+               }) AS fs
+        FROM fw),
+      ext AS (
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines_raw,
+               CAST(len(list_filter(fs, f -> f.w >= 5 AND 4*f.links < f.w
+                 AND f.st >= 1)) AS INT) AS n_lines_kept,
+               CAST(list_sum(list_transform(fs, f -> f.links)) AS BIGINT)
+                 AS n_links,
+               CAST(coalesce(list_sum(list_transform(
+                 list_filter(fs, f -> f.w >= 5 AND 4*f.links < f.w
+                   AND f.st >= 1), f -> f.w)), 0) AS BIGINT) AS n_words_kept,
+               coalesce(array_to_string(list_transform(
+                 list_filter(fs, f -> f.w >= 5 AND 4*f.links < f.w
+                   AND f.st >= 1), f -> f.s), chr(10)), '') AS text_clean
+        FROM fx)"""
 
   private val DecontamSql = s"""
       WITH w AS (
@@ -1441,36 +1640,28 @@ object TextAnalysis {
                '([?&])utm_[A-Za-z]+=[^&#]*&?', '\1', 'g'),
                '[?&]+$$', '') AS url_canon
       FROM p ORDER BY doc_id""",
-    // the full curation chain replayed: C4 kernel -> canon-URL keeper
-    // over the CLEANED docs -> importance selection over the CLEANED text
+    // the standalone crawl-front row: page build + extraction replayed,
+    // per-doc summary of what survived the boilerplate rules
+    "text_html_extract" -> raw"""
+      WITH $HtmlExtractCtes
+      SELECT doc_id, n_lines_raw, n_lines_kept, n_links, n_words_kept,
+             substr(text_clean, 1, 80) AS clean_head
+      FROM ext ORDER BY doc_id""",
+    // the full curation chain replayed: HTML boilerplate extraction ->
+    // C4 kernel over the EXTRACTED text -> canon-URL keeper over the
+    // CLEANED docs -> importance selection over the CLEANED text
     "pipeline_curation" -> raw"""
-      WITH base AS (
-        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
-      built AS (
-        SELECT doc_id,
-               list_transform(range(CAST(ceil(len(ws)/6.0) AS INT)), i ->
-                 array_to_string(ws[i*6+1 : i*6+6], ' ') ||
-                 CASE WHEN (doc_id + i) % 11 = 5 THEN ' javascript'
-                      ELSE '' END ||
-                 CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END) AS pl
-        FROM base),
-      pages AS (
-        SELECT doc_id,
-               array_to_string(pl, chr(10)) ||
-               CASE WHEN doc_id % 29 = 7 THEN chr(10) || 'lorem ipsum.'
-                    ELSE '' END ||
-               CASE WHEN doc_id % 31 = 5 THEN chr(10) || 'var x = {.'
-                    ELSE '' END AS page
-        FROM built),
+      WITH $HtmlExtractCtes,
+      exth AS (SELECT * FROM ext WHERE n_lines_kept >= 1),
       c4k AS (
         SELECT doc_id,
-               list_filter(string_split(page, chr(10)), l ->
+               list_filter(string_split(text_clean, chr(10)), l ->
                  regexp_matches(l, '[.!?"]$$')
                  AND len(string_split(l, ' ')) >= 5
                  AND NOT contains(l, 'javascript')) AS kept_lines,
-               NOT contains(page, 'lorem ipsum')
-                 AND NOT contains(page, '{') AS page_ok
-        FROM pages),
+               NOT contains(text_clean, 'lorem ipsum')
+                 AND NOT contains(text_clean, '{') AS page_ok
+        FROM exth),
       cleaned AS (
         SELECT doc_id,
                CAST(list_sum(list_transform(kept_lines,
@@ -1538,13 +1729,16 @@ object TextAnalysis {
              CAST(SUM(len(string_split($NormSql, ' '))) AS BIGINT) AS n_words
       FROM documents
       UNION ALL
-      SELECT 1, 'c4', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
+      SELECT 1, 'html', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
+      FROM exth
+      UNION ALL
+      SELECT 2, 'c4', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
       FROM cleaned
       UNION ALL
-      SELECT 2, 'url_dedup', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
+      SELECT 3, 'url_dedup', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
       FROM kept
       UNION ALL
-      SELECT 3, 'selected', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
+      SELECT 4, 'selected', COUNT(*), CAST(SUM(n_words_kept) AS BIGINT)
       FROM selw
       ORDER BY stage""",
     "sample_importance" -> s"""

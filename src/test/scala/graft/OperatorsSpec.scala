@@ -973,6 +973,38 @@ class PlanSpec extends AnyFunSuite {
       || pkb.toLowerCase.contains("max_by"), s"no max_by aggregate:\n$pkb")
   }
 
+  test("text_html_extract rules: script/style/nav/footer die, content survives") {
+    import spark.implicits._
+    // hand-built page exercising each rule in isolation: script text must
+    // never surface; the h1 dies on min-words; the nav dies on link
+    // density; the footer dies on stopword density; a content line with a
+    // moderate inline link survives with the anchor text inlined
+    val html =
+      "<html><head><style>p{x}</style></head><body>" +
+        "<script>var s=9;secret()</script>" +
+        "<h1> short heading</h1>" +
+        "<p>the quick brown fox jumps over a lazy dog.</p>" +
+        "<div class=\"nav\"><a href=\"/x\">home</a> <a href=\"/y\">about</a> " +
+        "<a href=\"/z\">contact</a></div>" +
+        "<p>words with a link <a href=\"/m\">in the middle</a> survive fine.</p>" +
+        "<div class=\"footer\"><a href=\"/t\">terms</a> copyright 2026 example corp</div>" +
+        "</body></html>"
+    val out = operators.TextAnalysis.stageHtmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html")).collect().head
+    assert(out.getAs[String]("text_clean") ==
+      "the quick brown fox jumps over a lazy dog.\n" +
+        "words with a link in the middle survive fine.")
+    assert(out.getAs[Int]("n_lines_kept") == 2)
+    assert(out.getAs[Long]("n_links") == 5L)
+    // the fixture-driven row is a pure projection: no join/agg/window may
+    // appear; the only exchange is the presentation sort
+    val df = SparkEntry.queries("text_html_extract")(spark, sfDir)
+    assert(df.count() > 0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), s"html extract not map-only:\n$p")
+  }
+
   test("agg_mode stays a two-phase aggregate: no Window, no per-group sort") {
     // mode-imputation must keep the skew-immune min_by shape — a
     // row_number regression would sort every hot user in one task
