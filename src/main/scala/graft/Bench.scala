@@ -161,6 +161,10 @@ object Bench {
     // prefix-vs-full-postings containment probe (10× replicas multiply
     // every posting list — the Σ prefix·df worst case)
     "sf1_dedup_containment" -> "dedup_containment",
+    // overlapping-window exact-substring dedup at 10×: every window of a
+    // replicated doc is multiply-seen, so the dup join-back and the
+    // W-per-row coverage explode hit their occurrence-bound worst case
+    "sf1_dedup_substring" -> "dedup_substring_exact",
     // the image-dedup quarter-blocking join at 10× the image count
     // (graft.mm.mediaDocs property raises the asset cap for THIS phase
     // only — the driver's correctness runs never set it): gradient

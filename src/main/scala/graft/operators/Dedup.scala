@@ -658,6 +658,83 @@ object Dedup {
         count(lit(1)).cast("int").as("n_kept"))
       .orderBy(col("doc_id"))
 
+  /** OVERLAPPING-window exact-substring dedup — Lee et al. 2107.06499's
+    * HEADLINE variant (§4.1: every 50-token window is hashed; a window
+    * seen before marks its span as duplicate text), the stronger form of
+    * which [[dedupSegment]] is the non-overlapping approximation: a
+    * duplicated span straddling a segment boundary escapes the segment
+    * grain but cannot escape overlapping windows. The paper runs W = 50
+    * over a real corpus; the fixture's ~40-word vocabulary needs W = 5
+    * for non-vacuous cross-document collisions — the plan shape is
+    * length-independent (same scaling as the 3-word segment grain).
+    *
+    * Occurrence grain: every W-word window at every position (stride 1,
+    * so the exploded table is ~W× the corpus words — the price of
+    * boundary-proof recall, exactly the paper's suffix-array cost
+    * restated as a hash join). Keeper per distinct window = the
+    * skew-immune two-phase `min(struct(doc_id, pos))` aggregate — never
+    * a per-group window sort, same discipline as [[segmentKeepers]]: a
+    * boilerplate window repeated 10⁹ times partial-combines to one
+    * candidate per map split. Non-keeper occurrences of multiply-seen
+    * windows are the "duplicate text"; the doc-grain rollup reports how
+    * many windows and how many distinct WORD POSITIONS they cover (the
+    * span a pipeline would excise). Coverage is a distinct-count over a
+    * W-per-dup-row explode — bounded by dup_windows × W and provably
+    * skew-free, in place of the per-doc interval-merge sort the paper's
+    * single-machine form uses. Windows travel as xxhash64 longs (8-byte
+    * exchange keys; the oracle groups the strings themselves — a
+    * cross-window collision at fixture scale is ~2⁻⁵⁷ and would fail the
+    * hash gate loudly).
+    */
+  def substringWindows(docsDf: DataFrame, w: Int): DataFrame = {
+    require(w > 0, s"window length must be positive: $w")
+    docsDf.select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")) - w + 1)
+      .filter(col("nw") > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, nw - 1), i -> concat_ws(' ', slice(ws, i + 1, $w)))"))
+          .as(Seq("pos", "win")))
+  }
+
+  /** Per-doc overlapping-window dedup rollup over any (`doc_id`, `text`)
+    * frame: docs owning at least one non-keeper occurrence of a
+    * multiply-seen window, with window/position coverage counts.
+    */
+  def substringDedupCounts(docsDf: DataFrame, w: Int): DataFrame = {
+    // cache: the occurrence table feeds the keeper aggregate, the
+    // join-back, and the per-doc totals; released by the session owner
+    // via Caches.releaseAll (the lazy-builder contract on graft.Caches)
+    val wins = substringWindows(docsDf, w)
+      .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("h"))
+      .cache()
+    val keepers = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val dups = wins.join(keepers, Seq("h"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val cov = dups
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).cast("int").as("n_covered"))
+    val per = dups.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_dup"),
+        min(col("pos")).as("first_dup_pos"))
+    val tot = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_windows"))
+    tot.join(per, Seq("doc_id")).join(cov, Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        col("n_covered"), col("first_dup_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dedupSubstringExact(s: SparkSession, d: String): DataFrame =
+    substringDedupCounts(docs(s, d), 5)
+
   /** ASYMMETRIC containment dedup (Broder's containment coefficient
     * C(A,B) = |A∩B| / |A|): find fragments that live INSIDE larger
     * documents — quotes, syndicated excerpts, boilerplate blocks — which
@@ -730,6 +807,7 @@ object Dedup {
     "dedup_containment" -> dedupContainment _,
     "dedup_segment" -> dedupSegment _,
     "dedup_segment_keep" -> dedupSegmentKeep _,
+    "dedup_substring_exact" -> dedupSubstringExact _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_edit_distance" -> dedupEditDistance _,
@@ -787,6 +865,46 @@ object Dedup {
              CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped
       FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // overlapping-window replay: group the window STRINGS (the Spark side
+    // exchanges xxhash64 of them), keeper = (min doc, then min pos within
+    // that doc) — lexicographic min(struct) restated without min-of-struct
+    "dedup_substring_exact" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS ws
+        FROM documents),
+      win AS (
+        SELECT doc_id,
+               unnest(range(0, len(ws) - 4)) AS pos,
+               unnest([ array_to_string(ws[i+1 : i+5], ' ')
+                        for i in range(0, len(ws) - 4) ]) AS win
+        FROM w WHERE len(ws) >= 5),
+      k AS (
+        SELECT win, COUNT(*) AS cnt, MIN(doc_id) AS kd
+        FROM win GROUP BY win),
+      k2 AS (
+        SELECT w.win, ANY_VALUE(k.cnt) AS cnt, ANY_VALUE(k.kd) AS kd,
+               MIN(w.pos) AS kp
+        FROM win w JOIN k ON w.win = k.win AND w.doc_id = k.kd
+        GROUP BY w.win),
+      dups AS (
+        SELECT w.doc_id, w.pos
+        FROM win w JOIN k2 ON w.win = k2.win
+        WHERE k2.cnt >= 2 AND NOT (w.doc_id = k2.kd AND w.pos = k2.kp)),
+      cov AS (
+        SELECT doc_id, COUNT(DISTINCT p) AS n_covered
+        FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p FROM dups)
+        GROUP BY doc_id),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_dup, MIN(pos) AS first_dup_pos
+        FROM dups GROUP BY doc_id),
+      tot AS (
+        SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id)
+      SELECT t.doc_id, CAST(t.n_windows AS INT) AS n_windows,
+             CAST(p.n_dup AS INT) AS n_dup,
+             CAST(c.n_covered AS INT) AS n_covered,
+             CAST(p.first_dup_pos AS INT) AS first_dup_pos
+      FROM tot t JOIN per p USING (doc_id) JOIN cov c USING (doc_id)
+      ORDER BY t.doc_id""",
     "dedup_edit_distance" -> s"""
       WITH n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
                  FROM documents)

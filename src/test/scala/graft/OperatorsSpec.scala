@@ -1005,6 +1005,30 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("HashAggregate"), s"html extract not map-only:\n$p")
   }
 
+  test("dedup_substring_exact: overlapping keeper semantics, no per-group sort") {
+    import spark.implicits._
+    // two docs sharing the 5-word span "a b c d e": doc 1 owns the keeper
+    // occurrence (pos 0), doc 2's occurrence at pos 1 is the duplicate —
+    // 1 dup window covering word positions 1..5
+    val tiny = Seq((1L, "a b c d e f"), (2L, "z a b c d e"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.substringDedupCounts(tiny, 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 2L && r.getInt(1) == 2 && r.getInt(2) == 1 &&
+      r.getInt(3) == 5 && r.getInt(4) == 1,
+      s"unexpected rollup: ${r.mkString(",")}")
+    // keeper selection must stay the skew-immune two-phase min-struct
+    // aggregate — never a row_number window (same discipline as
+    // dedup_segment: one hot boilerplate window must partial-combine)
+    val df = SparkEntry.queries("dedup_substring_exact")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"substring keeper regressed to a window:\n$p")
+    assert(p.contains("partial_min") || p.toLowerCase.contains("min(struct"),
+      s"no two-phase min-struct aggregate:\n$p")
+  }
+
   test("agg_mode stays a two-phase aggregate: no Window, no per-group sort") {
     // mode-imputation must keep the skew-immune min_by shape — a
     // row_number regression would sort every hot user in one task
