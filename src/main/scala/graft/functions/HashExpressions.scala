@@ -267,6 +267,94 @@ object HashImpls {
     n
   }
 
+  /** Ranked BPE merge table — the pair-merge counterpart of
+    * [[TokenVocab]]'s greedy longest-match list (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016: iteratively merge the highest-priority adjacent symbol
+    * pair). Hand-ranked over the fixture vocabulary so merge CHAINS are
+    * load-bearing (`b+le→ble`, `ta+ble→table` needs both predecessors)
+    * and rank ORDER is load-bearing (in "star", (t,a)@3 beats (s,t)@11,
+    * yielding `s·ta·r` — a rank-blind merger would produce `st·ar`).
+    * Deterministic literal shared with the DuckDB oracle, which replays
+    * every merge decision via a recursive CTE; a real tokenizer swaps
+    * this array for its learned merges, the kernel is unchanged.
+    */
+  val BpeMerges: Array[(String, String)] = Array(
+    "t" -> "h", "th" -> "e", "l" -> "e", "t" -> "a", "b" -> "le",
+    "ta" -> "ble", "i" -> "n", "e" -> "r", "o" -> "r", "a" -> "n",
+    "o" -> "w", "s" -> "t", "a" -> "r", "r" -> "e", "v" -> "a",
+    "va" -> "l", "u" -> "e", "val" -> "ue", "w" -> "in", "win" -> "d",
+    "wind" -> "ow", "s" -> "l", "sl" -> "ow", "f" -> "a", "fa" -> "st",
+    "p" -> "ar", "par" -> "t", "h" -> "a", "ha" -> "s", "has" -> "h",
+    "s" -> "c", "sc" -> "an", "d" -> "a", "da" -> "ta", "j" -> "o",
+    "jo" -> "in", "b" -> "a", "ba" -> "t", "bat" -> "c", "batc" -> "h")
+
+  private val bpeRank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < BpeMerges.length) {
+      m.put(BpeMerges(i)._1 + " " + BpeMerges(i)._2, i)
+      i += 1
+    }
+    m
+  }
+
+  /** BPE token count of one word: start from per-CODEPOINT symbols (the
+    * byte/char fallback tier; codepoints so supplementary-plane chars
+    * count once in both engines), then repeatedly merge the LEFTMOST
+    * occurrence of the LOWEST-RANK adjacent pair until no table pair is
+    * adjacent — the fully-serializable one-merge-per-step replay form of
+    * the BPE apply loop (each step is a pure function of the symbol
+    * list, which is what lets the oracle replay it level by level).
+    */
+  private def bpeWordTokens(word: String): Int = {
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      toks.add(word.substring(i, i + n))
+      i += n
+    }
+    var done = toks.size <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var bp = -1
+      var j = 0
+      while (j < toks.size - 1) {
+        val r = bpeRank.get(toks.get(j) + " " + toks.get(j + 1))
+        if (r != null && r < best) { best = r; bp = j }
+        j += 1
+      }
+      if (bp < 0) done = true
+      else {
+        toks.set(bp, toks.get(bp) + toks.get(bp + 1))
+        toks.remove(bp + 1)
+        done = toks.size <= 1
+      }
+    }
+    toks.size
+  }
+
+  /** BPE pair-merge subword token count over a single-spaced string
+    * (merges never cross word boundaries, as in every production BPE) →
+    * LONG. One pass over words, bounded merge loop per word.
+    */
+  def bpeTokenCount(s: UTF8String): Long = {
+    val str = s.toString
+    val len = str.length
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        if (i > start) n += bpeWordTokens(str.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    n
+  }
+
   /** Dot product, strict left-to-right accumulation. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -463,6 +551,7 @@ object GraftFunctions {
       if (es.length > 1) intArg(es(1), "word_shingles") else 3)),
     "max_run_count" -> (es => MaxRunCount(es.head)),
     "greedy_token_count" -> (es => GreedyTokenCount(es.head)),
+    "bpe_token_count" -> (es => BpeTokenCount(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "hyperplane_bands" -> (es =>
@@ -501,6 +590,8 @@ object GraftFunctions {
   def max_run_count(c: Column): Column = call_function("max_run_count", c)
   def greedy_token_count(c: Column): Column =
     call_function("greedy_token_count", c)
+  def bpe_token_count(c: Column): Column =
+    call_function("bpe_token_count", c)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def hyperplane_bands(v: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
@@ -543,6 +634,25 @@ case class GreedyTokenCount(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.greedyTokenCount($c)")
   override protected def withNewChildInternal(c: Expression): GreedyTokenCount =
+    copy(child = c)
+}
+
+/** BPE pair-merge subword token count of a STRING → LONG (see
+  * [[HashImpls.bpeTokenCount]] / [[HashImpls.BpeMerges]]). Native
+  * one-pass kernel beside [[GreedyTokenCount]]: ranked merge-loop BPE is
+  * what production tokenizers actually run; both stay inside whole-stage
+  * codegen so the 100 TB packing stage never leaves the scan.
+  */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  override protected def nullSafeEval(v: Any): Any =
+    HashImpls.bpeTokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.bpeTokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount =
     copy(child = c)
 }
 

@@ -636,6 +636,36 @@ object TextAnalysis {
       .orderBy(col("source"), col("bin_id"))
   }
 
+  /** Context-window packing metered by TRUE BPE pair-merge tokens — the
+    * production counterpart of [[textTokenBudget]]'s greedy longest-match
+    * meter: per word, start from codepoint symbols and repeatedly merge
+    * the leftmost lowest-rank adjacent pair from the ranked merge table
+    * ([[graft.functions.HashImpls.BpeMerges]] — Sennrich et al. 2016's
+    * apply loop in its one-merge-per-step replay form, native codegen'd
+    * kernel). Binning is exactly [[packSequences]]'s per-source
+    * cumulative window. The oracle replays EVERY merge decision via a
+    * recursive CTE (one recursion level per merge, the pair-rank scan
+    * restated as a list comprehension over the symbol list) — a kernel
+    * that ever merges the wrong pair or at the wrong position lands in a
+    * different bin sum and fails the hash gate.
+    */
+  private def textTokenBudgetBpe(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val budget = 256
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+        GraftFunctions.bpe_token_count(TF.normText(col("text"))).as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin_id", expr(s"cast((cum - tok) div $budget as int)"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
   /** Deterministic GLOBAL training-order shuffle + range sharding — the
     * step every pretraining run actually consumes that [[packShards]]
     * (size balance) and [[packSequences]] (token budgets) don't gate:
@@ -1415,6 +1445,7 @@ object TextAnalysis {
     "pack_sequences" -> packSequences _,
     "pack_global_shuffle" -> packGlobalShuffle _,
     "text_token_budget" -> textTokenBudget _,
+    "text_token_budget_bpe" -> textTokenBudgetBpe _,
     "pack_interleave" -> packInterleave _,
     "expr_url_parse" -> exprUrlParse _,
     "quality_drift" -> qualityDrift _,
@@ -1520,6 +1551,15 @@ object TextAnalysis {
                  list_filter(fs, f -> f.w >= 5 AND 4*f.links < f.w
                    AND f.st >= 1), f -> f.s), chr(10)), '') AS text_clean
         FROM fx)"""
+
+  /** Pair-rank lookup for the BPE oracle, generated from the shared merge
+    * table: first-match CASE in rank order (pairs are unique, so order is
+    * cosmetic; ranks are the THEN values). ELSE 1000000 = "no merge".
+    */
+  private val BpeCaseSql: String =
+    graft.functions.HashImpls.BpeMerges.zipWithIndex.map {
+      case ((a, b), r) => s"WHEN toks[i] = '$a' AND toks[i+1] = '$b' THEN $r"
+    }.mkString("CASE ", " ", " ELSE 1000000 END")
 
   private val DecontamSql = s"""
       WITH w AS (
@@ -2151,6 +2191,53 @@ object TextAnalysis {
              CAST(c_a * n_b - c_b * n_a AS BIGINT) AS drift
       FROM cnts, tot
       ORDER BY abs(c_a * n_b - c_b * n_a) DESC, bucket LIMIT 20""",
+    // the BPE merge loop replayed move-by-move: one recursion level per
+    // MERGE, the pair-rank scan restated as a CASE list-comprehension
+    // over the symbol list, leftmost-lowest-rank selection via
+    // list_position(list_min) — any wrong pair, wrong position, or wrong
+    // rank order lands in a different bin sum and fails the hash gate
+    "text_token_budget_bpe" -> s"""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, source, $NormSql AS s0 FROM documents),
+      wd AS (
+        SELECT doc_id,
+               unnest(range(1, len(string_split(s0, ' ')) + 1)) AS wi,
+               unnest(string_split(s0, ' ')) AS word
+        FROM t),
+      step(doc_id, wi, toks) AS (
+        SELECT doc_id, wi,
+               [substr(word, CAST(i AS INT), 1) FOR i IN range(1, len(word) + 1)]
+        FROM wd
+        UNION ALL
+        SELECT doc_id, wi,
+               toks[1:bp-1] || [toks[bp] || toks[bp+1]] || toks[bp+2:]
+        FROM (
+          SELECT doc_id, wi, toks,
+                 list_position(rks, list_min(rks)) AS bp,
+                 list_min(rks) AS best
+          FROM (
+            SELECT doc_id, wi, toks,
+                   [$BpeCaseSql FOR i IN range(1, len(toks))] AS rks
+            FROM step) q1) q2
+        WHERE best < 1000000),
+      fin AS (
+        SELECT doc_id, wi, len(toks) AS nt
+        FROM step
+        WHERE coalesce(list_min([$BpeCaseSql FOR i IN range(1, len(toks))]),
+                       1000000) >= 1000000),
+      bt AS (
+        SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS tok FROM fin
+        GROUP BY doc_id),
+      binned AS (
+        SELECT t.source, t.doc_id, bt.tok,
+               SUM(bt.tok) OVER (PARTITION BY t.source ORDER BY t.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM bt JOIN t ON bt.doc_id = t.doc_id)
+      SELECT source, CAST((cum - tok) // 256 AS INT) AS bin_id,
+             CAST(COUNT(*) AS INT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+             MIN(doc_id) AS first_doc
+      FROM binned GROUP BY source, bin_id ORDER BY source, bin_id""",
     // the greedy tokenizer replayed move-by-move: one recursion level
     // per TOKEN, a correlated max-length vocab probe per step — any
     // longest-match decision the kernel gets wrong lands in a different

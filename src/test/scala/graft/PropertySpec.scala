@@ -78,6 +78,55 @@ object KernelProperties extends Properties("graft.kernels") {
     }
   }
 
+  property("bpeTokenCount equals a naive list-based merge-loop reference") = {
+    val ranks: Map[(String, String), Int] =
+      HashImpls.BpeMerges.zipWithIndex.map { case ((a, b), r) => (a, b) -> r }
+        .toMap
+    // direct transliteration of the spec: repeat { merge the LEFTMOST
+    // occurrence of the LOWEST-RANK adjacent pair } until none applies
+    def naiveWord(w: String): Int = {
+      var toks = w.map(_.toString).toList
+      var go = toks.size > 1
+      while (go) {
+        val cands = toks.zip(toks.tail).zipWithIndex
+          .flatMap { case (p, i) => ranks.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) go = false
+        else {
+          val (_, i) = cands.minBy(identity)
+          toks = toks.take(i) ::: (toks(i) + toks(i + 1)) :: toks.drop(i + 2)
+          go = toks.size > 1
+        }
+      }
+      toks.size
+    }
+    val wordGen = Gen.oneOf(
+      // random strings over the merge-table alphabet (dense pair hits)
+      Gen.choose(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("tablevuwindosrcjhfp".toList))
+          .map(_.mkString)),
+      Gen.oneOf("table", "value", "window", "batch", "star", "hash",
+        "data", "join", "the", "scan", "slow", "fast", "part", "sort"))
+    forAll(Gen.listOfN(10, wordGen)) { ws =>
+      val s = ws.mkString(" ")
+      HashImpls.bpeTokenCount(UTF8String.fromString(s)) ==
+        ws.map(naiveWord).sum.toLong
+    }
+  }
+
+  property("bpe golden merges: chains resolve, rank order wins") = {
+    def is(s: String, n: Long) =
+      Prop(HashImpls.bpeTokenCount(UTF8String.fromString(s)) == n) :| s
+    Prop.all(
+      // full merge chains collapse dictionary words to one token
+      (Seq("table", "value", "window", "batch", "the", "hash", "data",
+        "join").map(is(_, 1L)) ++ Seq(
+        // rank order is load-bearing: in "star", (t,a)@3 outranks
+        // (s,t)@11 → s·ta·r, NOT st·ar
+        is("star", 3L), is("sort", 3L),
+        // no-merge fallback stays per-codepoint; words sum independently
+        is("xyz", 3L), is("the table", 2L), is("", 0L))): _*)
+  }
+
   property("rolling hash is prefix-compositional: h(a+b) derivable from h(a)") =
     forAll(Gen.alphaNumStr.map(_.take(40)), Gen.alphaNumStr.map(_.take(40))) {
       (a, b) =>
