@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -151,6 +151,13 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(png))
       require(img != null, s"undecodable gradient PNG for doc $id")
+      averageHash64Img(img)
+    }
+
+    /** aHash over an already-decoded image — lets a multi-feature pass
+      * (dims + hash in `pipeline_multimodal`) decode each PNG once.
+      */
+    def averageHash64Img(img: java.awt.image.BufferedImage): Long = {
       val (w, h) = (img.getWidth, img.getHeight)
       val p = new Array[Long](64)
       var sum = 0L
@@ -398,6 +405,96 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val PackPixelBudget = 10000
+
+  /** The MULTIMODAL curation pipeline — the image-side composition row
+    * beside the text tier's `pipeline_corpus`/`pipeline_curation`/
+    * `pipeline_pretraining`: DECODE every image (real ImageIO pass:
+    * dims + aHash in one decode) → PHASH NEAR-DUP dedup (the
+    * [[mmPhashDedup]] quarter-blocking join; keep-first — a doc with a
+    * hamming ≤ 3 partner of smaller id leaves the corpus) → RESIZE the
+    * survivors (real [[JdkCodecs.decodeResize2x]] nearest-neighbor 2×
+    * downsample) → PACK the resized images into per-source shards under
+    * a pixel budget ([[packSequences]]'s cumulative-window bin rule on
+    * pixel mass). Each stage consumes the previous stage's output, and
+    * the funnel accounts items AND pixel mass per stage — the data-card
+    * bookkeeping for an image corpus.
+    *
+    * Scale shape: one decode pass (map-only, 4 scalars per image cross
+    * the exchange — never pixels), the |corpus|×4-row 16-bit blocking
+    * join, a keep-set anti join on doc_id, one more decode pass over
+    * survivors, and a per-source cumulative window — no stage is ever
+    * image×image, and driver state is zero. Oracle: every stage has a
+    * closed form in doc_id (dims, gradient aHash, resize dims, bin
+    * arithmetic), so the whole chain is value-checked end to end.
+    */
+  private def pipelineMultimodal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = ensureMediaTable(s, d)
+    // one decode per image: dims + perceptual hash (cache: feeds the
+    // blocking join twice + two funnel stages; released by the session
+    // owner via Caches.releaseAll)
+    val sigs = s.read.parquet(path)
+      .select(col("doc_id"), col("source"), col("png_grad"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, src, png) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        require(img != null, s"undecodable gradient PNG for doc $id")
+        (id, src, img.getWidth, img.getHeight,
+          JdkCodecs.averageHash64Img(img))
+      })
+      .toDF("doc_id", "source", "w", "h", "phash")
+      .cache()
+    val quarters = sigs.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("q"),
+            shiftrightunsigned(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+              .as("qv"))): _*)).as("blk"))
+      .select(col("doc_id"), col("phash"), col("blk.q"), col("blk.qv"))
+    val droppedIds = quarters
+      .select(col("doc_id").as("doc_a"), col("phash").as("ph_a"),
+        col("q"), col("qv"))
+      .join(quarters.select(col("doc_id").as("doc_b"),
+        col("phash").as("ph_b"), col("q"), col("qv")), Seq("q", "qv"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 3)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = sigs.join(droppedIds, Seq("doc_id"), "left_anti")
+    // real resize pass over the SURVIVORS only (id-keyed semi join back
+    // to the binary column, then the partition-local decode boundary)
+    val resized = s.read.parquet(path).select(col("doc_id"), col("png_grad"))
+      .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("png_grad"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, src, png) =>
+        val (w2, h2, _) = JdkCodecs.decodeResize2x(id, png)
+        (id, src, w2, h2)
+      })
+      .toDF("doc_id", "source", "out_w", "out_h")
+    val binned = resized
+      .withColumn("px", col("out_w").cast("long") * col("out_h"))
+      .withColumn("cum", sum(col("px")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("bin", expr(s"(cum - px) div $PackPixelBudget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("px")).as("bpx"))
+    def funnel(stage: Int, name: String, df: DataFrame, px: Column) =
+      df.agg(count(lit(1)).as("n_items"), sum(px).cast("long").as("n_pixels"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_items"), col("n_pixels"))
+    val fullPx = col("w").cast("long") * col("h")
+    funnel(0, "decoded", sigs, fullPx)
+      .unionAll(funnel(1, "deduped", kept, fullPx))
+      .unionAll(funnel(2, "resized", resized,
+        col("out_w").cast("long") * col("out_h")))
+      .unionAll(funnel(3, "packed", binned, col("bpx")))
+      .orderBy(col("stage"))
+  }
+
   private val FrameBytes = 256
   private val FrameStride = 4
 
@@ -429,7 +526,8 @@ object Multimodal {
     "mm_decode_real" -> mmDecodeReal _,
     "mm_resize" -> mmResize _,
     "mm_phash_dedup" -> mmPhashDedup _,
-    "mm_frame_sample" -> mmFrameSample _
+    "mm_frame_sample" -> mmFrameSample _,
+    "pipeline_multimodal" -> pipelineMultimodal _
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,6 +590,60 @@ object Multimodal {
       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.ph, b.ph)) <= 3
       ORDER BY doc_a, doc_b""",
+    // the full image chain replayed from closed forms: dims, gradient
+    // aHash + pair drop, resize dims, and the per-source pixel-budget
+    // bin arithmetic — any stage mis-consuming the previous one breaks
+    // a funnel row
+    "pipeline_multimodal" -> s"""
+      WITH g AS (
+        SELECT doc_id, source, 64 + doc_id % 64 AS w, 48 + doc_id % 48 AS h
+        FROM documents WHERE doc_id < $MediaDocs),
+      px AS (
+        SELECT doc_id, (yy.y * 8 + xx.x) AS k,
+               (doc_id + 3 * ((xx.x * w) // 8) + 7 * ((yy.y * h) // 8)) % 256
+                 AS p
+        FROM g, range(0, 8) xx(x), range(0, 8) yy(y)),
+      tot AS (SELECT doc_id, SUM(p) AS s FROM px GROUP BY doc_id),
+      bits AS (
+        SELECT px.doc_id,
+               SUM(CASE WHEN p * 64 > s AND k < 32
+                        THEN (1::UBIGINT << CAST(31 - k AS INT))
+                        ELSE 0::UBIGINT END) AS hi,
+               SUM(CASE WHEN p * 64 > s AND k >= 32
+                        THEN (1::UBIGINT << CAST(63 - k AS INT))
+                        ELSE 0::UBIGINT END) AS lo
+        FROM px JOIN tot ON px.doc_id = tot.doc_id GROUP BY px.doc_id),
+      ph AS (
+        SELECT doc_id, hi::UBIGINT * 4294967296::UBIGINT + lo::UBIGINT AS ph
+        FROM bits),
+      dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+      kept AS (
+        SELECT g.* FROM g
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+      rz AS (
+        SELECT doc_id, source, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+        FROM kept),
+      binned AS (
+        SELECT source, doc_id, ow * oh AS px2,
+               SUM(ow * oh) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rz),
+      bins AS (
+        SELECT source, (cum - px2) // $PackPixelBudget AS bin,
+               CAST(SUM(px2) AS BIGINT) AS bpx
+        FROM binned GROUP BY source, (cum - px2) // $PackPixelBudget)
+      SELECT 0 AS stage, 'decoded' AS stage_name, COUNT(*) AS n_items,
+             CAST(SUM(w * h) AS BIGINT) AS n_pixels FROM g
+      UNION ALL
+      SELECT 1, 'deduped', COUNT(*), CAST(SUM(w * h) AS BIGINT) FROM kept
+      UNION ALL
+      SELECT 2, 'resized', COUNT(*), CAST(SUM(ow * oh) AS BIGINT) FROM rz
+      UNION ALL
+      SELECT 3, 'packed', COUNT(*), CAST(SUM(bpx) AS BIGINT) FROM bins
+      ORDER BY stage""",
     // the generator's closed forms, restated independently in SQL: any
     // pixel/sample mis-decode breaks a SUM and fails the hash compare
     "mm_decode_real" -> s"""

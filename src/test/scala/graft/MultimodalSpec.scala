@@ -111,6 +111,27 @@ class MultimodalSpec extends AnyFunSuite {
       s"pair generation must go through the quarter-block equi-join:\n$p")
   }
 
+  test("pipeline_multimodal: funnel is monotone and cartesian-free") {
+    val df = operators.Multimodal.queries("pipeline_multimodal")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val byStage = rows.map(r => r.getAs[String]("stage_name") ->
+      (r.getAs[Long]("n_items"), r.getAs[Long]("n_pixels"))).toMap
+    val (nDec, pxDec) = byStage("decoded")
+    val (nKept, pxKept) = byStage("deduped")
+    val (nRz, pxRz) = byStage("resized")
+    val (nBins, pxBins) = byStage("packed")
+    assert(nDec > 0 && nKept < nDec, "phash dedup must drop something")
+    assert(nRz == nKept, "resize consumes exactly the keep set")
+    assert(pxRz < pxKept && pxBins == pxRz,
+      "resize shrinks pixel mass; packing preserves it")
+    assert(nBins > 0 && nBins < nRz, "packing must bin multiple images")
+    assert(pxKept < pxDec, "dropped images must take their pixels with them")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"pipeline must stay on the quarter-block equi-join:\n$p")
+  }
+
   test("mm_decode_real decodes the generated corpus at sf0.001") {
     val rows = operators.Multimodal.queries("mm_decode_real")(spark, sfDir)
       .collect()
