@@ -108,11 +108,18 @@ class SessionContext(val spark: SparkSession) {
   /** reference: rust/client/src/context.rs:309-315 (`explain`). */
   def explain(df: DataFrame, verbose: Boolean = false): Unit = df.explain(verbose)
 
-  /** CSV sink (reference: rust/benchmarks/tpch/src/main.rs:232 `write_csv`). */
+  /** CSV sink (reference: rust/benchmarks/tpch/src/main.rs:232 `write_csv`).
+    * The writer's ignore-whitespace options default to TRUE (unlike the
+    * reader's), silently trimming leading/trailing whitespace — including
+    * whitespace-translated payload newlines — from field values; a sink
+    * must be byte-exact by construction, so they are pinned off.
+    */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                delimiter: String = ","): Unit =
     df.write.mode("overwrite")
       .option("header", header.toString).option("delimiter", delimiter)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   /** Parquet sink with codec selection

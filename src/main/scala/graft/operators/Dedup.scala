@@ -37,6 +37,24 @@ object Dedup {
   private val ShingleN = 3
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Exact-integer ppjoin prefix divisor for a similarity threshold t:
+    * the prefix bound |x| − ⌈t·|x|⌉ + 1 equals `sz div D + 1` with
+    * D = 1/(1−t) whenever D is integral — computed HERE from t (with the
+    * integrality requirement enforced) instead of hardcoding 5/10 at the
+    * filter sites, so changing a threshold cannot silently void the
+    * recall guarantee. The float spelling floor((1−t)·sz)+1 is wrong:
+    * (1−0.8) is 0.19999…, under-counting by one whenever t·sz is
+    * integral.
+    */
+  private def prefixDivisor(t: Double): Int = {
+    val d = 1.0 / (1.0 - t)
+    val r = math.round(d)
+    require(math.abs(d - r) < 1e-9,
+      s"ppjoin prefix bound needs integral 1/(1-t); got t=$t (1/(1-t)=$d) — " +
+        "use the exact-decimal ceil form for non-integral thresholds")
+    r.toInt
+  }
+
   /** doc_id → distinct 3-word shingle set (native codegen'd expression;
     * the pure-built-in composition [[TF.wordShingles]] is the portable
     * fallback but evaluates higher-order lambdas interpreted).
@@ -103,11 +121,9 @@ object Dedup {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s"))
     val prefix = inv.join(dfreq, Seq("s"))
       .withColumn("rk", row_number().over(w))
-      // |x| − ⌈t·|x|⌉ + 1 in EXACT integer form (sz div 5 for t = 0.8):
-      // the float floor((1−t)·sz)+1 computes (1−0.8) as 0.19999…, which
-      // under-counts the prefix by one whenever t·sz is integral (sz = 5
-      // → prefix 1 where the ppjoin recall guarantee needs 2)
-      .filter(col("rk") <= expr("sz div 5") + 1)
+      // |x| − ⌈t·|x|⌉ + 1 in EXACT integer form via [[prefixDivisor]]
+      // (sz div 5 for t = 0.8); see its scaladoc for the float trap
+      .filter(col("rk") <= expr(s"sz div ${prefixDivisor(JaccardThreshold)}") + 1)
       .select(col("doc_id"), col("s"))
     val candidates = prefix.select(col("doc_id").as("doc_a"), col("s"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -784,11 +800,10 @@ object Dedup {
     val prefix = finv.join(dfreq, Seq("s"), "left")
       .na.fill(0L, Seq("df"))
       .withColumn("rk", row_number().over(w))
-      // prefix length |A| − ⌈t·|A|⌉ + 1 in EXACT integer form (szf div 10
-      // for t = 0.9): the float spelling floor((1−t)·szf)+1 under-counts
-      // by one whenever t·szf is integral ((1−0.9) is 0.0999…, so
-      // szf = 40 yielded prefix 4 where recall needs 5)
-      .filter(col("rk") <= expr("szf div 10") + 1)
+      // prefix length |A| − ⌈t·|A|⌉ + 1 in EXACT integer form via
+      // [[prefixDivisor]] (szf div 10 for t = 0.9); see its scaladoc for
+      // the float trap this replaces
+      .filter(col("rk") <= expr(s"szf div ${prefixDivisor(t)}") + 1)
       .select(col("frag_id"), col("s"))
     val candidates = prefix.join(inv, Seq("s"))
       .select(col("frag_id"), col("doc_id")).distinct()

@@ -88,8 +88,12 @@ object Relational {
         translate(col("text"), " ", "\n").as("text_ml"))
     val path = scratch("documents_multiline_csv")
     ctx.writeCsv(src, path, header = true, delimiter = ",")
+    // emptyValue="" keeps a round-tripped empty string an empty string
+    // (the reader's default maps it to null — byte-exactness, not fixture
+    // luck, is what makes this row equal the oracle's replace())
     s.read.schema(src.schema)
       .option("header", "true").option("multiLine", "true")
+      .option("emptyValue", "")
       .csv(path)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),

@@ -766,7 +766,12 @@ object TextAnalysis {
     */
   private def packInterleave(s: SparkSession, d: String): DataFrame = {
     val K = 200
-    val srcNum = regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+    // coalesce(…, 0): a source name without trailing digits must yield a
+    // defined stride (1), not a null virtual time whose NULLS FIRST/LAST
+    // ordering diverges between engines — a naming change fails loudly in
+    // values, never silently in order
+    val srcNum = coalesce(
+      regexp_extract(col("source"), "(\\d+)$", 1).cast("int"), lit(0))
     val keyed = docs(s, d).select(col("doc_id"), col("source"),
         md5(concat(lit("7:"), col("doc_id").cast("string"))).as("k"))
       .withColumn("stride", pmod(srcNum, lit(4)) + 1)
@@ -2158,8 +2163,8 @@ object TextAnalysis {
     "pack_interleave" -> raw"""
       WITH t AS (
         SELECT doc_id, source, md5('7:' || doc_id) AS k,
-               (CAST(regexp_extract(source, '(\d+)$$', 1) AS INT) % 4) + 1
-                 AS stride
+               (COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$$', 1)
+                  AS INT), 0) % 4) + 1 AS stride
         FROM documents),
       r AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id)
