@@ -713,14 +713,14 @@ object Dedup {
           .as(Seq("pos", "win")))
   }
 
-  /** Per-doc overlapping-window dedup rollup over any (`doc_id`, `text`)
-    * frame: docs owning at least one non-keeper occurrence of a
-    * multiply-seen window, with window/position coverage counts.
+  /** Occurrence table (cached — feeds the keeper aggregate, the
+    * join-back, and per-doc totals; released by the session owner via
+    * Caches.releaseAll) plus the non-keeper occurrences of multiply-seen
+    * windows — the "duplicate text" set shared by the counts and keep
+    * rows.
     */
-  def substringDedupCounts(docsDf: DataFrame, w: Int): DataFrame = {
-    // cache: the occurrence table feeds the keeper aggregate, the
-    // join-back, and the per-doc totals; released by the session owner
-    // via Caches.releaseAll (the lazy-builder contract on graft.Caches)
+  private def substringDups(docsDf: DataFrame, w: Int)
+      : (DataFrame, DataFrame) = {
     val wins = substringWindows(docsDf, w)
       .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("h"))
       .cache()
@@ -732,6 +732,15 @@ object Dedup {
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos"))
+    (wins, dups)
+  }
+
+  /** Per-doc overlapping-window dedup rollup over any (`doc_id`, `text`)
+    * frame: docs owning at least one non-keeper occurrence of a
+    * multiply-seen window, with window/position coverage counts.
+    */
+  def substringDedupCounts(docsDf: DataFrame, w: Int): DataFrame = {
+    val (wins, dups) = substringDups(docsDf, w)
     val cov = dups
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
@@ -750,6 +759,39 @@ object Dedup {
 
   private def dedupSubstringExact(s: SparkSession, d: String): DataFrame =
     substringDedupCounts(docs(s, d), 5)
+
+  /** The materialized EXCISION of [[substringDedupCounts]] — the corpus
+    * Lee et al. actually train on: every document rebuilt from only the
+    * word positions NOT covered by a non-keeper occurrence of a
+    * multiply-seen window (one occurrence of each duplicated span keeps
+    * its text, everything else loses it; fully-covered documents vanish,
+    * sub-W-word documents pass through untouched). Shape: the covered
+    * position set (distinct (doc, p) — bounded by dup_windows × W), one
+    * corpus-sized word posexplode, an anti join on (doc, p), and an
+    * order-preserving doc-grain rebuild via `array_sort` over (p, word)
+    * structs — no window, no per-group sort, same rebuild idiom as
+    * [[dedupSegmentKeep]].
+    */
+  def substringKeep(docsDf: DataFrame, w: Int): DataFrame = {
+    val (_, dups) = substringDups(docsDf, w)
+    val covered = dups
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+    val words = docsDf.select(col("doc_id"),
+      posexplode(TF.words(col("text"))).as(Seq("p", "word")))
+    words.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("word")))),
+          x => x.getField("word"))).as("kept_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dedupSubstringKeep(s: SparkSession, d: String): DataFrame =
+    substringKeep(docs(s, d), 5)
 
   /** ASYMMETRIC containment dedup (Broder's containment coefficient
     * C(A,B) = |A∩B| / |A|): find fragments that live INSIDE larger
@@ -823,6 +865,7 @@ object Dedup {
     "dedup_segment" -> dedupSegment _,
     "dedup_segment_keep" -> dedupSegmentKeep _,
     "dedup_substring_exact" -> dedupSubstringExact _,
+    "dedup_substring_keep" -> dedupSubstringKeep _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_edit_distance" -> dedupEditDistance _,
@@ -920,6 +963,44 @@ object Dedup {
              CAST(p.first_dup_pos AS INT) AS first_dup_pos
       FROM tot t JOIN per p USING (doc_id) JOIN cov c USING (doc_id)
       ORDER BY t.doc_id""",
+    // the excision replayed: covered = dup-window position spans, kept =
+    // word positions outside them, rebuild ordered by position
+    "dedup_substring_keep" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS ws
+        FROM documents),
+      win AS (
+        SELECT doc_id,
+               unnest(range(0, len(ws) - 4)) AS pos,
+               unnest([ array_to_string(ws[i+1 : i+5], ' ')
+                        for i in range(0, len(ws) - 4) ]) AS win
+        FROM w WHERE len(ws) >= 5),
+      k AS (
+        SELECT win, COUNT(*) AS cnt, MIN(doc_id) AS kd
+        FROM win GROUP BY win),
+      k2 AS (
+        SELECT w.win, ANY_VALUE(k.cnt) AS cnt, ANY_VALUE(k.kd) AS kd,
+               MIN(w.pos) AS kp
+        FROM win w JOIN k ON w.win = k.win AND w.doc_id = k.kd
+        GROUP BY w.win),
+      dups AS (
+        SELECT w.doc_id, w.pos
+        FROM win w JOIN k2 ON w.win = k2.win
+        WHERE k2.cnt >= 2 AND NOT (w.doc_id = k2.kd AND w.pos = k2.kp)),
+      cov AS (
+        SELECT DISTINCT doc_id, p
+        FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p FROM dups)),
+      words AS (
+        SELECT doc_id, unnest(range(0, len(ws))) AS p, unnest(ws) AS word
+        FROM w),
+      kept AS (
+        SELECT wd.doc_id, wd.p, wd.word
+        FROM words wd LEFT JOIN cov
+          ON wd.doc_id = cov.doc_id AND wd.p = cov.p
+        WHERE cov.p IS NULL)
+      SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS kept_text,
+             CAST(COUNT(*) AS INT) AS n_kept
+      FROM kept GROUP BY doc_id ORDER BY doc_id""",
     "dedup_edit_distance" -> s"""
       WITH n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
                  FROM documents)

@@ -1018,6 +1018,12 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2L && r.getInt(1) == 2 && r.getInt(2) == 1 &&
       r.getInt(3) == 5 && r.getInt(4) == 1,
       s"unexpected rollup: ${r.mkString(",")}")
+    // the excision twin on the same tiny corpus: doc 1 keeps everything
+    // (owns the keeper), doc 2 loses positions 1..5 and keeps only "z"
+    val keep = operators.Dedup.substringKeep(tiny, 5).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(keep(1L) == ("a b c d e f", 6) && keep(2L) == ("z", 1),
+      s"unexpected excision: $keep")
     // keeper selection must stay the skew-immune two-phase min-struct
     // aggregate — never a row_number window (same discipline as
     // dedup_segment: one hot boilerplate window must partial-combine)
