@@ -179,6 +179,36 @@ object Multimodal {
       bits
     }
 
+    /** Decode + 2× PCM downsample (every other sample, the audio-side
+      * twin of [[decodeResize2x]] — the sample-rate halving step an
+      * audio-preprocess pipeline runs before feature extraction):
+      * returns (n_out_samples, sum of the sampled amplitudes). 16-bit
+      * mono PCM is exact, so both are integers the oracle re-derives
+      * from the generator's closed forms.
+      */
+    def decodeResampleWav2x(id: Long, wav: Array[Byte]): (Int, Long) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected WAV format for doc $id: $fmt")
+      val bytes = ais.readAllBytes()
+      ais.close()
+      val n = bytes.length / 2
+      var i = 0
+      var out = 0
+      var sum = 0L
+      while (i < n) { // even indices 0, 2, 4, … — ⌈n/2⌉ samples
+        val (lo, hi) =
+          if (fmt.isBigEndian) (bytes(2 * i + 1), bytes(2 * i))
+          else (bytes(2 * i), bytes(2 * i + 1))
+        sum += (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toLong
+        out += 1
+        i += 2
+      }
+      (out, sum)
+    }
+
     def encodeWav(id: Long): Array[Byte] = {
       val n = nSamples(id)
       val amp = amplitude(id)
@@ -405,6 +435,29 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Audio RESAMPLE over the binary media table — the audio verb beside
+    * the image tier's [[mmResize]], completing decode/feature/resize/
+    * frame-sample across modalities: per partition, decode the WAV and
+    * halve the sample rate (every other PCM sample), emitting exact
+    * integer sample-count and amplitude-mass features. Same streaming
+    * mapPartitions boundary; 3 scalars per row cross the exchange, never
+    * audio. Oracle re-derives both outputs from the generator's closed
+    * forms (constant amplitude ⇒ sum = amp·⌈n/2⌉) — a resampler that
+    * drops, duplicates, or mis-aligns one sample fails the hash gate.
+    */
+  private def mmAudioResample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = ensureMediaTable(s, d)
+    s.read.parquet(path).select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, wav) =>
+        val (nOut, sum) = JdkCodecs.decodeResampleWav2x(id, wav)
+        (id, nOut, sum)
+      })
+      .toDF("doc_id", "n_out_samples", "sum_amp")
+      .orderBy(col("doc_id"))
+  }
+
   private val PackPixelBudget = 10000
 
   /** The MULTIMODAL curation pipeline — the image-side composition row
@@ -527,6 +580,7 @@ object Multimodal {
     "mm_resize" -> mmResize _,
     "mm_phash_dedup" -> mmPhashDedup _,
     "mm_frame_sample" -> mmFrameSample _,
+    "mm_audio_resample" -> mmAudioResample _,
     "pipeline_multimodal" -> pipelineMultimodal _
   )
 
@@ -590,6 +644,14 @@ object Multimodal {
       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.ph, b.ph)) <= 3
       ORDER BY doc_a, doc_b""",
+    // constant amplitude ⇒ the resampled mass has a closed form; ceil
+    // division (n+1)//2 = the even-index sample count
+    "mm_audio_resample" -> s"""
+      SELECT doc_id,
+             CAST((500 + doc_id % 500 + 1) // 2 AS INT) AS n_out_samples,
+             CAST(((doc_id * 131) % 2048 - 1024)
+               * ((500 + doc_id % 500 + 1) // 2) AS BIGINT) AS sum_amp
+      FROM documents WHERE doc_id < $MediaDocs ORDER BY doc_id""",
     // the full image chain replayed from closed forms: dims, gradient
     // aHash + pair drop, resize dims, and the per-source pixel-budget
     // bin arithmetic — any stage mis-consuming the previous one breaks

@@ -111,6 +111,14 @@ class MultimodalSpec extends AnyFunSuite {
       s"pair generation must go through the quarter-block equi-join:\n$p")
   }
 
+  test("audio resample halves sample count (ceil) and keeps amplitude mass") {
+    for (id <- Seq(3L, 4L)) { // n = 503 (odd, ceil path) and 504 (even)
+      val (n, sum) = JdkCodecs.decodeResampleWav2x(id, JdkCodecs.encodeWav(id))
+      assert(n == (MediaSpec.nSamples(id) + 1) / 2, s"doc $id count")
+      assert(sum == MediaSpec.amplitude(id).toLong * n, s"doc $id mass")
+    }
+  }
+
   test("pipeline_multimodal: funnel is monotone and cartesian-free") {
     val df = operators.Multimodal.queries("pipeline_multimodal")(spark, sfDir)
     val rows = df.collect()
