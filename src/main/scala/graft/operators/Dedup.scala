@@ -847,6 +847,16 @@ object Dedup {
       // the float trap this replaces
       .filter(col("rk") <= expr(s"szf div ${prefixDivisor(t)}") + 1)
       .select(col("frag_id"), col("s"))
+    // Measured alternative (r10, SF≈1 canary, quiet windows, matched JVM
+    // flags): adding PPJoin's POSITIONAL filter (Xiao et al., WWW 2008
+    // §3.2 — rank corpus postings per doc under the same (df, s) order,
+    // admit a match at (rka, rkb) only if 1 + min(szf−rka, szb−rkb) ≥
+    // ⌈t·szf⌉) benches SLOWER here: 5.4–7.4 s vs 4.5–4.7 s for this
+    // shape. The corpus-side per-doc ranking window costs a full extra
+    // postings shuffle + sort, while the candidates it prunes feed a
+    // verify join that is already cheap at this duplication profile —
+    // the right trade only when candidate verification dominates (very
+    // hot shingles surviving the prefix), not a default.
     val candidates = prefix.join(inv, Seq("s"))
       .select(col("frag_id"), col("doc_id")).distinct()
     candidates.join(frags, Seq("frag_id"))
