@@ -1348,6 +1348,41 @@ object Relational {
           col("exact_parts") * lit(0.05)).as("within_5pct"))
   }
 
+  /** Sketch-tier driver gate, Count-Min frequency sketch (Cormode &
+    * Muthukrishnan 2005) — the heavy-hitter/point-frequency member of
+    * the sketch family beside HLL (distinct) and percentile (rank):
+    * `count_min_sketch(l_suppkey, eps, conf, seed)` builds one
+    * fixed-size mergeable sketch over the fact table; ten point
+    * frequencies are probed from the deserialized sketch (bounded
+    * driver metadata — width×depth counters ≈ 80 KB, the centroid/
+    * codebook class) and gated against CMS's two-sided contract: the
+    * estimate NEVER undercounts, and overshoot is ≤ ε·N (here a ≥5σ-
+    * style margin: collisions need ~600× the expected mass to breach
+    * it, and the fixed seed makes the booleans deterministic — same
+    * never-flake argument as [[aggApproxDistinct]]). At 100 TB the
+    * sketch replaces a full groupBy on the probe column with kilobytes
+    * of mergeable state per shard.
+    */
+  private def aggCountMinSketch(s: SparkSession, d: String): DataFrame = {
+    val eps = 0.001
+    val skRow = li(s, d).agg(
+      expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+    val band = (eps * skRow.getAs[Long]("n")).toLong
+    val est: Column = (0L to 9L).foldLeft(lit(-1L)) { (acc, k) =>
+      when(col("l_suppkey") === k, lit(cms.estimateCount(k))).otherwise(acc)
+    }
+    li(s, d).filter(col("l_suppkey") <= 9)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .select(col("l_suppkey"), col("exact_cnt"),
+        (est >= col("exact_cnt")).as("never_under"),
+        (est <= col("exact_cnt") + lit(band)).as("within_eps_band"))
+      .orderBy(col("l_suppkey"))
+  }
+
   /** Sketch-tier driver gate, KLL-style quantiles: approx_percentile with
     * accuracy A guarantees rank error ≤ n/A, so the estimate must lie
     * between the exact percentiles at p ± 1/A — checked in-Spark, TRUE in
@@ -2709,6 +2744,7 @@ object Relational {
     "agg_mode" -> aggMode _,
     "window_topk_rows" -> windowTopkRows _,
     "agg_approx_distinct" -> aggApproxDistinct _,
+    "agg_count_min_sketch" -> aggCountMinSketch _,
     "agg_approx_quantile" -> aggApproxQuantile _,
     "agg_sketch_merge" -> aggSketchMerge _,
     "profile_table" -> profileTable _,
@@ -3580,6 +3616,11 @@ object Relational {
       SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS exact_parts,
              TRUE AS within_5pct
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "agg_count_min_sketch" -> """
+      SELECT l_suppkey, COUNT(*) AS exact_cnt,
+             TRUE AS never_under, TRUE AS within_eps_band
+      FROM lineitem WHERE l_suppkey <= 9
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
     "agg_sketch_merge" -> """
       SELECT COUNT(DISTINCT l_linestatus) AS n_shards,
              COUNT(DISTINCT l_partkey) AS exact_parts,
