@@ -954,18 +954,21 @@ class TextPipelineSpec extends AnyFunSuite {
   test("pipeline_curation: strictly shrinking funnel, stages recompose") {
     val rows = SparkEntry.queries("pipeline_curation")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(rows.map(_._2).toSeq == Seq("raw", "c4", "url_dedup", "selected"))
+    assert(rows.map(_._2).toSeq ==
+      Seq("raw", "html", "c4", "url_dedup", "selected"))
     val docsN = rows.map(_._3)
     assert(docsN.zip(docsN.tail).forall { case (a, b) => a > b && b > 0 },
       s"every stage must drop documents and keep some: ${docsN.toSeq}")
     val words = rows.map(_._4)
     assert(words.zip(words.tail).forall { case (a, b) => a > b && b > 0 })
-    // composition check: the c4 stage count must equal the standalone
-    // row's count (same kernel, same fixture plants), and the url stage
-    // must collapse to at most the 7x40 planted canonical groups
-    val c4Alone = SparkEntry.queries("text_c4_filters")(spark, sfDir).count()
-    assert(rows(1)._3 == c4Alone)
-    assert(rows(2)._3 <= 280)
+    // composition checks: the html stage count must equal the standalone
+    // extraction row's count of docs with any surviving line (same
+    // kernel, same fixture pages), and the url stage must collapse to at
+    // most the 7x40 planted canonical groups
+    val htmlAlone = SparkEntry.queries("text_html_extract")(spark, sfDir)
+      .filter(col("n_lines_kept") >= 1).count()
+    assert(rows(1)._3 == htmlAlone)
+    assert(rows(3)._3 <= 280)
   }
 
   test("sample_importance equals a local DSIR-shape recompute; profile broadcasts") {
