@@ -762,6 +762,52 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Build-once lineitem copy with a parquet BLOOM FILTER on l_partkey —
+    * public so the spec can open the same files and assert the bloom
+    * exists in every row-group footer (the filter is an IO-level skip,
+    * invisible in the plan).
+    */
+  def ensureBloomTable(s: SparkSession, d: String): String =
+    graft.Scratch.ensure(s,
+      s"bloom_lineitem_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "lineitem"))) { dir =>
+      li(s, d).select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+        // parquet-mr SKIPS the bloom when every page of the column is
+        // dictionary-encoded (the dictionary already filters exactly);
+        // the small fixture's key set fits a dictionary where a real
+        // 100 TB high-NDV key never would, so pin plain encoding to get
+        // the production file shape
+        .option("parquet.enable.dictionary#l_partkey", "false")
+        .parquet(s"$dir/lineitem_bloom")
+    } + "/lineitem_bloom"
+
+  /** Parquet BLOOM-FILTER point-lookup path — the IO-level source feature
+    * beyond min/max zone maps (which a high-NDV key in UNSORTED row
+    * groups defeats: every row group's [min,max] spans the probe key, so
+    * nothing prunes): the writer embeds a split-block bloom filter per
+    * row group ([[ensureBloomTable]]), and a selective IN probe lets the
+    * reader skip row groups whose bloom rejects every key — at 100 TB
+    * this is the difference between reading 4 row groups and reading
+    * them all for a needle query. Fidelity IS the gate (same contract as
+    * the ORC/codec rows): the probe aggregate must hash-match DuckDB on
+    * the ORIGINAL table, so a bloom that drops a true row (impossible by
+    * construction — blooms have no false negatives — but a broken
+    * writer/reader path does not) breaks the sums; the filter's
+    * EXISTENCE in every row-group footer is spec-asserted.
+    */
+  private def scanParquetBloom(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureBloomTable(s, d))
+      .filter(col("l_partkey").isin(0L, 1L, 2L, 3L))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_partkey"))
+
   /** ORC source/sink round-trip — a columnar format the reference never
     * supported (its external tables are CSV/Parquet/NdJson only,
     * reference: rust/core/proto/ballista.proto:236-248). Fidelity IS the
@@ -2682,6 +2728,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> scanParquet _,
+    "scan_parquet_bloom" -> scanParquetBloom _,
     "scan_csv_roundtrip" -> csvRoundtrip _,
     "scan_csv_multiline" -> scanCsvMultiline _,
     "scan_csv_header" -> csvHeaderRoundtrip _,
@@ -2809,6 +2856,12 @@ object Relational {
       SELECT l_returnflag, ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n
       FROM lineitem WHERE l_quantity >= 45
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "scan_parquet_bloom" -> s"""
+      SELECT l_partkey, COUNT(*) AS n,
+             CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+             ${ds("l_quantity")} AS sum_qty
+      FROM lineitem WHERE l_partkey IN (0, 1, 2, 3)
+      GROUP BY l_partkey ORDER BY l_partkey""",
     "scan_csv_roundtrip" -> s"""
       SELECT l_linestatus, ${ds("l_quantity")} AS sum_qty,
              ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n

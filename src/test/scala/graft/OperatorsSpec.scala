@@ -973,6 +973,39 @@ class PlanSpec extends AnyFunSuite {
       || pkb.toLowerCase.contains("max_by"), s"no max_by aggregate:\n$pkb")
   }
 
+  test("scan_parquet_bloom: bloom filters exist per row group, probe pushed") {
+    val df = SparkEntry.queries("scan_parquet_bloom")(spark, sfDir)
+    assert(df.count() > 0)
+    // the bloom is an IO-level skip invisible in the plan — assert its
+    // EXISTENCE in every row-group footer for the probe column
+    val dir = operators.Relational.ensureBloomTable(spark, sfDir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    var checked = 0
+    for (f <- files) {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try r.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "l_partkey") {
+            assert(c.getBloomFilterOffset >= 0,
+              s"no bloom filter for l_partkey in ${f.getName}")
+            checked += 1
+          }
+        }
+      } finally r.close()
+    }
+    assert(checked > 0, "no l_partkey column chunks inspected")
+    // the probe must reach the scan as pushed filters — that is what the
+    // reader's bloom consumption keys off
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_partkey"),
+      s"probe not pushed to the scan:\n$plan")
+  }
+
   test("text_html_extract rules: script/style/nav/footer die, content survives") {
     import spark.implicits._
     // hand-built page exercising each rule in isolation: script text must
