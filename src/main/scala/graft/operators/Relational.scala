@@ -563,6 +563,39 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join (pandas `merge_asof(direction="forward")` — the
+    * "next fill at-or-after the order" quadrant completing the direction
+    * family: backward [[joinAsof]], nearest [[joinAsofNearest]], bounded
+    * [[joinAsofTolerance]]): each click matched to the FIRST purchase of
+    * the same user at or after the click. Same one-shuffle tagged-union
+    * shape as [[joinAsof]]; the side key now sorts the click BEFORE
+    * same-timestamp purchases so exact matches are admitted (pandas
+    * `allow_exact_matches=True`), and a running-FIRST over
+    * [current, +∞) replaces the running-last. Linear per user, never a
+    * clicks×purchases join.
+    */
+  private def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("l_event"),
+        lit(null).cast(LongType).as("r_event"),
+        lit(null).cast(DoubleType).as("r_value"), lit(0).as("side"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("l_event"),
+        col("event_id").as("r_event"), col("value").as("r_value"),
+        lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("r_event"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("asof_event", first(col("r_event"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", first(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("l_event").as("event_id"), col("user_id"),
+        col("asof_event"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Nearest-direction as-of join (pandas `merge_asof(direction=
     * "nearest")` / kdb `aj` nearest variant): each click matched to the
     * CLOSEST purchase of the same user in either time direction, ties
@@ -2752,6 +2785,7 @@ object Relational {
     "scan_csv_malformed" -> scanCsvMalformed _,
     "join_cross" -> joinCross _,
     "join_asof" -> joinAsof _,
+    "join_asof_forward" -> joinAsofForward _,
     "join_asof_nearest" -> joinAsofNearest _,
     "join_asof_tolerance" -> joinAsofTolerance _,
     "join_range" -> joinRange _,
@@ -3325,6 +3359,21 @@ object Relational {
              arg_max(r.event_id, r.ord) AS asof_event,
              arg_max(r.value, r.ord) AS asof_value
       FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+      GROUP BY l.event_id, l.user_id
+      ORDER BY event_id""",
+    // forward = earliest at-or-after candidate: arg_min over ord with the
+    // window flipped to r.ts >= l.ts (exact matches admitted)
+    "join_asof_forward" -> """
+      WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click'),
+           r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                        CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT)
+                          * 10000000000 + event_id AS ord
+                 FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id AS event_id, l.user_id AS user_id,
+             arg_min(r.event_id, r.ord) AS asof_event,
+             arg_min(r.value, r.ord) AS asof_value
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
       GROUP BY l.event_id, l.user_id
       ORDER BY event_id""",
     // backward-nearest within tolerance == any-candidate within tolerance

@@ -111,6 +111,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"nearest as-of must not join:\n$p")
   }
 
+  test("join_asof_forward: first at-or-after match, brute-checked, join-free") {
+    import org.apache.spark.sql.functions._
+    val ev = streaming.Streaming.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchByUser = ev.filter(_._4 == "purchase").groupBy(_._1)
+    val clickUs = ev.filter(_._4 == "click").map(e => e._3 -> (e._1, e._2)).toMap
+    val df = SparkEntry.queries("join_asof_forward")(spark, sfDir)
+    val got = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.nonEmpty)
+    var matched = 0
+    for ((cid, fwd) <- got) {
+      val (user, cus) = clickUs(cid)
+      val cand = purchByUser.getOrElse(user, Array.empty)
+        .filter(_._2 >= cus) // at-or-after: exact matches admitted
+      if (cand.isEmpty) assert(fwd == -1L, s"click $cid: phantom forward match")
+      else {
+        // earliest ts, then smallest event id — the deterministic pick
+        val want = cand.minBy(p => (p._2, p._3))._3
+        assert(fwd == want, s"click $cid: got $fwd want $want")
+        matched += 1
+      }
+    }
+    assert(matched > 0, "fixture must contain forward matches")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"forward as-of must not join:\n$p")
+  }
+
   test("join_asof_tolerance: bounded staleness, every verdict brute-checked") {
     import org.apache.spark.sql.functions._
     val tolUs = 15L * 60 * 1000000
