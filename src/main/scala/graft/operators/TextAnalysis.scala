@@ -1021,27 +1021,50 @@ object TextAnalysis {
   private def pipelinePretraining(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val raw = docs(s, d).select(col("doc_id"), col("text"))
+    // Each pipeline stage runs ONCE. The naive funnel re-evaluated the
+    // whole lazy upstream per stage (classifier 3×, decontamination 2×)
+    // and re-tokenized the corpus 4× — at 100 TB that multiplier is the
+    // pipeline's entire cost. Instead: cache the doc_id-only survivor
+    // sets (16 bytes/doc, the ONLY thing a stage needs to expose) plus a
+    // single (doc_id, tok) tokenizer pass, tag every doc with the last
+    // stage it survived, and compute all four funnel rows in one
+    // aggregate over that tagged pass. Caches are doc_id-width and
+    // released by the session owner via Caches.releaseAll.
     val scored = classifierScores(raw)
-    val kept = raw.join(
-      scored.filter(col("keep") === 1).select(col("doc_id")), Seq("doc_id"))
+    val keptIds = scored.filter(col("keep") === 1)
+      .select(col("doc_id")).cache()
+    val kept = raw.join(keptIds, Seq("doc_id"))
     val bench = raw.filter(substring(md5(col("text")), 1, 1) === "0")
       .select(col("text"))
     val contaminated = decontaminate(kept, bench).select(col("doc_id"))
-    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
-    val keepers = clean
+    val cleanIds = keptIds.join(contaminated, Seq("doc_id"), "left_anti")
+      .cache()
+    val clean = raw.join(cleanIds, Seq("doc_id"))
+    val uniqIds = clean
       .select(col("doc_id"), md5(TF.normText(col("text"))).as("gk"))
       .groupBy(col("gk")).agg(min(col("doc_id")).as("doc_id"))
-    val uniq = clean.join(keepers.select(col("doc_id")), Seq("doc_id"))
-    def funnel(stage: Int, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"),
-        sum(GraftFunctions.greedy_token_count(TF.normText(col("text"))))
-          .as("n_tokens"))
-        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
-          col("n_docs"), col("n_tokens"))
-    funnel(0, "raw", raw)
-      .unionAll(funnel(1, "quality_kept", kept))
-      .unionAll(funnel(2, "decontaminated", clean))
-      .unionAll(funnel(3, "deduped", uniq))
+      .cache()
+    val toks = raw.select(col("doc_id"),
+      GraftFunctions.greedy_token_count(TF.normText(col("text"))).as("tok"))
+    val staged = toks
+      .join(keptIds.withColumn("s1", lit(1)), Seq("doc_id"), "left")
+      .join(cleanIds.withColumn("s2", lit(1)), Seq("doc_id"), "left")
+      .join(uniqIds.withColumn("s3", lit(1)), Seq("doc_id"), "left")
+    staged.agg(
+        count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
+        count(col("s1")).as("n1"),
+        sum(when(col("s1") === 1, col("tok"))).as("t1"),
+        count(col("s2")).as("n2"),
+        sum(when(col("s2") === 1, col("tok"))).as("t2"),
+        count(col("s3")).as("n3"),
+        sum(when(col("s3") === 1, col("tok"))).as("t3"))
+      .select(expr(
+        """stack(4,
+           0, 'raw',            n0, t0,
+           1, 'quality_kept',   n1, t1,
+           2, 'decontaminated', n2, t2,
+           3, 'deduped',        n3, t3)
+           AS (stage, stage_name, n_docs, n_tokens)"""))
       .orderBy(col("stage"))
   }
 
