@@ -1182,6 +1182,73 @@ object TextAnalysis {
     stageC4(docs(s, d).select(col("doc_id"), c4PageExpr.as("page")))
       .orderBy(col("doc_id"))
 
+  /** Fixture page for CORPUS-LEVEL line dedup: 6-word content lines
+    * (same single-pass chunking regex as [[c4PageExpr]]) plus planted
+    * boilerplate lines whose document frequency spans the threshold's
+    * both sides by construction — a universal footer (df = corpus), a
+    * half-corpus share line, a ~1/7 rights line, a ~1/23 promo line,
+    * and a 50-way "team" line whose df is corpus-size-DEPENDENT (10 at
+    * sf0.01 → kept; 100 at sf0.1 → dropped), so the two gate tiers
+    * exercise opposite outcomes of the same rule.
+    */
+  private def lineDedupPageExpr: Column = {
+    val chunked = regexp_replace(TF.normText(col("text")),
+      "((?:\\S+ ){5}\\S+) ", "$1\n")
+    concat(chunked,
+      lit("\nsubscribe to our newsletter today"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("\nshare this article with friends")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 3,
+        lit("\nall rights reserved worldwide")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(23)) === 11,
+        lit("\nvisit our partner sites now")).otherwise(lit("")),
+      concat(lit("\nteam update number "),
+        pmod(col("doc_id"), lit(50)).cast("string")))
+  }
+
+  /** Corpus-level line-frequency dedup (CCNet §3.1 / RefinedWeb line
+    * dedup shape): drop EVERY occurrence of any line whose document
+    * frequency exceeds `maxDf` — repeated lines across a crawl are
+    * boilerplate (nav, footers, cookie banners), so unlike
+    * [[graft.operators.Dedup]]'s keep-first segment dedup no occurrence
+    * survives. Scale shape: one posexplode; df = two-phase aggregate
+    * over DISTINCT (doc, line-hash) — map-side distinct bounds the
+    * exchange by distinct lines per split; the common set joins back by
+    * line-hash (hash-partitioned anti join — NOT assumed broadcastable,
+    * the boilerplate set is data-dependent, though AQE converts when
+    * small); the rebuild groups each doc's own kept lines
+    * (`sort_array(collect_list(struct(pos, line)))` — per-group state is
+    * one document's lines, never a corpus-wide window). Linear end to
+    * end at any corpus size.
+    */
+  def stageLineDedup(pages: DataFrame, maxDf: Int): DataFrame = {
+    val lines = pages.select(col("doc_id"),
+      posexplode(split(col("page"), "\n")).as(Seq("pos", "line")))
+    val df = lines.select(col("doc_id"), md5(col("line")).as("lk"))
+      .distinct()
+      .groupBy(col("lk")).agg(count(lit(1)).as("df"))
+    val common = df.filter(col("df") > maxDf).select(col("lk"))
+    val kept = lines.withColumn("lk", md5(col("line")))
+      .join(common, Seq("lk"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_kept"))
+    pages
+      .select(col("doc_id"), size(split(col("page"), "\n")).as("n_lines_raw"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines_raw"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def textLineDedup(s: SparkSession, d: String): DataFrame =
+    stageLineDedup(
+      docs(s, d).select(col("doc_id"), lineDedupPageExpr.as("page")),
+      maxDf = 15)
+
   /** Deterministic fixture HTML page for a (doc_id, text) frame — the
     * crawl-ingest FRONT the curation tiers assume already happened
     * (every C4/Gopher/classifier stage consumes extracted text; a real
@@ -1443,6 +1510,7 @@ object TextAnalysis {
     "pipeline_corpus" -> pipelineCorpus _,
     "text_url_canon" -> textUrlCanon _,
     "text_c4_filters" -> textC4Filters _,
+    "text_line_dedup" -> textLineDedup _,
     "text_html_extract" -> textHtmlExtract _,
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
     "sample_importance" -> sampleImportance _,
@@ -1993,6 +2061,50 @@ object TextAnalysis {
       FROM c4
       WHERE page_ok AND len(kept) >= 3
       ORDER BY doc_id""",
+    "text_line_dedup" -> s"""
+      WITH base AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      built AS (
+        SELECT doc_id,
+               list_transform(range(CAST(ceil(len(ws)/6.0) AS INT)), i ->
+                 array_to_string(ws[i*6+1 : i*6+6], ' ')) AS pl
+        FROM base),
+      pages AS (
+        SELECT doc_id,
+               array_to_string(pl, chr(10)) ||
+               chr(10) || 'subscribe to our newsletter today' ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'share this article with friends'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 3
+                    THEN chr(10) || 'all rights reserved worldwide'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 23 = 11
+                    THEN chr(10) || 'visit our partner sites now'
+                    ELSE '' END ||
+               chr(10) || 'team update number ' || (doc_id % 50) AS page
+        FROM built),
+      lines AS (
+        SELECT doc_id,
+               unnest(range(len(string_split(page, chr(10))))) AS pos,
+               unnest(string_split(page, chr(10))) AS line
+        FROM pages),
+      freq AS (
+        SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+      kept AS (
+        SELECT l.doc_id, l.pos, l.line FROM lines l
+        WHERE NOT EXISTS (SELECT 1 FROM freq f
+                          WHERE f.line = l.line AND f.df > 15)),
+      rebuilt AS (
+        SELECT doc_id, count(*) AS n_lines_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text_kept
+        FROM kept GROUP BY doc_id)
+      SELECT p.doc_id,
+             CAST(len(string_split(p.page, chr(10))) AS INT) AS n_lines_raw,
+             CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+             coalesce(r.text_kept, '') AS text_kept
+      FROM pages p LEFT JOIN rebuilt r USING (doc_id)
+      ORDER BY p.doc_id""",
     "dedup_url_keep_best" -> raw"""
       WITH t AS (
         SELECT doc_id,

@@ -971,6 +971,37 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rows(3)._3 <= 280)
   }
 
+  test("text_line_dedup equals a local recompute; planted boilerplate dies") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def page(id: Long, t: String): Seq[String] = {
+      val content = mkNorm(t).grouped(6).map(_.mkString(" ")).toSeq
+      content ++ Seq("subscribe to our newsletter today") ++
+        (if (id % 2 == 0) Seq("share this article with friends") else Nil) ++
+        (if (id % 7 == 3) Seq("all rights reserved worldwide") else Nil) ++
+        (if (id % 23 == 11) Seq("visit our partner sites now") else Nil) ++
+        Seq(s"team update number ${id % 50}")
+    }
+    val pages = docs.map { case (id, t) => id -> page(id, t) }
+    val df = pages.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, o) => l -> o.size }
+    val want = pages.map { case (id, ls) =>
+      val kept = ls.filter(l => df(l) <= 15)
+      id -> ((ls.size, kept.size.toLong, kept.mkString("\n")))
+    }.toMap
+    val got = SparkEntry.queries("text_line_dedup")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == want)
+    // the universal footer must die everywhere; the 50-way team line's df
+    // at this fixture size sits under the threshold and must survive
+    assert(got.values.forall(!_._3.contains("subscribe to our")))
+    assert(got.values.forall(_._3.contains("team update number")))
+    assert(got.values.exists { case (raw, kept, _) => kept < raw })
+  }
+
   test("sample_importance equals a local DSIR-shape recompute; profile broadcasts") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
