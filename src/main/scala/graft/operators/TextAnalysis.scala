@@ -1424,24 +1424,26 @@ object TextAnalysis {
     * quality-passing docs, decontamination hashes the REBUILT text — so
     * the row gates stage composition, not just each kernel alone.
     *
-    * Scale notes: the funnel recomputes stage lineage per summary row
-    * (fine at gate scale; a 100 TB run materializes each stage to
-    * parquet — the stages are the reusable APIs above, so that is just
-    * inserting writes between calls). Every stage is the shuffle shape
-    * its own scaladoc argues: map-only filters, the skew-immune keeper
-    * aggregate, one broadcast probe, one hash filter.
+    * Scale notes: every heavy stage runs exactly once — see the comment
+    * inside [[pipelineCorpus]] (a 100 TB run would materialize each
+    * stage to parquet instead of caching; the stages are the reusable
+    * APIs above, so that is just inserting writes between calls). Every
+    * stage is the shuffle shape its own scaladoc argues: map-only
+    * filters, the skew-immune keeper aggregate, one broadcast probe,
+    * one hash filter.
     */
   /** Stage 1: the Gopher quality gate over (`doc_id`, `source`, `text`). */
-  def stageQuality(raw: DataFrame): DataFrame = {
+  def qualityPred: Column = {
     val ws = TF.words(col("text"))
     val nw = size(ws)
     val awl = length(regexp_replace(TF.normText(col("text")), " ", ""))
       .cast("double") / nw
     val nStop = size(filter(ws,
       x => x.isInCollection(Seq("the", "a", "is", "and", "of"))))
-    raw.filter(nw.between(10, 100000) && awl.between(2.0, 12.0) &&
-      (nStop >= 2))
+    nw.between(10, 100000) && awl.between(2.0, 12.0) && (nStop >= 2)
   }
+
+  def stageQuality(raw: DataFrame): DataFrame = raw.filter(qualityPred)
 
   /** Stage 2: segment dedup with document rebuild — output
     * (`doc_id`, `source`, `kept_text`, `n_tok`, `carve`).
@@ -1499,11 +1501,49 @@ object TextAnalysis {
 
   private def pipelineCorpus(s: SparkSession, d: String): DataFrame = {
     val raw = docs(s, d).select(col("doc_id"), col("source"), col("text"))
-    val quality = stageQuality(raw)
-    val rebuilt = stageRebuild(quality)
-    val decontam = stageDecontam(rebuilt)
-    val mixture = stageMixture(decontam)
-    pipelineFunnel(raw, quality, rebuilt, decontam, mixture)
+    // Heavy stages run ONCE (the pipelinePretraining discipline —
+    // pipelineFunnel's per-stage aggregates would re-run the segment
+    // keeper 3x and the decontamination join 2x through stage lineage):
+    // stages 0-1 collapse into one conditional aggregate over a single
+    // raw scan; the rebuilt corpus caches (it feeds stages 2-4); the
+    // decontamination survivor set caches doc_id-only; stages 2-4
+    // collapse into one conditional aggregate over the cached rebuild.
+    // Caches released by the session owner via Caches.releaseAll.
+    val nw = size(TF.words(col("text"))).cast("long")
+    val head = raw.agg(
+      count(lit(1)).as("n0"), sum(nw).as("t0"),
+      count(when(qualityPred, 1)).as("n1"),
+      sum(when(qualityPred, nw)).as("t1"))
+    val rebuilt = stageRebuild(stageQuality(raw)).cache()
+    val train = rebuilt.filter(col("carve") =!= "0")
+    val contaminated = decontaminate(
+      train.select(col("doc_id"), col("kept_text").as("text")),
+      rebuilt.filter(col("carve") === "0")
+        .select(col("kept_text").as("text")))
+      .select(col("doc_id"))
+    val decontamIds = train.select(col("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti").cache()
+    val grp = expr("cast(substring(source, 4) as int) div 5")
+    val mix = grp === 0 ||
+      substring(md5(col("kept_text")), 1, 2) <
+        when(grp === 1, lit("80")).when(grp === 2, lit("40"))
+          .otherwise(lit("20"))
+    val tail = rebuilt
+      .join(decontamIds.withColumn("dc", lit(1)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n2"), sum(col("n_tok")).as("t2"),
+        count(col("dc")).as("n3"),
+        sum(when(col("dc") === 1, col("n_tok"))).as("t3"),
+        count(when(col("dc") === 1 && mix, 1)).as("n4"),
+        sum(when(col("dc") === 1 && mix, col("n_tok"))).as("t4"))
+    head.crossJoin(tail).select(expr(
+      """stack(5,
+         0, 'raw',      n0, t0,
+         1, 'quality',  n1, t1,
+         2, 'dedup',    n2, t2,
+         3, 'decontam', n3, t3,
+         4, 'mixture',  n4, t4)
+         AS (stage, stage_name, n_docs, n_tokens)"""))
+      .orderBy(col("stage"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
