@@ -1086,13 +1086,22 @@ object TextAnalysis {
     // stage 0→1: the crawl front — raw HTML built from the fixture docs,
     // boilerplate-extracted ([[stageHtmlExtract]]); pages with no
     // surviving content line leave the funnel here
+    // Each kernel runs ONCE (the pipelinePretraining discipline — the
+    // five funnel aggregates would otherwise re-run the HTML extraction
+    // 4x, C4 3x and the keep-best aggregate 2x through stage lineage):
+    // the three stage frames cache, released by the session owner via
+    // Caches.releaseAll. A 100 TB run materializes these to parquet
+    // between stages instead — the stages are the reusable APIs.
     val extracted = stageHtmlExtract(
         raw.select(col("doc_id"), htmlPageExpr.as("html")))
       .filter(col("n_lines_kept") >= 1)
+      .select(col("doc_id"), col("n_words_kept"), col("text_clean"))
+      .cache()
     // stage 2: C4 consumes the EXTRACTED text as its page (line-per-line)
     val cleaned = stageC4(
       extracted.select(col("doc_id"), col("text_clean").as("page")))
-    val kept = stageUrlKeepBest(cleaned, col("n_words_kept"))
+      .cache()
+    val kept = stageUrlKeepBest(cleaned, col("n_words_kept")).cache()
     val selected = importanceSelect(
       kept.select(col("doc_id"), col("text_clean").as("text")))
       .join(kept.select(col("doc_id"), col("n_words_kept")), Seq("doc_id"))
