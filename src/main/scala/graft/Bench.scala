@@ -181,7 +181,13 @@ object Bench {
     // docs per source
     "sf1_text_token_budget" -> "text_token_budget",
     // seeded-order shard windows at 10× rows per fixed key-space range
-    "sf1_pack_global_shuffle" -> "pack_global_shuffle")
+    "sf1_pack_global_shuffle" -> "pack_global_shuffle",
+    // line-frequency dedup at 10×: the doc replicas push every CONTENT
+    // line's df to ~10 (just under the threshold — the keep side of the
+    // rule does 10× the anti-join probe work) while the planted lines'
+    // df scales 10×; stresses the distinct-(doc,line) partial aggregate
+    // and the per-doc array_sort rebuild at replica density
+    "sf1_text_line_dedup" -> "text_line_dedup")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the

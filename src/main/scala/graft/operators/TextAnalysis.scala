@@ -1254,8 +1254,13 @@ object TextAnalysis {
   }
 
   private def textLineDedup(s: SparkSession, d: String): DataFrame =
+    // the built page caches: the kernel scans its input three times (df
+    // count, anti-join probe, raw line count), and re-running the
+    // page-build regexes per scan triples the row's cost (a real corpus
+    // reads lines straight off parquet — the cache stands in for that
+    // materialization; released via Caches.releaseAll)
     stageLineDedup(
-      docs(s, d).select(col("doc_id"), lineDedupPageExpr.as("page")),
+      docs(s, d).select(col("doc_id"), lineDedupPageExpr.as("page")).cache(),
       maxDf = 15)
 
   /** Deterministic fixture HTML page for a (doc_id, text) frame — the

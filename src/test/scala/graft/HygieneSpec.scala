@@ -71,7 +71,10 @@ class HygieneSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private val cacheHeavy =
-    (operators.Dedup.queries.keys ++ operators.Similarity.queries.keys).toSeq.sorted
+    (operators.Dedup.queries.keys ++ operators.Similarity.queries.keys ++
+      // the composed pipelines cache stage frames / survivor id sets
+      Seq("pipeline_corpus", "pipeline_curation", "pipeline_pretraining"))
+      .toSeq.sorted
 
   for (name <- cacheHeavy) {
     test(s"$name leaves no storage blocks after action + releaseAll") {
