@@ -1001,6 +1001,74 @@ object TextAnalysis {
   private def textQualityClassifier(s: SparkSession, d: String): DataFrame =
     classifierScores(docs(s, d).select(col("doc_id"), col("text")))
 
+  /** BPE vocabulary TRAINING (Sennrich et al. 2016 learn loop — the
+    * induction counterpart of the `text_token_budget_bpe` APPLY kernel,
+    * which consumes a merge table this operator produces): from the
+    * corpus word-frequency dict, repeatedly pick the most frequent
+    * adjacent symbol pair (count desc, then lexicographic — overlapping
+    * occurrences counted, the reference implementation's get_stats) and
+    * merge every greedy left-to-right occurrence; k=8 ranked merges out.
+    * No end-of-word marker (documented variant).
+    *
+    * Scale shape: ONE corpus-wide shuffle total (the word-count
+    * aggregate — the dict is vocab-sized, not corpus-sized, from there
+    * on); each of the k rounds is a two-phase pair-count aggregate plus
+    * a MAP-ONLY fold re-segmentation over the dict (the fold carries a
+    * (res, last) struct so no per-row indexing of possibly-empty arrays
+    * under ANSI). Driver state = one (pair, count) row per round — the
+    * kmeans/IVF bounded-metadata class — and the k merge rows ARE the
+    * output. Only the initial dict caches, unpersisted before return
+    * (convergence-loop contract, [[graft.Caches]] scaladoc).
+    */
+  private def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(explode(TF.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // char split via substr over 1..len — same construction as the
+    // oracle's w[i+1:i+1] slice. Only the INITIAL dict caches: round k
+    // replays k map-only folds over the vocab-sized cached dict (k² fold
+    // work total, trivial against re-reading the corpus), which beats
+    // 8 cache-materialize jobs at any scale where the dict fits the
+    // fold's map-side cost — and the corpus is scanned exactly once.
+    val base = words.select(col("w"), col("freq"),
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"))
+      .cache()
+    var syms = base
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (k <- 0 until 8) {
+      val pairRows = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2),
+            j => struct(element_at(col("syms"), j + 1).as("l"),
+                        element_at(col("syms"), j + 2).as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairRows.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k, l, r, l + r, cnt))
+      val (ll, rr, mm) = (lit(l), lit(r), lit(l + r))
+      def flush(acc: Column): Column =
+        when(acc.getField("last").isNull, acc.getField("res"))
+          .otherwise(concat(acc.getField("res"), array(acc.getField("last"))))
+      syms = syms.withColumn("syms",
+        aggregate(col("syms"),
+          struct(expr("cast(array() as array<string>)").as("res"),
+                 lit(null).cast("string").as("last")),
+          (acc, sym) =>
+            when(acc.getField("last") === ll && sym === rr,
+              struct(acc.getField("res").as("res"), mm.as("last")))
+            .otherwise(struct(flush(acc).as("res"), sym.as("last"))),
+          acc => flush(acc)))
+    }
+    base.unpersist()
+    s.createDataFrame(merges.toSeq)
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   /** The PRETRAINING-corpus assembly pipeline — the round's new stages
     * composed in production order, the third composition row beside
     * `pipeline_corpus` (dedup tier) and `pipeline_curation` (crawl
@@ -1569,6 +1637,7 @@ object TextAnalysis {
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
     "sample_importance" -> sampleImportance _,
     "text_quality_classifier" -> textQualityClassifier _,
+    "text_bpe_train" -> textBpeTrain _,
     "pipeline_pretraining" -> pipelinePretraining _,
     "pipeline_curation" -> pipelineCuration _,
     "sample_hash" -> sampleHash _,
@@ -1603,6 +1672,64 @@ object TextAnalysis {
 
   /** Shared DuckDB-side normalization (mirrors TextFunctions.normText). */
   val NormSql = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  /** Oracle for [[textBpeTrain]]: the k merge rounds UNROLLED as
+    * generated CTE layers (a recursive CTE cannot re-aggregate the whole
+    * corpus per iteration). Each layer: overlapping adjacent pair counts
+    * → best pair (count desc, lexicographic) → greedy left-to-right
+    * merge via gaps-and-islands (runs of consecutive matches — only
+    * possible for l=r chains — keep even offsets) → rebuilt symbol
+    * lists. The merge layer replays the Spark fold exactly.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val head = s"""
+      WITH words AS (
+        SELECT w, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(string_split($NormSql, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      syms0 AS (
+        SELECT w, freq,
+               list_transform(range(len(w)), i -> w[i+1:i+1]) AS syms
+        FROM words)"""
+    val layers = (0 until k).map { i => s""",
+      pairs$i AS (
+        SELECT syms[j+1] AS l, syms[j+2] AS r, sum(freq)::BIGINT AS cnt
+        FROM syms$i, unnest(range(len(syms)-1)) AS t(j) GROUP BY 1, 2),
+      best$i AS (
+        SELECT $i AS rank, l, r, cnt FROM pairs$i
+        ORDER BY cnt DESC, l, r LIMIT 1),
+      pos$i AS (
+        SELECT s.w, s.freq, j, s.syms[j+1] AS sym,
+               (j+1 < len(s.syms) AND s.syms[j+1] = b.l
+                 AND s.syms[j+2] = b.r) AS m
+        FROM syms$i s CROSS JOIN best$i b,
+             unnest(range(len(s.syms))) AS t(j)),
+      isl$i AS (
+        SELECT *, CASE WHEN m THEN j - ROW_NUMBER() OVER
+            (PARTITION BY w, m ORDER BY j) END AS grp
+        FROM pos$i),
+      sel$i AS (
+        SELECT *, m AND ((j - min(j) OVER (PARTITION BY w, grp)) % 2 = 0)
+               AS pick
+        FROM isl$i),
+      mrg$i AS (
+        SELECT w, freq, j,
+               CASE WHEN pick THEN sym ||
+                    lead(sym) OVER (PARTITION BY w ORDER BY j)
+                    ELSE sym END AS sym2,
+               coalesce(lag(pick) OVER (PARTITION BY w ORDER BY j), false)
+                 AS dropme
+        FROM sel$i),
+      syms${i + 1} AS (
+        SELECT w, freq, list(sym2 ORDER BY j) AS syms FROM mrg$i
+        WHERE NOT dropme GROUP BY w, freq)"""
+    }.mkString
+    val union = (0 until k).map(i => s"SELECT * FROM best$i")
+      .mkString(" UNION ALL ")
+    s"""$head$layers
+      SELECT rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count
+      FROM ($union) ORDER BY rank"""
+  }
 
   /** Shared oracle CTE chain replaying [[htmlPageExpr]] (page build) and
     * [[stageHtmlExtract]] (script/style strip → block-tag line break →
@@ -2115,6 +2242,7 @@ object TextAnalysis {
       FROM c4
       WHERE page_ok AND len(kept) >= 3
       ORDER BY doc_id""",
+    "text_bpe_train" -> bpeTrainOracle(8),
     "text_line_dedup" -> s"""
       WITH base AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

@@ -971,6 +971,44 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rows(3)._3 <= 280)
   }
 
+  test("text_bpe_train equals a local Sennrich learn loop") {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => mkNorm(t).filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1))
+    val vocab = scala.collection.mutable.Map(
+      freq.keys.map(w => w -> w.map(_.toString).toList).toSeq: _*)
+    val want = (0 until 8).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, syms) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + freq(w))
+      }
+      val ((l, r), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      vocab.foreach { case (w, syms) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { s0 =>
+          if (out.nonEmpty && out.last == l && s0 == r)
+            out(out.size - 1) = l + r
+          else out += s0
+        }
+        vocab(w) = out.toList
+      }
+      (k, l, r, l + r, cnt)
+    }
+    val got = SparkEntry.queries("text_bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // chained merges must occur: some later merge consumes an earlier
+    // merged symbol (the property that separates BPE from bigram counts)
+    val mergedSyms = want.map(_._4).toSet
+    assert(want.exists { case (_, l, r, _, _) =>
+      mergedSyms.contains(l) || mergedSyms.contains(r) })
+  }
+
   test("text_line_dedup equals a local recompute; planted boilerplate dies") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
