@@ -1301,11 +1301,15 @@ object TextAnalysis {
   def stageLineDedup(pages: DataFrame, maxDf: Int): DataFrame = {
     val lines = pages.select(col("doc_id"),
       posexplode(split(col("page"), "\n")).as(Seq("pos", "line")))
-    val df = lines.select(col("doc_id"), md5(col("line")).as("lk"))
+    // lines travel the index machinery as xxhash64 longs (8 bytes, not
+    // the line text) — the jaccard inverted-index convention; a 64-bit
+    // cross-line collision merges two lines' df counts (~2^-64 per
+    // pair), negligible against the corpus scale this serves
+    val df = lines.select(col("doc_id"), xxhash64(col("line")).as("lk"))
       .distinct()
       .groupBy(col("lk")).agg(count(lit(1)).as("df"))
     val common = df.filter(col("df") > maxDf).select(col("lk"))
-    val kept = lines.withColumn("lk", md5(col("line")))
+    val kept = lines.withColumn("lk", xxhash64(col("line")))
       .join(common, Seq("lk"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines_kept"),

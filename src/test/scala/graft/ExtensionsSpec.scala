@@ -1038,6 +1038,12 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.values.forall(!_._3.contains("subscribe to our")))
     assert(got.values.forall(_._3.contains("team update number")))
     assert(got.values.exists { case (raw, kept, _) => kept < raw })
+    // every join is key-equi (hash-partitionable): a nested-loop or
+    // cartesian anywhere here would be corpus × corpus at scale
+    val p = SparkEntry.queries("text_line_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$p")
   }
 
   test("sample_importance equals a local DSIR-shape recompute; profile broadcasts") {

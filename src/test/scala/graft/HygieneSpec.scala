@@ -72,8 +72,11 @@ class HygieneSpec extends AnyFunSuite {
 
   private val cacheHeavy =
     (operators.Dedup.queries.keys ++ operators.Similarity.queries.keys ++
-      // the composed pipelines cache stage frames / survivor id sets
-      Seq("pipeline_corpus", "pipeline_curation", "pipeline_pretraining"))
+      // the composed pipelines cache stage frames / survivor id sets;
+      // line dedup caches its built pages; BPE training caches the
+      // initial dict (and must have unpersisted it itself)
+      Seq("pipeline_corpus", "pipeline_curation", "pipeline_pretraining",
+        "text_line_dedup", "text_bpe_train"))
       .toSeq.sorted
 
   for (name <- cacheHeavy) {
