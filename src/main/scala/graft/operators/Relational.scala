@@ -554,12 +554,19 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("r_event"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE running-last over a (event, value) struct — two independent
+    // last(ignoreNulls) windows could pair asof_value from a later
+    // purchase than asof_event if a purchase ever carried a NULL value;
+    // the struct is null-gated on the row key so the pair always comes
+    // from the same right row
     l.unionByName(r)
-      .withColumn("asof_event", last(col("r_event"), ignoreNulls = true).over(w))
-      .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .withColumn("asof", last(
+        when(col("r_event").isNotNull,
+          struct(col("r_event").as("e"), col("r_value").as("v"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("l_event").as("event_id"), col("user_id"),
-        col("asof_event"), col("asof_value"))
+        col("asof.e").as("asof_event"), col("asof.v").as("asof_value"))
       .orderBy(col("event_id"))
   }
 
@@ -587,12 +594,16 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("r_event"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // same single-struct pairing as [[joinAsof]]: both fields of the
+    // match must come from one right row even if r_value is ever NULL
     l.unionByName(r)
-      .withColumn("asof_event", first(col("r_event"), ignoreNulls = true).over(w))
-      .withColumn("asof_value", first(col("r_value"), ignoreNulls = true).over(w))
+      .withColumn("asof", first(
+        when(col("r_event").isNotNull,
+          struct(col("r_event").as("e"), col("r_value").as("v"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 0)
       .select(col("l_event").as("event_id"), col("user_id"),
-        col("asof_event"), col("asof_value"))
+        col("asof.e").as("asof_event"), col("asof.v").as("asof_value"))
       .orderBy(col("event_id"))
   }
 

@@ -1045,8 +1045,16 @@ object TextAnalysis {
                         element_at(col("syms"), j + 2).as("r")))).as("pr"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-      val best = pairRows.orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()(0)
+      val bestOpt = pairRows.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect().headOption
+      if (bestOpt.isEmpty) {
+        // vocab fully merged before the requested merge count — every
+        // word is a single symbol, so no adjacent pair remains to learn
+        throw new IllegalStateException(
+          s"BPE training exhausted at merge round $k: no adjacent " +
+            "symbol pairs remain (corpus vocabulary fully merged)")
+      }
+      val best = bestOpt.get
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k, l, r, l + r, cnt))
       val (ll, rr, mm) = (lit(l), lit(r), lit(l + r))

@@ -74,9 +74,10 @@ class HygieneSpec extends AnyFunSuite {
     (operators.Dedup.queries.keys ++ operators.Similarity.queries.keys ++
       // the composed pipelines cache stage frames / survivor id sets;
       // line dedup caches its built pages; BPE training caches the
-      // initial dict (and must have unpersisted it itself)
+      // initial dict (and must have unpersisted it itself); the
+      // multimodal pipeline caches its decoded signature frame
       Seq("pipeline_corpus", "pipeline_curation", "pipeline_pretraining",
-        "text_line_dedup", "text_bpe_train"))
+        "pipeline_multimodal", "text_line_dedup", "text_bpe_train"))
       .toSeq.sorted
 
   for (name <- cacheHeavy) {
