@@ -523,6 +523,51 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
     copy(child = c)
 }
 
+/** Static kernel for the broadcast-bloom membership probe. Spark's
+  * `BloomFilter.putString`/`mightContainString` hash the UTF-8 bytes, so
+  * probing with the UTF8String's bytes directly matches a filter built by
+  * `DataFrameStatFunctions.bloomFilter` over a string column — no
+  * String materialization per row.
+  */
+object BloomImpls {
+  def mightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+                   s: UTF8String): Boolean =
+    bf.mightContainBinary(s.getBytes)
+}
+
+/** Membership probe of STRING against a driver-built, broadcast
+  * `BloomFilter` → BOOLEAN, inside whole-stage codegen. Spark's own
+  * bloom expression (`BloomFilterMightContain`) is engine-internal to
+  * runtime join filters and takes the sketch as an aggregated binary
+  * column; this one carries the task-side handle through a `Broadcast`
+  * reference object and unwraps it ONCE per generated class into a
+  * mutable-state field, so the per-row cost is a static kernel call on
+  * a local — no lambda dispatch, no per-row broadcast lookup (the UDF
+  * this replaces paid both on every corpus shingle).
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override protected def nullSafeEval(v: Any): Any =
+    BloomImpls.mightContain(bloom.value, v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfClass = "org.apache.spark.util.sketch.BloomFilter"
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val bfVar = ctx.addMutableState(bfClass, "graftBloom",
+      v => s"$v = ($bfClass)$bcRef.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BloomImpls.mightContain($bfVar, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 /** Single-pass HTML boilerplate-extraction kernel — the whole
   * script/style-strip → block-tag line-break → per-line link/word/stopword
   * rule chain of `TextAnalysis.stageHtmlExtract` in ONE JVM pass per
@@ -687,6 +732,23 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands),
       org.apache.spark.sql.functions.lit(rowsPerBand),
       org.apache.spark.sql.functions.lit(seed))
+
+  /** Codegen bloom probe over a driver-built broadcast filter. The shared
+    * [[builders]] path can't carry a runtime object through literal
+    * arguments, so each broadcast registers its own builder closure under
+    * a broadcast-id-unique name — two filters alive in one session never
+    * clobber each other's unresolved plans.
+    */
+  def bloom_might_contain(
+      spark: SparkSession,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      c: Column): Column = {
+    val name = s"bloom_might_contain_b${bloom.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, es => BloomMightContain(es.head, bloom), "built-in")
+    call_function(name, c)
+  }
 }
 
 /** Maximum element multiplicity of an ARRAY<STRING> → LONG (0 for empty).

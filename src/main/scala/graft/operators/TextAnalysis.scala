@@ -239,10 +239,13 @@ object TextAnalysis {
     * shingles at 1% fpp is ~60 MB of bloom vs GBs of strings, so the
     * broadcast holds an order of magnitude past the string-set bound,
     * and the shuffle shrinks ~100× (at 1% fpp) on a clean corpus. The
-    * probe is a driver-broadcast `BloomFilter.mightContainString` UDF —
-    * the one places a UDF earns its keep: Spark's bloom expression is
-    * engine-internal (runtime join filters), and the probe is a flat
-    * boolean per row with no builtin equivalent.
+    * probe is a native codegen expression over the broadcast sketch
+    * ([[graft.functions.BloomMightContain]]) — Spark's own bloom
+    * expression is engine-internal (runtime join filters, sketch as an
+    * aggregated binary column), so the probe carries the broadcast
+    * handle itself and stays inside the scan's WholeStageCodegen span
+    * (plan-asserted in OperatorsSpec) instead of paying per-row lambda
+    * dispatch on the corpus-sized shingle stream.
     */
   def decontaminateBloom(trainDocs: DataFrame, benchDocs: DataFrame,
                          n: Int = 5, fpp: Double = 0.01): DataFrame = {
@@ -254,12 +257,10 @@ object TextAnalysis {
       .distinct()
     val bf = bench.stat.bloomFilter("shingle", math.max(bench.count(), 1L), fpp)
     val bc = s.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((x: String) => x != null && bc.value.mightContainString(x))
     trainDocs.select(col("doc_id"),
         explode(GraftFunctions.word_shingles(TF.words(col("text")), n))
           .as("shingle"))
-      .filter(mightContain(col("shingle")))
+      .filter(GraftFunctions.bloom_might_contain(s, bc, col("shingle")))
       .join(bench, Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .orderBy(col("doc_id"))

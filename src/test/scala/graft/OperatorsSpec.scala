@@ -796,6 +796,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"q1 not codegen'd:\n$p")
   }
 
+  test("bloom decontamination probe runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("text_decontaminate_bloom")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the probe must appear as the native expression, not a UDF wrapper,
+    // and its Filter must sit inside a WholeStageCodegen span ('*(n)')
+    assert(p.contains("bloom_might_contain"), s"native probe missing:\n$p")
+    assert(!p.contains("UDF"), s"probe still a UDF:\n$p")
+    val probeLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("bloom_might_contain"))
+    assert(probeLine.exists(_.contains("*(")),
+      s"bloom probe filter not codegen'd:\n$p")
+  }
+
   test("schema evolution: mergeSchema unions per-partition parquet schemas") {
     import org.apache.spark.sql.functions.{col, lit}
     // a 100 TB table grows columns over its lifetime; new ingestion days
