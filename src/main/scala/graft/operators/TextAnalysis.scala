@@ -266,6 +266,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-level decontamination FRACTION — the scrubbing report real
+    * eval hygiene needs (GPT-3 §B / Llama-style): [[decontaminate]]'s
+    * binary contains-gate says "this doc shares ≥1 benchmark 13-gram";
+    * this one reports what FRACTION of each doc's distinct n-gram
+    * shingles hit the benchmark set and verdicts the doc against a drop
+    * threshold — an exact-duplicate of an eval item reads 1.0, an
+    * incidental idiom collision reads ~1/n_shingles, and only the former
+    * should die.
+    *
+    * Scale shape: ONE corpus pass — the per-doc distinct-shingle total
+    * rides the explode as a carried column (one int next to the shingle
+    * string, computed map-side from the same array), so no second
+    * text-normalization pass and no totals-vs-hits join. The bench side
+    * is the same checked-bound broadcast as [[decontaminate]]; the only
+    * exchange is the per-doc hit aggregation over the (tiny) hit stream.
+    * Emits ONLY contaminated docs (≥1 hit): at 100 TB the zero-hit
+    * complement is corpus-sized noise, and "not in the report" IS its
+    * verdict.
+    */
+  def decontaminateFraction(trainDocs: DataFrame, benchDocs: DataFrame,
+                            n: Int = 5, dropAt: Double = 0.5,
+                            maxBroadcastShingles: Long = 50L * 1000 * 1000)
+      : DataFrame = {
+    val s = trainDocs.sparkSession
+    GraftFunctions.register(s)
+    val bench = benchDocs
+      .select(explode(
+        GraftFunctions.word_shingles(TF.words(col("text")), n)).as("shingle"))
+      .distinct()
+    val broadcastable = bench.count() <= maxBroadcastShingles
+    val benchSide = if (broadcastable) broadcast(bench) else bench
+    val train = trainDocs
+      .select(col("doc_id"),
+        GraftFunctions.word_shingles(TF.words(col("text")), n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+        explode(col("shs")).as("shingle"))
+    // shingles are per-doc distinct (kernel contract) and the bench set
+    // is distinct, so count(*) is the exact distinct-overlap numerator
+    train.join(benchSide, Seq("shingle"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("frac",
+        col("n_hits").cast("double") / col("n_shingles"))
+      .withColumn("dropped", col("frac") >= dropAt)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture instantiation of [[decontaminateFraction]] — same 1/16
+    * md5-carved bench slice as [[textDecontaminate]]; threshold 0.5
+    * splits the fixture non-vacuously at BOTH gate tiers (sf0.01: the
+    * two exact-dup docs drop at 1.0, the two idiom collisions keep at
+    * ≤0.04; sf0.1: 27 drop / 114 keep).
+    */
+  private def textDecontaminateFraction(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("text")), 1, 1).as("carve"))
+    decontaminateFraction(
+      base.filter(col("carve") =!= "0").select(col("doc_id"), col("text")),
+      base.filter(col("carve") === "0").select(col("text")))
+  }
+
   /** Fixture instantiation of [[decontaminateBloom]] — same 1/16
     * content-addressed carve as [[textDecontaminate]], same oracle (the
     * bloom tier is exact by construction, so the two rows sharing one
@@ -1671,6 +1733,7 @@ object TextAnalysis {
     "text_clean" -> textClean _,
     "text_decontaminate" -> textDecontaminate _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
+    "text_decontaminate_frac" -> textDecontaminateFraction _,
     "text_repetition" -> textRepetition _,
     "text_tfidf" -> textTfidf _,
     "text_vocab" -> textVocab _,
@@ -2629,6 +2692,29 @@ object TextAnalysis {
     "text_decontaminate" -> DecontamSql,
     // the bloom tier is exact by construction — one shared oracle IS the claim
     "text_decontaminate_bloom" -> DecontamSql,
+    // numerator and divisor are both integers, so the DOUBLE division is
+    // one IEEE op — bit-identical across engines, safe to hash-compare
+    "text_decontaminate_frac" -> s"""
+      WITH w AS (
+        SELECT doc_id, substr(md5(text), 1, 1) AS carve,
+               string_split($NormSql, ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, carve,
+               list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                               ' ' || w[i+3] || ' ' || w[i+4]
+                 for i in range(1, len(w)-3) ]) AS sh
+        FROM w WHERE len(w) >= 5),
+      bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE carve = '0'),
+      train AS (
+        SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+               unnest(sh) AS shingle
+        FROM sh WHERE carve <> '0')
+      SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_hits,
+             CAST(COUNT(*) AS DOUBLE) / t.n_shingles AS frac,
+             CAST(COUNT(*) AS DOUBLE) / t.n_shingles >= 0.5 AS dropped
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY t.doc_id, t.n_shingles ORDER BY t.doc_id""",
     "text_repetition" -> s"""
       WITH w AS (
         SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),

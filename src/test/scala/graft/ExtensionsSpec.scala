@@ -1435,6 +1435,44 @@ class TextPipelineSpec extends AnyFunSuite {
       s"bloom prefilter must prune the probe side ($nCand of $nTotal survived)")
   }
 
+  test("text_decontaminate_frac: exact per-doc overlap fraction, one corpus pass") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh5(t: String): Set[String] = {
+      val w = mkNorm(t)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val (bench, train) = docs.partition { case (_, t) => md5hex(t).head == '0' }
+    val benchSh = bench.values.flatMap(sh5).toSet
+    val want = train.flatMap { case (id, t) =>
+      val mine = sh5(t)
+      val hits = (mine & benchSh).size
+      if (hits > 0)
+        Some(id -> ((mine.size, hits.toLong, hits.toDouble / mine.size)))
+      else None
+    }
+    val q = SparkEntry.queries("text_decontaminate_frac")(spark, sfDir)
+    val got = q.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == want, s"got ${got.size} contaminated docs, want ${want.size}")
+    // the verdict column is the fraction against the threshold, exactly
+    q.collect().foreach { r =>
+      assert(r.getBoolean(4) == (r.getDouble(3) >= 0.5))
+    }
+    // an exact duplicate of a bench doc must read 1.0 and drop; the
+    // fixture's incidental idiom collisions must keep — both verdicts
+    // present, or the threshold gate is vacuous on this fixture
+    val verdicts = q.collect().map(_.getBoolean(4)).toSet
+    assert(verdicts == Set(true, false),
+      s"threshold must split the fixture, saw only $verdicts")
+    // same scale contract as the binary tier: bench arrives by broadcast
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "bench side must broadcast")
+  }
+
   test("decontaminate size guard: oversized bench side is never forced to broadcast") {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     val bench = docs.select(col("text"))
