@@ -33,8 +33,8 @@ import graft.functions.{GraftFunctions, TextFunctions => TF}
   */
 object Dedup {
 
-  private val JaccardThreshold = 0.8
-  private val ShingleN = 3
+  private[graft] val JaccardThreshold = 0.8
+  private[graft] val ShingleN = 3
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   /** Exact-integer ppjoin prefix divisor for a similarity threshold t:
@@ -185,7 +185,7 @@ object Dedup {
     * signature — shared by the self-join pair query and the asymmetric
     * incremental query.
     */
-  private def bandKeys(sh: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"),
       GraftFunctions.minhash64(col("sh"), MinhashK).as("mh"))
     // band-bucket keys: (band index, the band's r signature values)

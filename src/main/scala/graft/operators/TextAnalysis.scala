@@ -1425,7 +1425,7 @@ object TextAnalysis {
     * sentences so the downstream C4 PAGE rules stay non-vacuous in the
     * composed `pipeline_curation`.
     */
-  private def htmlPageExpr: Column = {
+  private[graft] def htmlPageExpr: Column = {
     val chunked = regexp_replace(TF.normText(col("text")),
       "((?:\\S+ ){5}\\S+) ", "$1\n")
     val pageLines = transform(split(chunked, "\n"), (l, i) => concat(
@@ -1814,7 +1814,7 @@ object TextAnalysis {
     * `pipeline_curation`. Final CTE `ext` carries one row per document
     * with the extraction summary and the extracted text.
     */
-  private val HtmlExtractCtes = raw"""
+  private[graft] val HtmlExtractCtes = raw"""
       base AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
       built AS (

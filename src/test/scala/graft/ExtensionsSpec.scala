@@ -731,6 +731,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "replaying batch 0 must not change the output")
   }
 
+  test("pipeline_streaming_ingest: 4 drops, per-batch dedup state consulted, replay idempotent") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the sf0.001 slice has too few planted near-dup pairs to
+    // guarantee a cross-batch drop, which would make assert (b) vacuous
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("pipeline_streaming_ingest")(spark, dir)
+      .collect()
+    // (a) all four crawl drops ran as their own micro-batch (the
+    // maxFilesPerTrigger=1 contract) and each contributed survivors
+    val perBatch = got.groupBy(_.getLong(3)).view.mapValues(_.length).toMap
+    assert(perBatch.keySet == Set(0L, 1L, 2L, 3L),
+      s"expected 4 ingest batches, saw $perBatch")
+    assert(perBatch.values.forall(_ > 0), s"empty batch in $perBatch")
+    // (b) the batch-vs-corpus dedup probe actually dropped documents:
+    // accepted < quality survivors (the funnel replayed in batch mode)
+    val quality = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        functions.GraftFunctions.html_extract(
+          operators.TextAnalysis.htmlPageExpr)
+          .getField("text_clean").as("text"))
+      .filter(operators.TextAnalysis.qualityPred)
+      .count()
+    assert(got.length < quality,
+      s"dedup dropped nothing: accepted=${got.length} quality=$quality — " +
+        "the per-batch corpus probe was never consulted")
+    // (c) replay idempotence: re-fire batch 2 with the exact crawl slice
+    // the source offered it (the failure-replay scenario); the
+    // overwrite-per-batchId contract must leave the corpus IDENTICAL
+    val root = streaming.Streaming.ingestRoot(spark, dir)
+    val before = spark.read.parquet(s"$root/accepted")
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val slice2 = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(pmod(col("doc_id"), lit(streaming.Streaming.IngestBatches))
+        === 2)
+    streaming.Streaming.ingestOneBatch(
+      s"$root/accepted", s"$root/bands")(slice2, 2L)
+    val after = spark.read.parquet(s"$root/accepted")
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(after == before, "replaying batch 2 must not change the corpus")
+    // (d) the order guard fails loudly on a mis-sequenced drop
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streaming.ingestOneBatch(
+        s"$root/accepted", s"$root/bands")(slice2, 1L)
+    }
+    assert(e.getMessage.contains("one-drop-per-batch"))
+  }
+
   test("Trigger.AvailableNow backfills all existing data then stops on its own") {
     // the operational backfill mode: process everything that currently
     // exists in bounded micro-batches, then self-terminate — a catch-up

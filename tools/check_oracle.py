@@ -22,6 +22,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 N2_ORACLES = {
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_edit_distance",
     "dedup_clusters", "dedup_keep", "dedup_incremental",
+    "pipeline_streaming_ingest",
     "dedup_embedding_threshold", "dedup_embedding_cos", "dedup_embedding_lsh",
     "dedup_semantic",
     "text_decontaminate", "text_decontaminate_bloom",
