@@ -1140,6 +1140,195 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  // -- unigram-LM (SentencePiece-style) tokenizer training ---------------
+
+  private val UniMaxTok = 4
+  /** Multi-char vocab keeps per EM prune round (the SentencePiece shrink
+    * schedule, sized to the fixture's 31-word dict; single chars are the
+    * coverage floor and never prune).
+    */
+  private val UniKeeps = Seq(24, 16, 12)
+
+  /** One Viterbi segmentation of `w` under the vocab map `vm`
+    * (token → count), as a pure Column fold — the E-step kernel.
+    *
+    * The objective is the INTEGER-EXACT total order (fewest tokens, then
+    * highest count sum, then lexicographically smallest path): the
+    * textbook max-Σ-log-p objective decides ties through float log
+    * rounding, which a second engine cannot replay bit-for-bit — the
+    * same integer-contrast convention as [[classifierScores]]. Encoded
+    * as struct (n, −Σcnt, path) so `array_sort`'s natural struct order
+    * IS the objective; paths carry a leading separator during the DP so
+    * the lexicographic tie-break compares identical spellings in both
+    * engines, trimmed only at the finish.
+    *
+    * DP state is the best-prefix array (one struct per prefix length);
+    * single chars are always in the vocab, so every prefix is reachable
+    * and the candidate list is never empty.
+    */
+  private def viterbiSegment(w: Column, vm: Column): Column = {
+    val init = array(struct(lit(0).as("n"), lit(0L).as("negc"),
+      lit("").as("p")))
+    aggregate(sequence(lit(1), length(w)), init,
+      (acc, i) => {
+        val cands = filter(
+          transform(sequence(greatest(i - lit(UniMaxTok), lit(0)), i - 1),
+            j => {
+              val tok = w.substr(j + 1, i - j)
+              val prev = element_at(acc, j + 1)
+              struct((prev.getField("n") + 1).as("n"),
+                (prev.getField("negc") - try_element_at(vm, tok)).as("negc"),
+                concat(prev.getField("p"), lit(" "), tok).as("p"))
+            }),
+          c => c.getField("negc").isNotNull)
+        concat(acc, array(element_at(array_sort(cands), 1)))
+      },
+      acc => ltrim(element_at(acc, size(acc)).getField("p")))
+  }
+
+  /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece vocab
+    * learner — completes the tokenizer family next to greedy-apply,
+    * BPE-apply and [[textBpeTrain]]): seed the vocab with EVERY
+    * substring of the word-frequency dict up to [[UniMaxTok]] chars
+    * (occurrence-mass scored, overlaps counted), then run EM-style
+    * rounds — E: Viterbi-segment the dict under the current scores
+    * ([[viterbiSegment]]); M: re-estimate every token's score as its
+    * frequency-weighted usage in those segmentations; PRUNE: keep the
+    * single chars (coverage floor, score 0 when unused) plus the top-K
+    * multi-char tokens by (count desc, token), K shrinking per round
+    * ([[UniKeeps]]).
+    *
+    * Scale shape: ONE corpus-wide shuffle total (the word-count
+    * aggregate); from there every structure is VOCAB-sized — the seed
+    * substring aggregate, the one-row token→count map crossJoin-broadcast
+    * to the dict, the per-round count aggregate (cached per round to cut
+    * cross-round lineage, released before return), and the final vocab,
+    * which collects k-sized to the driver like the kmeans centroids /
+    * BPE merge rows. The E-step is a map-only fold over the dict.
+    */
+  private[graft] def unigramTrainFromWords(words: DataFrame)
+      : Seq[(String, Long)] = {
+    val w = words.cache()
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val seeds = w.select(col("w"), col("freq"),
+          explode(flatten(transform(
+            sequence(lit(1), least(lit(UniMaxTok), length(col("w")))),
+            l => transform(sequence(lit(1), length(col("w")) - l + 1),
+              i => col("w").substr(i, l))))).as("tok"))
+        .groupBy(col("tok")).agg(sum(col("freq")).as("cnt"))
+      val charSet = seeds.filter(length(col("tok")) === 1).select(col("tok"))
+      var vocab = seeds
+      for (k <- UniKeeps) {
+        val vm = vocab.agg(map_from_entries(
+          collect_list(struct(col("tok"), col("cnt")))).as("vm"))
+        val counts = w.crossJoin(broadcast(vm))
+          .select(col("freq"),
+            explode(split(viterbiSegment(col("w"), col("vm")), " "))
+              .as("tok"))
+          .groupBy(col("tok")).agg(sum(col("freq")).as("cnt"))
+          .cache()
+        cached += counts
+        counts.count(): Unit // materialize: cuts the cross-round lineage
+        val chars = charSet.join(counts, Seq("tok"), "left")
+          .select(col("tok"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        val multi = counts.filter(length(col("tok")) > 1)
+          .orderBy(col("cnt").desc, col("tok")).limit(k)
+        vocab = chars.unionAll(multi)
+      }
+      vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, c) => (-c, t) }.toSeq
+    } finally {
+      cached.foreach(_.unpersist(blocking = false))
+      w.unpersist(blocking = false): Unit
+    }
+  }
+
+  private def textUnigramTrain(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(explode(TF.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = unigramTrainFromWords(words).zipWithIndex.map {
+      case ((tok, cnt), i) => (i + 1, tok, tok.length, cnt)
+    }
+    s.createDataFrame(ranked)
+      .toDF("rank", "token", "token_len", "score")
+      .orderBy(col("rank"))
+  }
+
+  /** The unigram-train oracle: rounds × DP positions unrolled as
+    * generated CTE layers (the [[bpeTrainOracle]] technique — each round
+    * needs the PREVIOUS round's global counts, and the DP itself needs
+    * per-prefix argmins, neither of which a recursive CTE can express).
+    * Layer b{r}_{i} holds each word's best length-i prefix segmentation
+    * under vocab v{r} as (n, negc, path), argmin'd by ROW_NUMBER; the
+    * leading-separator path convention matches [[viterbiSegment]]
+    * byte-for-byte so the lexicographic tie-break agrees.
+    */
+  private def unigramTrainOracle(maxWordLen: Int): String = {
+    val rounds = UniKeeps.length
+    // every b-layer is AS MATERIALIZED: layer i references layers
+    // i−1..i−4, so default CTE inlining would expand the chain
+    // Fibonacci-style (~3.6^i copies of the base scan — the sf0.01 run
+    // exhausted the fd limit before ever executing)
+    val dpRounds = (0 until rounds).map { r =>
+      val layers = (1 to maxWordLen).map { i =>
+        val cands = (math.max(0, i - UniMaxTok) until i).map { j =>
+          s"""
+          SELECT b.w, b.freq, b.n + 1 AS n, b.negc - v.cnt AS negc,
+                 b.p || ' ' || substr(b.w, $j + 1, ${i - j}) AS p
+          FROM b${r}_$j b
+          JOIN v$r v ON v.tok = substr(b.w, $j + 1, ${i - j})
+          WHERE len(b.w) >= $i"""
+        }.mkString(" UNION ALL ")
+        s""",
+      b${r}_$i AS MATERIALIZED (
+        SELECT w, freq, n, negc, p FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+            ORDER BY n, negc, p) AS rn
+          FROM ($cands)) WHERE rn = 1)"""
+      }.mkString
+      val segUnion = (1 to maxWordLen)
+        .map(i => s"SELECT w, freq, p FROM b${r}_$i WHERE len(w) = $i")
+        .mkString(" UNION ALL ")
+      s""",
+      b${r}_0 AS MATERIALIZED (
+        SELECT w, freq, 0 AS n, 0::BIGINT AS negc, '' AS p FROM dict)$layers,
+      seg$r AS MATERIALIZED (
+        SELECT w, freq, trim(p) AS p FROM ($segUnion)),
+      cnt$r AS MATERIALIZED (
+        SELECT tok, sum(freq)::BIGINT AS cnt FROM (
+          SELECT unnest(string_split(p, ' ')) AS tok, freq FROM seg$r)
+        GROUP BY tok),
+      v${r + 1} AS MATERIALIZED (
+        SELECT c.tok, coalesce(ct.cnt, 0)::BIGINT AS cnt
+        FROM chars c LEFT JOIN cnt$r ct USING (tok)
+        UNION ALL
+        SELECT tok, cnt FROM (
+          SELECT tok, cnt FROM cnt$r WHERE len(tok) > 1
+          ORDER BY cnt DESC, tok LIMIT ${UniKeeps(r)}))"""
+    }.mkString
+    s"""
+      WITH dict AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(string_split($NormSql, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      v0 AS MATERIALIZED (
+        SELECT tok, sum(freq)::BIGINT AS cnt FROM (
+          SELECT substr(w, i + 1, l) AS tok, freq
+          FROM dict, unnest(range(len(w))) AS t(i),
+               unnest([${(1 to UniMaxTok).mkString(", ")}]) AS u(l)
+          WHERE i + l <= len(w))
+        GROUP BY tok),
+      chars AS MATERIALIZED (SELECT tok FROM v0 WHERE len(tok) = 1)$dpRounds
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT)
+               AS rank,
+             tok AS token, CAST(len(tok) AS INT) AS token_len,
+             cnt AS score
+      FROM v$rounds ORDER BY rank"""
+  }
+
   /** The PRETRAINING-corpus assembly pipeline — the round's new stages
     * composed in production order, the third composition row beside
     * `pipeline_corpus` (dedup tier) and `pipeline_curation` (crawl
@@ -1713,6 +1902,7 @@ object TextAnalysis {
     "sample_importance" -> sampleImportance _,
     "text_quality_classifier" -> textQualityClassifier _,
     "text_bpe_train" -> textBpeTrain _,
+    "text_unigram_train" -> textUnigramTrain _,
     "pipeline_pretraining" -> pipelinePretraining _,
     "pipeline_curation" -> pipelineCuration _,
     "sample_hash" -> sampleHash _,
@@ -2319,6 +2509,7 @@ object TextAnalysis {
       WHERE page_ok AND len(kept) >= 3
       ORDER BY doc_id""",
     "text_bpe_train" -> bpeTrainOracle(8),
+    "text_unigram_train" -> unigramTrainOracle(16),
     "text_line_dedup" -> s"""
       WITH base AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

@@ -999,6 +999,81 @@ class TextPipelineSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("text_unigram_train matches a naive local EM replay on random dicts") {
+    // scalacheck-generated word dicts, fixed seeds for reproducibility;
+    // each sample runs the full distributed trainer, so 5 samples (not
+    // the default 100) keep the suite's wall time sane
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.choose(1, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val dictGen = for {
+      ws <- Gen.listOfN(8, wordGen)
+      fs <- Gen.listOfN(8, Gen.choose(1L, 50L))
+    } yield ws.zip(fs).groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+
+    def naive(words: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val MaxTok = 4
+      val seeds = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, f) <- words; l <- 1 to MaxTok; i <- 0 to w.length - l)
+        seeds(w.substring(i, i + l)) += f
+      val chars = seeds.keys.filter(_.length == 1).toSeq.sorted
+      var vocab: Map[String, Long] = seeds.toMap
+      for (k <- Seq(24, 16, 12)) {
+        def seg(w: String): Seq[String] = {
+          val best = new Array[(Int, Long, String)](w.length + 1)
+          best(0) = (0, 0L, "")
+          for (i <- 1 to w.length) {
+            var b: (Int, Long, String) = null
+            for (j <- math.max(0, i - MaxTok) until i) {
+              val tok = w.substring(j, i)
+              vocab.get(tok).foreach { c =>
+                val cand = (best(j)._1 + 1, best(j)._2 - c,
+                  best(j)._3 + " " + tok)
+                if (b == null ||
+                    Ordering[(Int, Long, String)].lt(cand, b)) b = cand
+              }
+            }
+            best(i) = b
+          }
+          best(w.length)._3.trim.split(" ").toSeq
+        }
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
+        for ((w, f) <- words; t <- seg(w)) counts(t) += f
+        val charRows = chars.map(c => c -> counts.getOrElse(c, 0L))
+        val multi = counts.filter(_._1.length > 1).toSeq
+          .sortBy { case (t, c) => (-c, t) }.take(k)
+        vocab = (charRows ++ multi).toMap
+      }
+      vocab.toSeq.sortBy { case (t, c) => (-c, t) }
+    }
+
+    for (seed <- 1L to 5L) {
+      val dict = dictGen(Gen.Parameters.default, Seed(seed)).get
+      val df = spark.createDataFrame(dict).toDF("w", "freq")
+      val got = operators.TextAnalysis.unigramTrainFromWords(df)
+      val want = naive(dict)
+      assert(got == want, s"seed=$seed dict=$dict\n got=$got\nwant=$want")
+    }
+  }
+
+  test("text_unigram_train learns multi-char subwords on the fixture") {
+    val rows = SparkEntry.queries("text_unigram_train")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length).toSeq, "dense ranks")
+    val multi = rows.filter(_._3 > 1)
+    assert(multi.nonEmpty && multi.forall(_._4 > 0L),
+      s"pruned vocab must carry used multi-char tokens: ${rows.toSeq}")
+    assert(rows.filter(_._3 == 1).map(_._2).toSet
+      .subsetOf(('a' to 'z').map(_.toString).toSet))
+    // the shrink schedule bounds multi-char survivors by the last keep
+    assert(multi.length <= 12, s"prune must cap multi tokens: ${multi.length}")
+  }
+
   test("pipeline_curation: strictly shrinking funnel, stages recompose") {
     val rows = SparkEntry.queries("pipeline_curation")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
