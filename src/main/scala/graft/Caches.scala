@@ -19,6 +19,20 @@ import org.apache.spark.sql.SparkSession
   * is materialized.
   */
 object Caches {
+  /** Broadcasts handed out by operator builders (bloom sketches) whose
+    * lifetime must outlive the caller's terminal action — same contract
+    * as dataset caches. Released with `unpersist` (executor copies drop,
+    * the value re-ships lazily if the frame re-executes), never
+    * `destroy` (which would break the recompute-don't-fail contract
+    * below).
+    */
+  private val broadcasts =
+    scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[_]]
+
+  def trackBroadcast(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    synchronized { broadcasts += b; () }
+
   /** Synchronously release every cached dataset and persistent RDD block
     * in the session. Safe to call between queries: Dataset caching is
     * registration-based, so later executions simply recompute instead of
@@ -27,5 +41,9 @@ object Caches {
   def releaseAll(s: SparkSession): Unit = {
     s.sharedState.cacheManager.clearCache()
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    synchronized {
+      broadcasts.foreach(_.unpersist(blocking = false))
+      broadcasts.clear()
+    }
   }
 }

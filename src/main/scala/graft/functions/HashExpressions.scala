@@ -738,16 +738,33 @@ object GraftFunctions {
     * arguments, so each broadcast registers its own builder closure under
     * a broadcast-id-unique name — two filters alive in one session never
     * clobber each other's unresolved plans.
+    *
+    * Scoped-registration form (ADVICE r11): `build` receives the probe
+    * (a `Column => Column`), constructs its DataFrame — Dataset
+    * construction analyzes eagerly, inlining [[BloomMightContain]] into
+    * the resolved plan — and the temp registration is dropped
+    * IMMEDIATELY after, so a long-lived session calling the bloom tiers
+    * repeatedly accumulates no registry entries. The broadcast itself is
+    * handed to [[graft.Caches]]: it must outlive the caller's terminal
+    * action (the plan holds the handle), and `Caches.releaseAll`
+    * unpersists it with the same between-queries contract as dataset
+    * caches.
     */
-  def bloom_might_contain(
+  def withBloomProbe(
       spark: SparkSession,
       bloom: org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter],
-      c: Column): Column = {
+        org.apache.spark.util.sketch.BloomFilter])(
+      build: (Column => Column) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val name = s"bloom_might_contain_b${bloom.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, es => BloomMightContain(es.head, bloom), "built-in")
-    call_function(name, c)
+    try build(c => call_function(name, c))
+    finally {
+      spark.sessionState.functionRegistry
+        .dropFunction(FunctionIdentifier(name)): Unit
+      graft.Caches.trackBroadcast(bloom)
+    }
   }
 }
 

@@ -257,13 +257,15 @@ object TextAnalysis {
       .distinct()
     val bf = bench.stat.bloomFilter("shingle", math.max(bench.count(), 1L), fpp)
     val bc = s.sparkContext.broadcast(bf)
-    trainDocs.select(col("doc_id"),
-        explode(GraftFunctions.word_shingles(TF.words(col("text")), n))
-          .as("shingle"))
-      .filter(GraftFunctions.bloom_might_contain(s, bc, col("shingle")))
-      .join(bench, Seq("shingle"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-      .orderBy(col("doc_id"))
+    GraftFunctions.withBloomProbe(s, bc) { probe =>
+      trainDocs.select(col("doc_id"),
+          explode(GraftFunctions.word_shingles(TF.words(col("text")), n))
+            .as("shingle"))
+        .filter(probe(col("shingle")))
+        .join(bench, Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Token-level decontamination FRACTION — the scrubbing report real
@@ -313,6 +315,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The fraction report at the BLOOM tier — [[decontaminateFraction]]
+    * for a bench set past [[decontaminate]]'s broadcast bound, composed
+    * from [[decontaminateBloom]]'s prefilter: the corpus shingle stream
+    * (still carrying its per-doc divisor as a ride-along column) probes
+    * the broadcast sketch map-side inside the scan's codegen span, and
+    * only true hits + fpp·probes reach the residual exact join against
+    * the real bench set — which restores exactness (bloom has no false
+    * negatives), so the emitted fractions are identical to the exact
+    * tier's. Same output contract: contaminated docs only.
+    */
+  def decontaminateFractionBloom(trainDocs: DataFrame, benchDocs: DataFrame,
+                                 n: Int = 5, dropAt: Double = 0.5,
+                                 fpp: Double = 0.01): DataFrame = {
+    val s = trainDocs.sparkSession
+    GraftFunctions.register(s)
+    val bench = benchDocs
+      .select(explode(
+        GraftFunctions.word_shingles(TF.words(col("text")), n)).as("shingle"))
+      .distinct()
+    val bf = bench.stat.bloomFilter("shingle", math.max(bench.count(), 1L), fpp)
+    val bc = s.sparkContext.broadcast(bf)
+    GraftFunctions.withBloomProbe(s, bc) { probe =>
+      trainDocs
+        .select(col("doc_id"),
+          GraftFunctions.word_shingles(TF.words(col("text")), n).as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("n_shingles"),
+          explode(col("shs")).as("shingle"))
+        .filter(probe(col("shingle")))
+        .join(bench, Seq("shingle"))
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("frac",
+          col("n_hits").cast("double") / col("n_shingles"))
+        .withColumn("dropped", col("frac") >= dropAt)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Fixture instantiation of [[decontaminateFraction]] — same 1/16
     * md5-carved bench slice as [[textDecontaminate]]; threshold 0.5
     * splits the fixture non-vacuously at BOTH gate tiers (sf0.01: the
@@ -324,6 +364,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"),
         substring(md5(col("text")), 1, 1).as("carve"))
     decontaminateFraction(
+      base.filter(col("carve") =!= "0").select(col("doc_id"), col("text")),
+      base.filter(col("carve") === "0").select(col("text")))
+  }
+
+  /** Fixture instantiation of [[decontaminateFractionBloom]] — the same
+    * carve split, so it shares `text_decontaminate_frac`'s oracle: the
+    * bloom prefilter + residual exact join must emit bit-identical
+    * fractions to the exact broadcast tier.
+    */
+  private def textDecontaminateFractionBloom(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("text")), 1, 1).as("carve"))
+    decontaminateFractionBloom(
       base.filter(col("carve") =!= "0").select(col("doc_id"), col("text")),
       base.filter(col("carve") === "0").select(col("text")))
   }
@@ -1924,6 +1979,7 @@ object TextAnalysis {
     "text_decontaminate" -> textDecontaminate _,
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_decontaminate_frac" -> textDecontaminateFraction _,
+    "text_decontaminate_frac_bloom" -> textDecontaminateFractionBloom _,
     "text_repetition" -> textRepetition _,
     "text_tfidf" -> textTfidf _,
     "text_vocab" -> textVocab _,
@@ -2106,6 +2162,28 @@ object TextAnalysis {
       SELECT t.doc_id, COUNT(*) AS n_hits
       FROM train t JOIN bench b USING (shingle)
       GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  private val DecontamFracSql: String = s"""
+      WITH w AS (
+        SELECT doc_id, substr(md5(text), 1, 1) AS carve,
+               string_split($NormSql, ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, carve,
+               list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                               ' ' || w[i+3] || ' ' || w[i+4]
+                 for i in range(1, len(w)-3) ]) AS sh
+        FROM w WHERE len(w) >= 5),
+      bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE carve = '0'),
+      train AS (
+        SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+               unnest(sh) AS shingle
+        FROM sh WHERE carve <> '0')
+      SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_hits,
+             CAST(COUNT(*) AS DOUBLE) / t.n_shingles AS frac,
+             CAST(COUNT(*) AS DOUBLE) / t.n_shingles >= 0.5 AS dropped
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY t.doc_id, t.n_shingles ORDER BY t.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "pipeline_corpus" -> s"""
@@ -2885,27 +2963,10 @@ object TextAnalysis {
     "text_decontaminate_bloom" -> DecontamSql,
     // numerator and divisor are both integers, so the DOUBLE division is
     // one IEEE op — bit-identical across engines, safe to hash-compare
-    "text_decontaminate_frac" -> s"""
-      WITH w AS (
-        SELECT doc_id, substr(md5(text), 1, 1) AS carve,
-               string_split($NormSql, ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id, carve,
-               list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
-                               ' ' || w[i+3] || ' ' || w[i+4]
-                 for i in range(1, len(w)-3) ]) AS sh
-        FROM w WHERE len(w) >= 5),
-      bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE carve = '0'),
-      train AS (
-        SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
-               unnest(sh) AS shingle
-        FROM sh WHERE carve <> '0')
-      SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_hits,
-             CAST(COUNT(*) AS DOUBLE) / t.n_shingles AS frac,
-             CAST(COUNT(*) AS DOUBLE) / t.n_shingles >= 0.5 AS dropped
-      FROM train t JOIN bench b USING (shingle)
-      GROUP BY t.doc_id, t.n_shingles ORDER BY t.doc_id""",
+    "text_decontaminate_frac" -> DecontamFracSql,
+    // the bloom prefilter tier is exact (no false negatives + residual
+    // exact join), so it shares the fraction oracle verbatim
+    "text_decontaminate_frac_bloom" -> DecontamFracSql,
     "text_repetition" -> s"""
       WITH w AS (
         SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),

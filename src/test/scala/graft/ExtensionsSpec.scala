@@ -1612,6 +1612,34 @@ class TextPipelineSpec extends AnyFunSuite {
       "oversized bench side must not be broadcast-hinted")
     // both paths compute the same answer (ordered by doc_id)
     assert(hinted.collect().toSeq == guarded.collect().toSeq)
+    // the FRACTION tier carries the same guard, and its shuffle fallback
+    // must keep the carried per-doc divisor intact through the
+    // non-broadcast join (ADVICE r11: this path was untested)
+    val fHinted = operators.TextAnalysis.decontaminateFraction(docs, bench)
+    val fGuarded = operators.TextAnalysis.decontaminateFraction(docs, bench,
+      maxBroadcastShingles = 1)
+    assert(fHinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!fGuarded.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "oversized bench side must not be broadcast-hinted in the frac tier")
+    assert(fHinted.collect().toSeq == fGuarded.collect().toSeq)
+  }
+
+  test("text_decontaminate_frac_bloom equals the exact tier, probe stays codegen") {
+    val exact = SparkEntry.queries("text_decontaminate_frac")(spark, sfDir)
+      .collect().toSeq
+    val bloomDf =
+      SparkEntry.queries("text_decontaminate_frac_bloom")(spark, sfDir)
+    assert(bloomDf.collect().toSeq == exact,
+      "bloom prefilter + residual exact join must emit identical fractions")
+    // the probe must sit inside the scan-side codegen span, same
+    // assertion family as the binary bloom tier's
+    val p = bloomDf.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"), s"native probe missing:\n$p")
+    // scoped registration: building the query must leave no
+    // bloom_might_contain_b<id> entries behind in the session registry
+    val leaked = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("bloom_might_contain_b"))
+    assert(leaked.isEmpty, s"temp probe registrations leaked: $leaked")
   }
 
   test("text_repetition matches hand computation on fixture docs") {
