@@ -16,6 +16,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof struct pairing survives a NULL-valued right row (both directions)") {
+    // ADVICE r11: the struct-pairing fix (asof_event and asof_value must
+    // come from the SAME right row) was unguarded — the fixture never
+    // plants a NULL purchase value, so the pre-fix two-window form also
+    // passed. This plants one: a NULL-valued purchase BETWEEN two valued
+    // ones; pairing the event from the null row with the value of a
+    // different row is exactly the regression this pins down.
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("asof_null")
+    val rows = Seq(
+      (1L, 1L, "purchase", "2026-01-01 10:00:00", Option(5.0)),
+      (2L, 1L, "purchase", "2026-01-01 10:10:00", Option.empty[Double]),
+      (3L, 1L, "click", "2026-01-01 10:15:00", Option(0.0)),
+      (4L, 1L, "purchase", "2026-01-01 10:20:00", Option(7.0)),
+      (5L, 1L, "click", "2026-01-01 10:05:00", Option(0.0)),
+      (6L, 1L, "click", "2026-01-01 10:08:00", Option(0.0)))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def run(q: String): Map[Long, (Any, Any)] =
+      SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.get(2), r.get(3)))).toMap
+    val back = run("join_asof")
+    assert(back(3L) == ((2L, null)),
+      s"backward must pair the null-valued purchase with a null value: $back")
+    assert(back(5L) == ((1L, 5.0)) && back(6L) == ((1L, 5.0)), s"$back")
+    val fwd = run("join_asof_forward")
+    assert(fwd(5L) == ((2L, null)) && fwd(6L) == ((2L, null)),
+      s"forward must pair the null-valued purchase with a null value: $fwd")
+    assert(fwd(3L) == ((4L, 7.0)), s"$fwd")
+  }
+
   test("agg_weighted_median equals a local exact recompute") {
     import org.apache.spark.sql.functions._
     val rows = Tables.load(spark, sfDir, "lineitem")
