@@ -1321,13 +1321,60 @@ object TextAnalysis {
     * leading-separator path convention matches [[viterbiSegment]]
     * byte-for-byte so the lexicographic tie-break agrees.
     */
-  private def unigramTrainOracle(maxWordLen: Int): String = {
+  /** Unigram-LM tokenizer APPLY — the consumption counterpart of
+    * [[textUnigramTrain]] (the same train→apply symmetry as
+    * `text_bpe_train` → `text_token_budget_bpe`): per-doc word and
+    * subword-token counts under the trained unigram vocab.
+    *
+    * Scale shape: the corpus is NEVER segmented per occurrence — the
+    * VOCABULARY is segmented once (one [[viterbiSegment]] fold per
+    * distinct word, under the one-row broadcast final-vocab map) and the
+    * corpus word stream map-side joins the broadcast word→n_tok table,
+    * then two-phase-aggregates per doc. Training re-runs here (the vocab
+    * is a model artifact; at 100 TB you persist it and skip straight to
+    * the apply join).
+    */
+  private def textUnigramApply(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(explode(TF.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val vocab = unigramTrainFromWords(words)
+    import s.implicits._
+    val vm = vocab.toDF("tok", "cnt")
+      .agg(map_from_entries(
+        collect_list(struct(col("tok"), col("cnt")))).as("vm"))
+    val perWord = words.select(col("w")).crossJoin(broadcast(vm))
+      .select(col("w"),
+        size(split(viterbiSegment(col("w"), col("vm")), " ")).as("n_tok"))
+    docs(s, d).select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(perWord), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def unigramTrainOracle(maxWordLen: Int): String =
+    unigramOracle(maxWordLen, applyTail = false)
+
+  /** [[unigramTrainOracle]] plus one more DP round under the FINAL vocab
+    * (`applyTail`): segment the dict once more, derive per-word token
+    * counts, and stream the corpus words through them — the oracle of
+    * [[textUnigramApply]].
+    */
+  private def unigramApplyOracle(maxWordLen: Int): String =
+    unigramOracle(maxWordLen, applyTail = true)
+
+  private def unigramOracle(maxWordLen: Int, applyTail: Boolean): String = {
     val rounds = UniKeeps.length
+    val nDp = if (applyTail) rounds + 1 else rounds
     // every b-layer is AS MATERIALIZED: layer i references layers
     // i−1..i−4, so default CTE inlining would expand the chain
     // Fibonacci-style (~3.6^i copies of the base scan — the sf0.01 run
     // exhausted the fd limit before ever executing)
-    val dpRounds = (0 until rounds).map { r =>
+    val dpRounds = (0 until nDp).map { r =>
       val layers = (1 to maxWordLen).map { i =>
         val cands = (math.max(0, i - UniMaxTok) until i).map { j =>
           s"""
@@ -1347,11 +1394,11 @@ object TextAnalysis {
       val segUnion = (1 to maxWordLen)
         .map(i => s"SELECT w, freq, p FROM b${r}_$i WHERE len(w) = $i")
         .mkString(" UNION ALL ")
-      s""",
-      b${r}_0 AS MATERIALIZED (
-        SELECT w, freq, 0 AS n, 0::BIGINT AS negc, '' AS p FROM dict)$layers,
-      seg$r AS MATERIALIZED (
-        SELECT w, freq, trim(p) AS p FROM ($segUnion)),
+      // the apply block (r == rounds) segments under the FINAL vocab and
+      // needs no further recount/prune
+      val roundTail =
+        if (r == rounds) ""
+        else s""",
       cnt$r AS MATERIALIZED (
         SELECT tok, sum(freq)::BIGINT AS cnt FROM (
           SELECT unnest(string_split(p, ' ')) AS tok, freq FROM seg$r)
@@ -1363,7 +1410,31 @@ object TextAnalysis {
         SELECT tok, cnt FROM (
           SELECT tok, cnt FROM cnt$r WHERE len(tok) > 1
           ORDER BY cnt DESC, tok LIMIT ${UniKeeps(r)}))"""
+      s""",
+      b${r}_0 AS MATERIALIZED (
+        SELECT w, freq, 0 AS n, 0::BIGINT AS negc, '' AS p FROM dict)$layers,
+      seg$r AS MATERIALIZED (
+        SELECT w, freq, trim(p) AS p FROM ($segUnion))$roundTail"""
     }.mkString
+    val finalSelect =
+      if (applyTail) s""",
+      wtok AS MATERIALIZED (
+        SELECT w, CAST(len(string_split(p, ' ')) AS INT) AS n_tok
+        FROM seg$rounds),
+      docw AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split($NormSql, ' ')) AS w
+        FROM documents)
+      SELECT d.doc_id, COUNT(*) AS n_words,
+             CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens
+      FROM docw d JOIN wtok t USING (w)
+      WHERE len(d.w) > 0
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
+      else s"""
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT)
+               AS rank,
+             tok AS token, CAST(len(tok) AS INT) AS token_len,
+             cnt AS score
+      FROM v$rounds ORDER BY rank"""
     s"""
       WITH dict AS MATERIALIZED (
         SELECT w, count(*)::BIGINT AS freq FROM (
@@ -1377,11 +1448,7 @@ object TextAnalysis {
           WHERE i + l <= len(w))
         GROUP BY tok),
       chars AS MATERIALIZED (SELECT tok FROM v0 WHERE len(tok) = 1)$dpRounds
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT)
-               AS rank,
-             tok AS token, CAST(len(tok) AS INT) AS token_len,
-             cnt AS score
-      FROM v$rounds ORDER BY rank"""
+      $finalSelect"""
   }
 
   /** The PRETRAINING-corpus assembly pipeline — the round's new stages
@@ -1958,6 +2025,7 @@ object TextAnalysis {
     "text_quality_classifier" -> textQualityClassifier _,
     "text_bpe_train" -> textBpeTrain _,
     "text_unigram_train" -> textUnigramTrain _,
+    "text_unigram_apply" -> textUnigramApply _,
     "pipeline_pretraining" -> pipelinePretraining _,
     "pipeline_curation" -> pipelineCuration _,
     "sample_hash" -> sampleHash _,
@@ -2588,6 +2656,7 @@ object TextAnalysis {
       ORDER BY doc_id""",
     "text_bpe_train" -> bpeTrainOracle(8),
     "text_unigram_train" -> unigramTrainOracle(16),
+    "text_unigram_apply" -> unigramApplyOracle(16),
     "text_line_dedup" -> s"""
       WITH base AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

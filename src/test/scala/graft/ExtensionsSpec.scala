@@ -1074,6 +1074,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(multi.length <= 12, s"prune must cap multi tokens: ${multi.length}")
   }
 
+  test("text_unigram_apply: per-word token floor holds and subwords compress") {
+    val rows = SparkEntry.queries("text_unigram_apply")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nw, nt) =>
+      assert(nw > 0 && nt >= nw, s"doc $id: $nt tokens for $nw words") }
+    // the learned multi-char tokens must actually compress: total subword
+    // tokens strictly below total characters (the char-level ceiling)
+    val totChars = Tables.load(spark, sfDir, "documents")
+      .select(explode(functions.TextFunctions.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")))).head.getLong(0)
+    assert(rows.map(_._3).sum < totChars,
+      s"no compression: ${rows.map(_._3).sum} tokens vs $totChars chars")
+  }
+
   test("pipeline_curation: strictly shrinking funnel, stages recompose") {
     val rows = SparkEntry.queries("pipeline_curation")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
