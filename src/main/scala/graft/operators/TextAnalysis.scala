@@ -353,6 +353,77 @@ object TextAnalysis {
     }
   }
 
+  /** SPAN-LEVEL decontamination SCRUB — the surgical tier of the family:
+    * [[decontaminate]] gates, [[decontaminateFraction]] reports, this one
+    * EXCISES — every word position covered by a benchmark n-gram match is
+    * removed and the document is rebuilt from the surviving words (the
+    * eval-string-scrubbing pass pipelines run when dropping whole
+    * documents would cost too much good text). Emits one row per
+    * CONTAMINATED doc (report-sized output, the family contract):
+    * original word count, scrubbed-position count, and the head of the
+    * rebuilt text.
+    *
+    * Scale shape: the positional shingle explode is map-only into the
+    * checked-bound broadcast bench join (positions ride as one int, the
+    * doc never travels); hit positions aggregate report-sized; the
+    * covered-position sets broadcast BACK onto the corpus scan, so the
+    * rebuild (index-filtered words, a higher-order lambda) runs only on
+    * contaminated rows. One corpus pass, no corpus shuffle.
+    */
+  def decontaminateScrub(trainDocs: DataFrame, benchDocs: DataFrame,
+                         n: Int = 5,
+                         maxBroadcastShingles: Long = 50L * 1000 * 1000)
+      : DataFrame = {
+    val s = trainDocs.sparkSession
+    GraftFunctions.register(s)
+    val bench = benchDocs
+      .select(explode(
+        GraftFunctions.word_shingles(TF.words(col("text")), n)).as("shingle"))
+      .distinct()
+    val broadcastable = bench.count() <= maxBroadcastShingles
+    val benchSide = if (broadcastable) broadcast(bench) else bench
+    // 1-based shingle start positions — NOT distinct-reduced: a shingle
+    // recurring at two positions must scrub both spans
+    val posed = trainDocs
+      .select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("ws"), i, lit(n))).as("shingle"))))
+        .as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"),
+        col("ps.shingle").as("shingle"))
+    val cov = posed.join(benchSide, Seq("shingle"))
+      .select(col("doc_id"),
+        sequence(col("pos"), col("pos") + (n - 1)).as("cseq"))
+      .groupBy(col("doc_id"))
+      .agg(array_distinct(flatten(collect_list(col("cseq")))).as("cpos"))
+    trainDocs.select(col("doc_id"), TF.words(col("text")).as("ws"))
+      .join(broadcast(cov), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(col("cpos")).as("n_scrubbed"),
+        substring(concat_ws(" ",
+          filter(col("ws"), (w, i) => {
+            val _ = w; !array_contains(col("cpos"), i + 1)
+          })), 1, 60).as("scrub_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture instantiation of [[decontaminateScrub]] — the same carve
+    * split as the other decontamination rows: exact-dup contamination
+    * scrubs to nothing, idiom collisions lose only their matched spans.
+    */
+  private def textDecontaminateScrub(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("text")), 1, 1).as("carve"))
+    decontaminateScrub(
+      base.filter(col("carve") =!= "0").select(col("doc_id"), col("text")),
+      base.filter(col("carve") === "0").select(col("text")))
+  }
+
   /** Fixture instantiation of [[decontaminateFraction]] — same 1/16
     * md5-carved bench slice as [[textDecontaminate]]; threshold 0.5
     * splits the fixture non-vacuously at BOTH gate tiers (sf0.01: the
@@ -2048,6 +2119,7 @@ object TextAnalysis {
     "text_decontaminate_bloom" -> textDecontaminateBloom _,
     "text_decontaminate_frac" -> textDecontaminateFraction _,
     "text_decontaminate_frac_bloom" -> textDecontaminateFractionBloom _,
+    "text_decontaminate_scrub" -> textDecontaminateScrub _,
     "text_repetition" -> textRepetition _,
     "text_tfidf" -> textTfidf _,
     "text_vocab" -> textVocab _,
@@ -3036,6 +3108,43 @@ object TextAnalysis {
     // the bloom prefilter tier is exact (no false negatives + residual
     // exact join), so it shares the fraction oracle verbatim
     "text_decontaminate_frac_bloom" -> DecontamFracSql,
+    // span excision: positions covered by any matched 5-gram drop, the
+    // doc rebuilds from the survivors; only contaminated docs emit
+    "text_decontaminate_scrub" -> s"""
+      WITH w AS (
+        SELECT doc_id, substr(md5(text), 1, 1) AS carve,
+               string_split($NormSql, ' ') AS w
+        FROM documents),
+      tr AS (SELECT doc_id, w FROM w WHERE carve <> '0' AND len(w) >= 5),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                               ' ' || w[i+3] || ' ' || w[i+4]
+                 for i in range(1, len(w)-3) ]) AS sh
+        FROM w WHERE len(w) >= 5),
+      bench AS (SELECT DISTINCT unnest(s2.sh) AS shingle
+                FROM sh s2 JOIN w USING (doc_id) WHERE w.carve = '0'),
+      pos AS (
+        SELECT t.doc_id, i,
+               t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2] || ' ' ||
+               t.w[i+3] || ' ' || t.w[i+4] AS shingle
+        FROM tr t, unnest(range(1, len(t.w)-3)) AS u(i)),
+      hits AS (SELECT DISTINCT p.doc_id, p.i
+               FROM pos p JOIN bench b USING (shingle)),
+      cov AS (
+        SELECT doc_id,
+               list_distinct(flatten(list([i, i+1, i+2, i+3, i+4])))
+                 AS cpos
+        FROM hits GROUP BY doc_id),
+      outp AS (
+        SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_words,
+               CAST(len(c.cpos) AS INT) AS n_scrubbed,
+               coalesce(array_to_string(
+                 [ t.w[k] for k in range(1, len(t.w)+1)
+                   if NOT list_contains(c.cpos, k) ], ' '), '') AS kept
+        FROM tr t JOIN cov c USING (doc_id))
+      SELECT doc_id, n_words, n_scrubbed, substr(kept, 1, 60) AS scrub_head
+      FROM outp ORDER BY doc_id""",
     "text_repetition" -> s"""
       WITH w AS (
         SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),

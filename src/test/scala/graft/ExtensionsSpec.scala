@@ -1640,6 +1640,37 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(fHinted.collect().toSeq == fGuarded.collect().toSeq)
   }
 
+  test("text_decontaminate_scrub matches a local span-excision recompute") {
+    // sf0.01: the sf0.001 slice carries no contaminated docs, which would
+    // make the compare vacuous
+    val dir = "/root/testdata/sf0.01"
+    val raw = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ws(t: String) = mkNorm(t)
+    val bench = raw.values.filter(t => md5hex(t).startsWith("0"))
+      .filter(t => ws(t).length >= 5)
+      .flatMap(t => ws(t).sliding(5).map(_.mkString(" "))).toSet
+    val want = raw.collect {
+      case (id, t) if !md5hex(t).startsWith("0") && ws(t).length >= 5 =>
+        val w = ws(t)
+        val hits = (0 to w.length - 5)
+          .filter(i => bench(w.slice(i, i + 5).mkString(" ")))
+        id -> hits
+    }.collect { case (id, hits) if hits.nonEmpty =>
+      val w = ws(raw(id))
+      val cov = hits.flatMap(i => i until i + 5).toSet
+      val kept = w.zipWithIndex.collect { case (x, i) if !cov(i) => x }
+        .mkString(" ")
+      id -> ((w.length, cov.size, kept.take(60)))
+    }.toMap
+    val got = SparkEntry.queries("text_decontaminate_scrub")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(want.nonEmpty, "fixture must carry contaminated docs")
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("text_decontaminate_frac_bloom equals the exact tier, probe stays codegen") {
     val exact = SparkEntry.queries("text_decontaminate_frac")(spark, sfDir)
       .collect().toSeq
