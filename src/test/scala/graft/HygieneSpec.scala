@@ -77,7 +77,14 @@ class HygieneSpec extends AnyFunSuite {
       // initial dict (and must have unpersisted it itself); the
       // multimodal pipeline caches its decoded signature frame
       Seq("pipeline_corpus", "pipeline_curation", "pipeline_pretraining",
-        "pipeline_multimodal", "text_line_dedup", "text_bpe_train"))
+        "pipeline_multimodal", "text_line_dedup", "text_bpe_train",
+        // r12: the streaming ingest caches per-batch frames inside
+        // foreachBatch (must self-unpersist); the unigram trainers cache
+        // per-round count frames (released in their finally); the bloom
+        // fraction tier broadcasts a sketch (tracked, unpersisted by
+        // releaseAll via Caches.trackBroadcast)
+        "pipeline_streaming_ingest", "text_unigram_train",
+        "text_unigram_apply", "text_decontaminate_frac_bloom"))
       .toSeq.sorted
 
   for (name <- cacheHeavy) {

@@ -619,6 +619,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final HashAggregate:\n$p")
   }
 
+  test("unigram apply joins the corpus word stream broadcast, never shuffled") {
+    // the 100 TB contract of the apply row: the corpus side map-side
+    // joins the vocab-sized word->n_tok table; a sort-merge join here
+    // would shuffle every corpus word occurrence on a string key
+    val df = SparkEntry.queries("text_unigram_apply")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus word stream must not sort-merge:\n$p")
+  }
+
   test("small-dimension joins broadcast (tpch_q5 chain)") {
     val p = planOf("tpch_q5")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
