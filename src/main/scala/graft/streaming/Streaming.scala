@@ -820,16 +820,21 @@ object Streaming {
               .filter(col("ingest_batch") < batchId)
               .filter(size(col("sh")) > 0)
               .select(col("doc_id").as("dup_of"), col("sh").as("sh_b"))
-            val cands = newBands
+            // the arriving batch is ≪ the accumulated corpus index, so
+            // the batch side broadcasts and the index streams through a
+            // map-side probe — without the hints Catalyst (no stats on
+            // the fresh write) would sort-merge, shuffling the whole
+            // corpus index every micro-batch
+            val cands = broadcast(newBands
               .select(col("doc_id").as("new_doc"),
-                col("band"), col("h1"), col("h2"))
+                col("band"), col("h1"), col("h2")))
               .join(corpusBands.select(col("doc_id").as("dup_of"),
                 col("band"), col("h1"), col("h2")),
                 Seq("band", "h1", "h2"))
               .select(col("new_doc"), col("dup_of")).distinct()
-            cands
+            broadcast(cands
               .join(batch.select(col("doc_id").as("new_doc"),
-                col("sh").as("sh_a")), Seq("new_doc"))
+                col("sh").as("sh_a")), Seq("new_doc")))
               .join(corpusSh, Seq("dup_of"))
               .withColumn("common",
                 size(array_intersect(col("sh_a"), col("sh_b"))))
