@@ -729,7 +729,7 @@ object Streaming {
     * dedup depends on (a later batch probes the corpus the earlier
     * batches built).
     */
-  private def ensureIngestSrc(s: SparkSession, d: String): String =
+  private[graft] def ensureIngestSrc(s: SparkSession, d: String): String =
     graft.Scratch.ensure(s,
       s"ingest_src_v1_${graft.Scratch.sanitize(d)}_" +
         graft.Scratch.fingerprint(Tables.path(d, "documents"))) { dir =>

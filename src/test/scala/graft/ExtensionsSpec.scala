@@ -779,6 +779,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one-drop-per-batch"))
   }
 
+  test("streaming ingest: kill-and-restart resumes offsets, corpus identical") {
+    // the exactly-once claim exercised across a REAL restart, the same
+    // drill stream_exec_ckpt_restart runs for windowed state: drops 0-1
+    // land and run 1 drains them (a planned shutdown), drops 2-3 land,
+    // run 2 starts fresh from the same checkpoint. Resume-not-replay is
+    // doubly gated: re-offered early drops would shift batchIds and trip
+    // the order guard, and the final corpus must equal the uninterrupted
+    // single-run result row for row.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val whole = SparkEntry.queries("pipeline_streaming_ingest")(spark, dir)
+      .collect().map(_.toSeq.toList).toList
+    val src = streaming.Streaming.ensureIngestSrc(spark, dir)
+    val root = tempDir("ingest_restart")
+    val staged = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staged))
+    def land(b: Int): Unit = {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/batch-$b.parquet"),
+        java.nio.file.Paths.get(s"$staged/batch-$b.parquet"),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES): Unit
+    }
+    def runIngest(): Unit = {
+      val schema = spark.read.parquet(staged).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .withWatermark("crawl_ts", "1 hour")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(streaming.Streaming.ingestOneBatch(
+          s"$root/accepted", s"$root/bands") _)
+        .start()
+      assert(q.awaitTermination(300000), "ingest run did not self-terminate")
+    }
+    land(0); land(1)
+    runIngest() // run 1 drains drops 0-1, then the planned shutdown
+    val afterRun1 = spark.read.parquet(s"$root/accepted")
+      .select(col("ingest_batch")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(afterRun1 == Set(0, 1), s"run 1 must land drops 0-1: $afterRun1")
+    land(2); land(3)
+    runIngest() // run 2: recovery — offsets resume at drop 2
+    val restarted = spark.read.parquet(s"$root/accepted")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("ingest_batch").cast("long").as("ingest_batch"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toSeq.toList).toList
+    assert(restarted == whole,
+      "the restarted corpus must equal the uninterrupted run's")
+  }
+
   test("Trigger.AvailableNow backfills all existing data then stops on its own") {
     // the operational backfill mode: process everything that currently
     // exists in bounded micro-batches, then self-terminate — a catch-up
