@@ -1348,11 +1348,14 @@ object TextAnalysis {
       for (k <- UniKeeps) {
         val vm = vocab.agg(map_from_entries(
           collect_list(struct(col("tok"), col("cnt")))).as("vm"))
+        // vocab-sized frame: collapse to one partition so the per-round
+        // jobs schedule 1 task, not shuffle-partition-many empty ones
         val counts = w.crossJoin(broadcast(vm))
           .select(col("freq"),
             explode(split(viterbiSegment(col("w"), col("vm")), " "))
               .as("tok"))
           .groupBy(col("tok")).agg(sum(col("freq")).as("cnt"))
+          .coalesce(1)
           .cache()
         cached += counts
         counts.count(): Unit // materialize: cuts the cross-round lineage
