@@ -872,13 +872,29 @@ object Streaming {
   /** Where the accepted corpus + band index of [[pipelineStreamingIngest]]
     * for dataset `d` live — exposed so the spec can re-fire a batch
     * against the real output tree and prove replay idempotence.
+    * Pid-suffixed like [[streamExecCheckpointRestart]]'s tree: a
+    * concurrent Verify/Bench process on the same dataset gets its own
+    * root, so the purge-at-row-start can never race a sibling's
+    * in-flight run; dead siblings' trees are reaped at row start.
     */
   private[graft] def ingestRoot(s: SparkSession, d: String): String =
-    graft.Scratch.root(s) + s"/stream_ingest_${graft.Scratch.sanitize(d)}"
+    graft.Scratch.root(s) +
+      s"/stream_ingest_${graft.Scratch.sanitize(d)}" +
+      s"_pid${java.lang.ProcessHandle.current.pid}"
 
   private def pipelineStreamingIngest(s: SparkSession, d: String)
       : DataFrame = {
     val src = ensureIngestSrc(s, d)
+    val prefix = s"stream_ingest_${graft.Scratch.sanitize(d)}_pid"
+    Option(new java.io.File(graft.Scratch.root(s)).listFiles())
+      .foreach(_.foreach { f =>
+        if (f.getName.startsWith(prefix)) {
+          val alive = f.getName.stripPrefix(prefix).toLongOption
+            .exists(p => java.lang.ProcessHandle.of(p)
+              .map[Boolean](_.isAlive).orElse(false))
+          if (!alive) graft.Scratch.purge(f.getPath)
+        }
+      })
     val root = ingestRoot(s, d)
     graft.Scratch.purge(root)
     val acceptedDir = s"$root/accepted"
