@@ -791,24 +791,29 @@ object Streaming {
     graft.functions.GraftFunctions.register(s)
     import graft.operators.{Dedup, TextAnalysis}
     import graft.functions.{GraftFunctions, TextFunctions => TF}
+    val batch = df.select(col("doc_id"), col("source"),
+        GraftFunctions.html_extract(TextAnalysis.htmlPageExpr)
+          .getField("text_clean").as("text"),
+        GraftFunctions.word_shingles(
+          TF.words(col("text")), Dedup.ShingleN).as("sh"))
+      .filter(TextAnalysis.qualityPred)
+      .select(col("doc_id"), col("source"),
+        size(TF.words(col("text"))).as("n_words"), col("sh"))
+      .cache()
     // order guard: exactly one crawl drop per micro-batch, in crawl
     // order — a violated ordering must fail loudly, not silently produce
-    // a different corpus than the sequential replay the oracle runs
-    val bs = df.select(pmod(col("doc_id"), lit(IngestBatches))
+    // a different corpus than the sequential replay the oracle runs.
+    // Computed over the cached post-quality frame so the SAME job that
+    // validates ordering also materializes the cache (one batch scan,
+    // not two); a drop whose every doc fails quality skips the guard and
+    // accepts nothing, which is also what a correct run would do.
+    val bs = batch.select(pmod(col("doc_id"), lit(IngestBatches))
         .cast("int").as("b")).distinct().collect().map(_.getInt(0))
-    if (bs.nonEmpty) {
+    if (bs.isEmpty) { batch.unpersist(blocking = false); () }
+    else {
       require(bs.length == 1 && bs.head == batchId,
         s"ingest batch $batchId carried crawl drops ${bs.mkString(",")} — " +
           "file-source ordering broke the one-drop-per-batch contract")
-      val batch = df.select(col("doc_id"), col("source"),
-          GraftFunctions.html_extract(TextAnalysis.htmlPageExpr)
-            .getField("text_clean").as("text"),
-          GraftFunctions.word_shingles(
-            TF.words(col("text")), Dedup.ShingleN).as("sh"))
-        .filter(TextAnalysis.qualityPred)
-        .select(col("doc_id"), col("source"),
-          size(TF.words(col("text"))).as("n_words"), col("sh"))
-        .cache()
       try {
         val newBands = Dedup.bandKeys(batch.filter(size(col("sh")) > 0))
         val dropped = (
