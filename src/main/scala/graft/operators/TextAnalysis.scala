@@ -1715,6 +1715,40 @@ object TextAnalysis {
     stageC4(docs(s, d).select(col("doc_id"), c4PageExpr.as("page")))
       .orderBy(col("doc_id"))
 
+  /** WORD-LEVEL blocklist filter — the C4 "bad words" gate (Raffel et
+    * al. 1910.10683 §2.2 drop any page containing a blocklist entry),
+    * done at WORD granularity: the original C4 matched substrings and
+    * famously over-filtered (medical/LGBT pages killed by innocent
+    * containments); token-boundary matching is the documented fix this
+    * operator encodes — the fixture blocklist entry "a" makes the
+    * distinction NON-VACUOUS: as a substring it occurs in "table",
+    * "data", "scan" (nearly every doc), as a token it splits the corpus,
+    * and the spec asserts kept docs still CONTAIN the substring. Neutral
+    * fixture vocabulary; swap in a real list (LDNOOBW etc.) at deploy.
+    *
+    * Scale shape: the blocklist is a literal array in the plan
+    * (model-artifact-sized), so the gate is one codegen
+    * `array_intersect` per row inside the scan projection — map-only,
+    * no joins, no shuffle except the final report ordering. Emits ONLY
+    * flagged docs (report-sized): per-doc distinct blocked words, their
+    * count, and the doc's word count — what a filter audit log records;
+    * "not in the report" is the keep verdict.
+    */
+  private val BlockWords = Seq("a", "dup")
+
+  private def textBlocklist(s: SparkSession, d: String): DataFrame = {
+    val ws = TF.words(col("text"))
+    val hits = array_sort(array_intersect(array_distinct(ws),
+      lit(BlockWords.toArray)))
+    docs(s, d)
+      .select(col("doc_id"), size(ws).as("n_words"), hits.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), col("n_words"),
+        size(col("hits")).as("n_blocked"),
+        concat_ws(" ", col("hits")).as("blocked_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixture page for CORPUS-LEVEL line dedup: 6-word content lines
     * (same single-pass chunking regex as [[c4PageExpr]]) plus planted
     * boilerplate lines whose document frequency spans the threshold's
@@ -2092,6 +2126,7 @@ object TextAnalysis {
     "pipeline_corpus" -> pipelineCorpus _,
     "text_url_canon" -> textUrlCanon _,
     "text_c4_filters" -> textC4Filters _,
+    "text_blocklist" -> textBlocklist _,
     "text_line_dedup" -> textLineDedup _,
     "text_html_extract" -> textHtmlExtract _,
     "dedup_url_keep_best" -> dedupUrlKeepBest _,
@@ -2691,6 +2726,19 @@ object TextAnalysis {
       SELECT doc_id, score, n_bigrams,
              CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS keep
       FROM scored ORDER BY doc_id""",
+    // word-level blocklist: list semantics (distinct, sorted) mirror the
+    // Spark side exactly; kept docs are absent by contract
+    "text_blocklist" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      h AS (
+        SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+               list_sort(list_intersect(list_distinct(ws),
+                 [${BlockWords.map(b => s"'$b'").mkString(", ")}])) AS hits
+        FROM w)
+      SELECT doc_id, n_words, CAST(len(hits) AS INT) AS n_blocked,
+             array_to_string(hits, ' ') AS blocked_words
+      FROM h WHERE len(hits) > 0 ORDER BY doc_id""",
     "text_c4_filters" -> s"""
       WITH base AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

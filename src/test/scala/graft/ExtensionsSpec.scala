@@ -1692,6 +1692,27 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(fHinted.collect().toSeq == fGuarded.collect().toSeq)
   }
 
+  test("text_blocklist matches token-boundary semantics, never substring") {
+    val raw = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val block = Set("a", "dup")
+    val want = raw.view.mapValues(mkNorm(_).toSeq)
+      .filter { case (_, ws) => ws.exists(block) }
+      .map { case (id, ws) =>
+        id -> ((ws.length, ws.distinct.filter(block).sorted.mkString(" ")))
+      }.toMap
+    val got = SparkEntry.queries("text_blocklist")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(3)))).toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // non-vacuous both ways, and the kept docs prove WORD-level matching:
+    // every kept doc still CONTAINS 'a' as a substring (table/data/scan),
+    // so a substring matcher would have flagged the whole corpus
+    val kept = raw.keySet -- got.keySet
+    assert(got.nonEmpty && kept.nonEmpty, s"split is vacuous: ${got.size}")
+    assert(kept.forall(id => raw(id).toLowerCase.contains("a")),
+      "fixture lost the substring-vs-token distinction")
+  }
+
   test("text_decontaminate_scrub matches a local span-excision recompute") {
     // sf0.01: the sf0.001 slice carries no contaminated docs, which would
     // make the compare vacuous
