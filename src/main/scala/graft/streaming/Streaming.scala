@@ -873,6 +873,15 @@ object Streaming {
     * partition overwrites (the [[foreachBatchWriter]] contract), and the
     * whole run is deterministic, so the oracle replays the four-layer
     * accept chain in SQL. Returns the final accepted corpus.
+    *
+    * Cost audit (sf0.1, 32 cores, r12, `graft.StreamAudit`): warm total
+    * ≈ 6.9 s = 4 micro-batches × 1.3–1.9 s triggerExecution, of which
+    * ~95% is addBatch — the funnel work itself (extract + gate + guard
+    * + probe + two writes over ~1,250 docs/drop); offsets/WAL commits
+    * are ~70 ms/batch and queryPlanning ~6 ms, and stateOperators is
+    * EMPTY (the dedup state lives in the partitioned corpus index, not
+    * a state store) — so unlike the interval-join rows there is no
+    * commit machinery to tune: the row's cost is its work.
     */
   /** Where the accepted corpus + band index of [[pipelineStreamingIngest]]
     * for dataset `d` live — exposed so the spec can re-fire a batch
