@@ -192,7 +192,19 @@ object Bench {
     // shingle counts ride the explode as a carried column, so the 10×
     // corpus must scale the one map-side probe pass linearly while the
     // output stays report-sized (contaminated docs only)
-    "sf1_text_decontaminate_frac" -> "text_decontaminate_frac")
+    "sf1_text_decontaminate_frac" -> "text_decontaminate_frac",
+    // round-13 rows: the CCNet bucket carve at 10× (same hot-vocabulary
+    // LM-join worst case as sf1_text_lm_score, plus the 1-row percentile
+    // broadcast which must stay corpus-size-independent)
+    "sf1_text_lm_buckets" -> "text_lm_buckets",
+    // the Gram-aggregator PCA at 10× vectors: the triangle buffer per
+    // partition is constant-size, so the corpus pass must scale linearly
+    // and the matvec/broadcast tail must stay flat
+    "sf1_emb_pca_power" -> "emb_pca_power",
+    // trailing-window anomaly flags at 10× users (replicated event ids
+    // shift the per-user sequences; the one user-key shuffle and bounded
+    // ROWS frame must scale with key cardinality, not window depth)
+    "sf1_events_anomaly" -> "events_anomaly")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Weighted arithmetic mean as a typed [[Aggregator]] — the repo's demo of
@@ -28,4 +29,50 @@ object WeightedMeanAgg
   def bufferEncoder: Encoder[(Double, Double)] =
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Upper-triangle Gram-matrix accumulation Σqᵢqⱼ (i ≤ j) as a typed
+  * [[Aggregator]] — the treeAggregate shape every distributed covariance/
+  * PCA pass uses (MLlib `RowMatrix.computeGramianMatrix` does exactly
+  * this over a flat triangle buffer): the buffer is one primitive
+  * `Array[Long]` of d(d+1)/2 cells, `reduce` is a tight multiply-add
+  * loop per vector, and only ONE buffer per partition crosses the
+  * exchange — never corpus×d² (or even corpus×d) rows. Spark keeps the
+  * buffer as a live object between rows (TypedImperativeAggregate) and
+  * serializes it only for the partial→final merge. All cells are exact
+  * BIGINT sums, so the result is order-independent and engine-exact —
+  * the property the PCA oracle's relational replay needs. A declarative
+  * pair-explode (`transform`×`transform`→`explode`) computes the same
+  * thing but walks the interpreted higher-order-function path and
+  * allocates d²/2 structs per row; this loop replaces it at ~10× less
+  * cost with an identical result.
+  */
+final class GramTriangleAgg(d: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+  private val len = d * (d + 1) / 2
+  def zero: Array[Long] = new Array[Long](len)
+  def reduce(buf: Array[Long], q: Seq[Long]): Array[Long] = {
+    val a = q match {
+      case w: scala.collection.mutable.ArraySeq[Long @unchecked] =>
+        w.array.asInstanceOf[Array[Long]]
+      case _ => q.toArray
+    }
+    var k = 0
+    var i = 0
+    while (i < d) {
+      val xi = a(i)
+      var j = i
+      while (j < d) { buf(k) += xi * a(j); k += 1; j += 1 }
+      i += 1
+    }
+    buf
+  }
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var k = 0
+    while (k < len) { x(k) += y(k); k += 1 }
+    x
+  }
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }

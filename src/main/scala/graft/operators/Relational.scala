@@ -2378,6 +2378,45 @@ object Relational {
       .orderBy(col("attributed"))
   }
 
+  /** Trailing-window anomaly flags over the event stream — the
+    * monitoring verb every metrics/abuse pipeline runs: each event's
+    * value is tested against its OWN user's previous-20-event history by
+    * the 3σ rule. The test is the cross-multiplied form of
+    * (x−μ)² > 9σ² — `(n·x − S)² > 9·(n·S2 − S²)` with S = Σv and
+    * S2 = Σv² as EXACT DECIMAL(·,2/4) sums of the 2-dp fixture values —
+    * so no division, no sqrt, no float: every verdict is exact and the
+    * oracle replays it bit-for-bit (a σ computed through double sqrt
+    * could flip a boundary verdict between engines). Intermediate casts
+    * (S→(16,2), S2→(18,4)) keep every product inside DECIMAL(38) in
+    * BOTH engines' precision-inference rules — the operand magnitudes
+    * (|S| ≤ 20·491) make the casts lossless. Shape: ONE shuffle on the
+    * user key, a bounded ROWS frame (constant state per user — trailing
+    * aggregation, never a recompute per event), verdicts map out of the
+    * window projection. Linear per user at any scale; the full-history
+    * gate (n = 20) keeps cold-start windows silent.
+    */
+  private def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val vd = col("value").cast(DecimalType(12, 2))
+    val w = graft.streaming.Streaming.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        vd.as("vd"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        count(col("vd")).over(win).cast("int").as("n_hist"),
+        sum(col("vd")).over(win).cast(DecimalType(16, 2)).as("s1"),
+        sum(col("vd") * col("vd")).over(win).cast(DecimalType(18, 4))
+          .as("s2"))
+    val nD = col("n_hist").cast(DecimalType(4, 0))
+    val dev = nD * col("value").cast(DecimalType(12, 2)) - col("s1")
+    w.select(col("event_id"), col("user_id"), col("n_hist"), col("value"),
+        (col("n_hist") === 20 && dev * dev >
+          lit(9).cast(DecimalType(2, 0)) *
+            (nD * col("s2") - col("s1") * col("s1"))).as("is_anomaly"))
+      .orderBy(col("event_id"))
+  }
+
   /** Fixed-grid downsampling: snap every event to its 15-minute bucket
     * and aggregate — the resample-to-grid step every time-series feature
     * pipeline starts with. The bucket key is pure integer arithmetic on
@@ -2810,6 +2849,7 @@ object Relational {
     "scd2_history" -> scd2History _,
     "events_seq_pairs" -> eventsSeqPairs _,
     "events_attribution" -> eventsAttribution _,
+    "events_anomaly" -> eventsAnomaly _,
     "ts_resample" -> tsResample _,
     "quality_expectations" -> qualityExpectations _,
     "agg_incremental_rollup" -> aggIncrementalRollup _,
@@ -3641,6 +3681,29 @@ object Relational {
              CAST(SUM(CASE WHEN attributed THEN last_click_id ELSE 0 END)
                   AS BIGINT) AS sum_click_ids
       FROM p GROUP BY attributed ORDER BY attributed""",
+    "events_anomaly" -> """
+      WITH t AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS mts, value,
+               CAST(value AS DECIMAL(12,2)) AS vd
+        FROM events),
+      w AS (
+        SELECT event_id, user_id, value,
+               CAST(COUNT(vd) OVER win AS INT) AS n_hist,
+               CAST(SUM(vd) OVER win AS DECIMAL(16,2)) AS s1,
+               CAST(SUM(vd*vd) OVER win AS DECIMAL(18,4)) AS s2
+        FROM t
+        WINDOW win AS (PARTITION BY user_id ORDER BY mts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, n_hist, value,
+             (n_hist = 20 AND
+              (CAST(n_hist AS DECIMAL(4,0)) * CAST(value AS DECIMAL(12,2))
+                 - s1)
+              * (CAST(n_hist AS DECIMAL(4,0)) * CAST(value AS DECIMAL(12,2))
+                 - s1)
+              > CAST(9 AS DECIMAL(2,0))
+                * (CAST(n_hist AS DECIMAL(4,0)) * s2 - s1 * s1))
+               AS is_anomaly
+      FROM w ORDER BY event_id""",
     "ts_resample" -> """
       WITH b AS (
         SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -784,9 +785,145 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // -- Engine-exact PCA power iteration (emb_pca_power / emb_pca_project) --
+
+  /** Exact truncating integer division (toward zero), identical in Spark
+    * and DuckDB: `%` is the sign-of-dividend remainder in both engines,
+    * `a - a%b` is an exact multiple of `b`, and the double division of
+    * two exact sub-2⁵³ integers whose quotient is an integer is exact —
+    * so the cast back to long is lossless. Valid for |a| < 2⁵³; every
+    * call site's operand bound is derived in [[pcaV2]]'s scaladoc.
+    */
+  private def tdiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** Divisor scale for the projection weights: w = tdiv(component, 10⁴). */
+  private val PcaProjShift = 10000L
+
+  /** Canonicalized top principal component of the embedding corpus by two
+    * ENGINE-EXACT power-iteration rounds — the PCA/OPQ rotation-prep
+    * stage vector stores run before PQ (FAISS `PCAMatrix`, OPQ's
+    * eigen-initialization). Float PCA can never hash-match a second
+    * engine (Gram sums are order-dependent in the last ulp), so the whole
+    * chain runs in QUANTIZED INTEGER space, the [[clusterKmeans]]
+    * convention extended to matrix work:
+    *  - dims quantize once to ⌊x·1000⌋ (IEEE-identical in both engines);
+    *  - the covariance numerator `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` is an exact BIGINT
+    *    (|·| ≤ 2n²·10⁶ — inside 2⁵³ through n ≈ 2·10⁵; past that the
+    *    quantization scale drops a decade and nothing else changes);
+    *  - G = tdiv(numerator, n²) is the integer covariance matrix
+    *    (n-independent magnitude, |G| ≤ 10⁶ for unit-normed inputs);
+    *  - v₂ = G·(G·1) — two matvecs as exact BIGINT sums, |v₂| ≤
+    *    64²·10⁶·10⁶·… bounded by 64·|G|·|v₁| ≤ 4.1·10¹⁵ at dim 64, so
+    *    every later tdiv operand stays exact;
+    *  - sign canonicalization (eigenvectors are sign-ambiguous): flip so
+    *    the largest-|v₂| dim (ties → smallest pos) is positive.
+    * Scale shape: the Gram accumulation is a typed triangle
+    * [[graft.functions.GramTriangleAgg]] — a flat primitive buffer per
+    * partition, merged partial→final, so exactly ONE d(d+1)/2-cell array
+    * per partition crosses the exchange (MLlib's computeGramianMatrix
+    * shape; a declarative pair-explode computes the same cells ~10×
+    * slower on the interpreted higher-order-function path); Sq is a
+    * map-only posexplode into a two-phase hash aggregate; G/v₁/v₂ are
+    * dim²/dim-sized metadata frames (broadcast joins, the IVF-centroid
+    * precedent). One corpus pass.
+    */
+  private[graft] def pcaV2(s: SparkSession, d: String): DataFrame = {
+    val qv = emb(s, d).select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
+    val nrow = qv.agg(count(lit(1)).as("n"))
+    val e = qv.select(col("vec_id"),
+      posexplode(col("q")).as(Seq("pos", "x")))
+    val sq = e.groupBy(col("pos")).agg(sum(col("x")).as("sq"))
+    // Gram accumulation via the typed triangle aggregator (one flat
+    // Array[Long] buffer per partition crosses the exchange — the
+    // treeAggregate shape; see [[graft.functions.GramTriangleAgg]]),
+    // unpacked against a literal (k → i,j) triangle-index map and
+    // mirrored to the full symmetric matrix
+    val dim = emb(s, d).select(size(col("v"))).head.getInt(0)
+    val gramAgg = udaf(new graft.functions.GramTriangleAgg(dim),
+      ExpressionEncoder[Seq[Long]]())
+    val idx = for { i <- 0 until dim; j <- i until dim }
+      yield (i * dim - i * (i - 1) / 2 + (j - i), i, j)
+    val idxDf = {
+      import s.implicits._
+      idx.toDF("k", "pi", "pj")
+    }
+    val tri = qv.agg(gramAgg(col("q")).as("tri"))
+      .select(posexplode(col("tri")).as(Seq("k", "sqq")))
+      .join(broadcast(idxDf), Seq("k"))
+      .select(col("pi"), col("pj"), col("sqq"))
+    val sqq = tri.unionAll(tri.filter(col("pi") =!= col("pj"))
+      .select(col("pj").as("pi"), col("pi").as("pj"), col("sqq")))
+    // g is referenced by both matvecs and v2 by both the canonicalizer
+    // and the output — cache them so the corpus Gram pass runs ONCE per
+    // action instead of once per reference (released by the session
+    // owner via Caches.releaseAll, the shared-intermediate contract)
+    val g = sqq
+      .join(broadcast(sq.select(col("pos").as("pi"), col("sq").as("sqi"))),
+        Seq("pi"))
+      .join(broadcast(sq.select(col("pos").as("pj"), col("sq").as("sqj"))),
+        Seq("pj"))
+      .crossJoin(broadcast(nrow))
+      .select(col("pi"), col("pj"),
+        tdiv(col("n") * col("sqq") - col("sqi") * col("sqj"),
+          col("n") * col("n")).as("g"))
+      .cache()
+    val v1 = g.groupBy(col("pi")).agg(sum(col("g")).as("v1"))
+    val v2 = g
+      .join(broadcast(v1.select(col("pi").as("pj"), col("v1"))), Seq("pj"))
+      .groupBy(col("pi")).agg(sum(col("g") * col("v1")).as("v2"))
+      .cache()
+    val canon = v2.orderBy(abs(col("v2")).desc, col("pi")).limit(1)
+      .select(when(col("v2") < 0, -1L).otherwise(1L).as("sgn"),
+        abs(col("v2")).as("maxabs"))
+    v2.crossJoin(broadcast(canon))
+      .select(col("pi").cast("int").as("pos"),
+        (col("v2") * col("sgn")).as("component"),
+        col("maxabs"))
+  }
+
+  /** The per-dim component report of [[pcaV2]]: integer component plus
+    * the unit-scaled value (one exactly-rounded IEEE division). */
+  private def pcaPower(s: SparkSession, d: String): DataFrame =
+    pcaV2(s, d)
+      .select(col("pos"), col("component"),
+        round(when(col("maxabs") === 0, lit(0.0))
+          .otherwise(col("component") * lit(1.0) / col("maxabs")), 6)
+          .as("unit"))
+      .orderBy(col("pos"))
+
+  /** Top-10 corpus vectors by |projection| onto the [[pcaV2]] component —
+    * the "what dominates the leading direction" diagnostic (and the
+    * projection every PCA dimension-reduction actually applies). Weights
+    * are tdiv(component, 10⁴) (|w| ≤ 4.1·10¹¹, so q·w sums stay inside
+    * BIGINT); the projection is a map-side broadcast join onto the
+    * exploded corpus + one per-vector rollup; the top-10 is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val w = pcaV2(s, d)
+      .select(col("pos"), tdiv(col("component"), lit(PcaProjShift)).as("w"))
+    val e = emb(s, d).select(col("vec_id"),
+        posexplode(transform(col("v"), x => floor(x * lit(KmScale))))
+          .as(Seq("pos", "x")))
+    val top = e.join(broadcast(w), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .orderBy(abs(col("proj")).desc, col("vec_id"))
+      .limit(10)
+    top.select(
+        row_number().over(Window.orderBy(abs(col("proj")).desc,
+          col("vec_id"))).as("rnk"),
+        col("vec_id"), col("proj"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_kmeans" -> (clusterKmeans _),
     "emb_quantize_int8" -> embQuantizeInt8 _,
+    "emb_pca_power" -> pcaPower _,
+    "emb_pca_project" -> pcaProject _,
     "ann_brute_topk" -> bruteTopK _,
     "ann_ivf_topk" -> ivfTopK _,
     "ann_ivf_full_probe" -> ivfFullProbe _,
@@ -900,8 +1037,63 @@ object Similarity {
                     FROM a3 GROUP BY cluster) n USING (cluster)
       ORDER BY a3.vec_id"""
 
+  /** Shared CTE prefix replaying [[pcaV2]] relationally: quantize, exact
+    * integer covariance via tdiv (the `(a - a%b)/b` composite — both
+    * engines' `%` is sign-of-dividend, the division is exact), two
+    * integer matvecs, sign canonicalization. Ends with CTEs `v2` and `c`.
+    */
+  private val PcaCteSql = s"""
+      WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS q
+        FROM embeddings),
+      nn AS (SELECT COUNT(*) AS n FROM qv),
+      e AS (
+        SELECT vec_id, generate_subscripts(q, 1) - 1 AS pos, unnest(q) AS x
+        FROM qv),
+      sq AS (SELECT pos, SUM(x) AS sq FROM e GROUP BY 1),
+      sqq AS (
+        SELECT a.pos AS pi, b.pos AS pj, SUM(a.x * b.x) AS sqq
+        FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+      graw AS (
+        SELECT pi, pj, nn.n * sqq.sqq - sa.sq * sb.sq AS gn,
+               nn.n * nn.n AS nsq
+        FROM sqq JOIN sq sa ON sqq.pi = sa.pos
+                 JOIN sq sb ON sqq.pj = sb.pos, nn),
+      g AS (
+        SELECT pi, pj, CAST((gn - gn % nsq) / nsq AS BIGINT) AS g
+        FROM graw),
+      v1 AS (SELECT pi, SUM(g) AS v1 FROM g GROUP BY 1),
+      v2 AS (
+        SELECT g.pi, SUM(g.g * v1.v1) AS v2
+        FROM g JOIN v1 ON g.pj = v1.pi GROUP BY 1),
+      c AS (
+        SELECT CASE WHEN v2 < 0 THEN -1 ELSE 1 END AS sgn,
+               abs(v2) AS maxabs
+        FROM v2 ORDER BY abs(v2) DESC, pi LIMIT 1)"""
+
   val oracles: Map[String, String] = Map(
     "cluster_kmeans" -> KmOracleSql,
+    "emb_pca_power" -> s"""
+      $PcaCteSql
+      SELECT CAST(v2.pi AS INT) AS pos, v2.v2 * c.sgn AS component,
+             round(CASE WHEN c.maxabs = 0 THEN 0.0
+                        ELSE v2.v2 * c.sgn * 1.0 / c.maxabs END, 6) AS unit
+      FROM v2, c ORDER BY pos""",
+    "emb_pca_project" -> s"""
+      $PcaCteSql,
+      w AS (
+        SELECT pos,
+               CAST((wv - wv % $PcaProjShift) / $PcaProjShift AS BIGINT) AS w
+        FROM (SELECT v2.pi AS pos, v2.v2 * c.sgn AS wv FROM v2, c)),
+      pr AS (
+        SELECT e.vec_id, SUM(e.x * w.w) AS proj
+        FROM e JOIN w ON e.pos = w.pos GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY abs(proj) DESC, vec_id)
+               AS INT) AS rnk,
+             vec_id, proj
+      FROM (SELECT * FROM pr ORDER BY abs(proj) DESC, vec_id LIMIT 10)
+      ORDER BY rnk""",
     // same double-widened values, same IEEE division, same floor — the
     // whole int8 lattice replayed componentwise
     "emb_quantize_int8" -> """

@@ -649,7 +649,20 @@ object TextAnalysis {
     * when it is actually small) — and one per-doc rollup of longs ends
     * the plan. Linear, no windows, no driver state.
     */
-  private def textLmScore(s: SparkSession, d: String): DataFrame = {
+  private def textLmScore(s: SparkSession, d: String): DataFrame =
+    lmScored(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("key"), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document (doc_id, n_bigrams, key) under the corpus bigram LM —
+    * the scoring chain shared by [[textLmScore]] and [[textLmBuckets]].
+    * `key = Σc(w1,w2) / Σc(w1)` over the document's bigram stream: both
+    * sums are exact longs and the single IEEE division (exactly rounded)
+    * makes the key bit-identical across engines. Docs with fewer than two
+    * words have no bigram stream and drop out here, in both engines.
+    */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
     val w = docs(s, d).select(col("doc_id"), TF.words(col("text")).as("ws"))
     val stream = w.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -662,10 +675,116 @@ object TextAnalysis {
     stream.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("c12")).as("s12"), sum(col("c1")).as("s1"))
+        (sum(col("c12")) * lit(1.0) / sum(col("c1"))).as("key"))
+  }
+
+  /** CCNet-style perplexity BUCKETING — the carve the LM filter actually
+    * ships (Wenzek et al. 2020 §4.3: score against a reference LM, cut
+    * the corpus into head/middle/tail thirds at score percentiles, train
+    * on head+middle): every document is scored under the corpus bigram
+    * LM ([[lmScored]]'s exact rational — HIGH average conditional
+    * probability = LOW perplexity = head), the two cut points are
+    * DISCRETE score percentiles (actual data keys by construction, the
+    * [[Relational.aggHistogramEqDepth]] convention — an interpolated
+    * boundary a ulp apart between engines would flip the `<=` cut), and
+    * the verdict keeps head+middle. Scale shape: scoring is the linear
+    * LM join; the boundaries are ONE percentile aggregate broadcast
+    * back; bucketing is a map-only comparison — never a global
+    * ntile/rank sort. At 100 TB the exact percentile swaps for
+    * `approx_percentile` over a sample (CCNet itself cuts on sampled
+    * thresholds) and nothing else changes.
+    */
+  private def textLmBuckets(s: SparkSession, d: String): DataFrame = {
+    // the LM scoring pass feeds both the percentile aggregate and the
+    // bucketed output — cache it so one corpus pass serves both (released
+    // by the session owner via Caches.releaseAll, the shared-intermediate
+    // contract)
+    val scored = lmScored(s, d).cache()
+    val b = scored.agg(
+      expr("percentile_disc(0.333333) WITHIN GROUP (ORDER BY key)").as("t1"),
+      expr("percentile_disc(0.666667) WITHIN GROUP (ORDER BY key)").as("t2"))
+    scored.crossJoin(broadcast(b))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("s12") * lit(1.0) / col("s1"), 6).as("lm_score"))
+        round(col("key"), 6).as("lm_score"),
+        when(col("key") <= col("t1"), "tail")
+          .when(col("key") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"),
+        (col("key") > col("t1")).as("kept"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Crawl-to-crawl corpus SNAPSHOT DIFF — the ops verb between corpus
+    * versions: which documents were added, removed, changed, or left
+    * untouched since the last build (the audit every incremental 100 TB
+    * re-crawl prints before re-running expensive downstream stages, and
+    * the input to "process only what changed" scheduling). Two corpus
+    * epochs derive deterministically from the fixture: v1 drops
+    * doc_id%10=9, v2 drops %10=0 and revises every %7=0 text. Diff =
+    * FULL OUTER join on the document key comparing md5 CONTENT hashes —
+    * both sides collapse to (id, hash, length) BEFORE the exchange, so
+    * the join shuffles ~24-byte manifest rows, never document bodies;
+    * the per-status rollup is report-sized. At scale this is the
+    * manifest-diff shape (sort-merge join on the id), reusing the
+    * content hash storage/dedup layers already carry.
+    */
+  private def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val v1 = base.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), md5(col("text")).as("h1"),
+        length(col("text")).cast("long").as("len1"))
+    val v2 = base.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text2", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .select(col("doc_id"), md5(col("text2")).as("h2"),
+        length(col("text2")).cast("long").as("len2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("len1"), lit(0L)).as("len1"),
+        coalesce(col("len2"), lit(0L)).as("len2"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("len1")).as("chars_v1"),
+        sum(col("len2")).as("chars_v2"))
+      .orderBy(col("status"))
+  }
+
+  /** Vocabulary COVERAGE / OOV-rate report — the data-card metric behind
+    * tokenizer sizing: under the corpus' own top-K word vocabulary
+    * ([[textVocab]]'s selection rule, K=100), what fraction of each
+    * source's token stream is out-of-vocabulary and would fall to the
+    * subword/byte fallback tier? Per source: total word occurrences,
+    * vocab-covered occurrences, distinct OOV word kinds, and the OOV
+    * rate as one exactly-rounded IEEE division of exact longs. Shape:
+    * vocab = two-phase count aggregate + TakeOrderedAndProject top-K
+    * (K rows of driver-adjacent metadata, the IVF-centroid precedent),
+    * broadcast back as a membership join onto the exploded stream
+    * (map-side after the broadcast), one per-source rollup. Linear in
+    * the corpus; no global sorts.
+    */
+  private def textVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(col("source"), explode(TF.words(col("text"))).as("word"))
+    val vocab = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("word"))
+      .limit(100)
+      .select(col("word"), lit(1).as("in_v"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        countDistinct(when(col("in_v").isNull, col("word"))).as("n_oov_kinds"))
+      .select(col("source"), col("n_tokens"), col("n_covered"),
+        col("n_oov_kinds"),
+        round((col("n_tokens") - col("n_covered")) * lit(1.0) /
+          col("n_tokens"), 6).as("oov_rate"))
+      .orderBy(col("source"))
   }
 
   /** Temperature-flattened domain mixture (α = 1/2) — the multilingual /
@@ -2143,6 +2262,9 @@ object TextAnalysis {
     "sample_mixture" -> sampleMixture _,
     "sample_temperature" -> sampleTemperature _,
     "text_lm_score" -> textLmScore _,
+    "text_lm_buckets" -> textLmBuckets _,
+    "corpus_diff" -> corpusDiff _,
+    "text_vocab_coverage" -> textVocabCoverage _,
     "pack_shards" -> packShards _,
     "pack_sequences" -> packSequences _,
     "pack_global_shuffle" -> packGlobalShuffle _,
@@ -2929,6 +3051,75 @@ object TextAnalysis {
              round(SUM(c12.c12) * 1.0 / SUM(c1.c1), 6) AS lm_score
       FROM st JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY st.doc_id ORDER BY st.doc_id""",
+    "text_lm_buckets" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      st AS (
+        SELECT doc_id,
+               unnest(ws[1:len(ws)-1]) AS w1,
+               unnest(ws[2:len(ws)]) AS w2
+        FROM w WHERE len(ws) >= 2),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM st GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM st GROUP BY 1),
+      sc AS (
+        SELECT st.doc_id, COUNT(*) AS n_bigrams,
+               SUM(c12.c12) * 1.0 / SUM(c1.c1) AS key
+        FROM st JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY st.doc_id),
+      b AS (
+        SELECT quantile_disc(key, 0.333333) AS t1,
+               quantile_disc(key, 0.666667) AS t2 FROM sc)
+      SELECT sc.doc_id, sc.n_bigrams, round(sc.key, 6) AS lm_score,
+             CASE WHEN sc.key <= b.t1 THEN 'tail'
+                  WHEN sc.key <= b.t2 THEN 'middle'
+                  ELSE 'head' END AS bucket,
+             sc.key > b.t1 AS kept
+      FROM sc, b ORDER BY sc.doc_id""",
+    "corpus_diff" -> """
+      WITH v1 AS (
+        SELECT doc_id, md5(text) AS h1,
+               CAST(length(text) AS BIGINT) AS len1
+        FROM documents WHERE doc_id % 10 <> 9),
+      v2 AS (
+        SELECT doc_id, md5(t2) AS h2, CAST(length(t2) AS BIGINT) AS len2
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                          ELSE text END AS t2
+              FROM documents WHERE doc_id % 10 <> 0)),
+      j AS (
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN h1 IS NULL THEN 'added'
+                    WHEN h2 IS NULL THEN 'removed'
+                    WHEN h1 = h2 THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(len1, 0) AS len1, COALESCE(len2, 0) AS len2
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+             SUM(len1) AS chars_v1, SUM(len2) AS chars_v2
+      FROM j GROUP BY status ORDER BY status""",
+    "text_vocab_coverage" -> s"""
+      WITH w AS (
+        SELECT source, unnest(string_split($NormSql, ' ')) AS word
+        FROM documents),
+      v AS (
+        SELECT word FROM (
+          SELECT word, COUNT(*) AS n FROM w GROUP BY 1
+          ORDER BY n DESC, word LIMIT 100)),
+      j AS (
+        SELECT w.source, w.word, v.word IS NOT NULL AS cov
+        FROM w LEFT JOIN v ON w.word = v.word),
+      a AS (
+        SELECT source, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS n_covered,
+               COUNT(DISTINCT CASE WHEN NOT cov THEN word END)
+                 AS n_oov_kinds
+        FROM j GROUP BY 1)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_covered AS BIGINT) AS n_covered,
+             CAST(n_oov_kinds AS BIGINT) AS n_oov_kinds,
+             round((n_tokens - n_covered) * 1.0 / n_tokens, 6) AS oov_rate
+      FROM a ORDER BY source""",
     "pack_sequences" -> s"""
       WITH t AS (
         SELECT source, doc_id,

@@ -437,6 +437,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run1.sameElements(run2), "quantized k-means must be deterministic")
   }
 
+  test("emb_pca_power tracks a float-precision power iteration") {
+    val comp = SparkEntry.queries("emb_pca_power")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(comp.length == 64 && comp.map(_._1).toSeq == (0 until 64),
+      "one row per dim, in order")
+    // sign canonicalization: the largest-|component| dim is positive,
+    // and its unit value is exactly 1.0
+    val top = comp.maxBy(c => (math.abs(c._2), -c._1))
+    assert(top._2 > 0 && top._3 == 1.0, s"canonical dim: $top")
+    assert(comp.forall(c => math.abs(c._3) <= 1.0), "units within [-1,1]")
+    // the quantized-integer chain must point where double-precision PCA
+    // points: replicate (quantize -> covariance -> v2 = G*(G*1)) in
+    // doubles WITHOUT the tdiv floors and compare directions
+    val q = Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000)).toArray)
+    val n = q.length.toDouble
+    val d = 64
+    val mean = Array.tabulate(d)(i => q.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      q.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+    }
+    val v1 = Array.tabulate(d)(i => cov(i).sum)
+    val v2 = Array.tabulate(d)(i =>
+      (0 until d).map(j => cov(i)(j) * v1(j)).sum)
+    val got = comp.map(_._2.toDouble)
+    def unitize(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val cos = unitize(got).zip(unitize(v2)).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999,
+      s"integer power iteration diverged from float PCA: cos=$cos")
+  }
+
+  test("emb_pca_project: top-10 by |projection| matches a driver recompute") {
+    val w = SparkEntry.queries("emb_pca_power")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> {
+        val c = r.getLong(1); (c - c % 10000L) / 10000L
+      }).toMap
+    val projs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val q = r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000).toLong)
+        r.getLong(0) -> q.zipWithIndex.map { case (x, i) => x * w(i) }.sum
+      }
+    val want = projs.sortBy { case (id, p) => (-math.abs(p), id) }.take(10)
+    val got = SparkEntry.queries("emb_pca_project")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1 to 10), "ranks 1..10")
+    assert(got.map(r => (r._2, r._3)).toSeq == want.toSeq,
+      s"got=${got.toSeq}\nwant=${want.toSeq}")
+  }
+
   test("dedup_semantic: one min-id keeper per cluster, every planted copy collapses") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
@@ -664,7 +719,8 @@ class StreamingSpec extends AnyFunSuite {
     // of starting over (starting over would also double-emit and fail
     // the equality above)
     val commits = new java.io.File(
-      s"target/ckpt_restart_${graft.Scratch.sanitize(sfDir)}/ckpt/commits")
+      s"target/ckpt_restart_${graft.Scratch.sanitize(sfDir)}" +
+        s"_pid${java.lang.ProcessHandle.current.pid}/ckpt/commits")
       .listFiles().count(f => f.getName.forall(_.isDigit))
     assert(commits >= 3, s"expected commits from both runs, saw $commits")
   }
@@ -2046,6 +2102,78 @@ class TextPipelineSpec extends AnyFunSuite {
     got.values.foreach { case (_, score) =>
       assert(score > 0 && score <= 1, s"score $score outside (0,1]")
     }
+  }
+
+  test("text_lm_buckets: thirds partition by score with head above tail") {
+    val rows = SparkEntry.queries("text_lm_buckets")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3),
+        r.getBoolean(4)))
+    val scored = SparkEntry.queries("text_lm_score")(spark, sfDir).count()
+    assert(rows.length.toLong == scored,
+      "every LM-scored doc must land in a bucket")
+    val byBucket = rows.groupBy(_._4)
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"buckets: ${byBucket.keySet}")
+    // discrete-percentile thirds: each bucket holds a nontrivial share
+    byBucket.foreach { case (b, g) =>
+      assert(g.size >= rows.length / 5, s"bucket $b too small: ${g.size}")
+    }
+    // score ordering across buckets (boundary keys may tie at the cut)
+    assert(byBucket("tail").map(_._3).max <= byBucket("middle").map(_._3).min,
+      "tail scores must not exceed middle scores")
+    assert(byBucket("middle").map(_._3).max <= byBucket("head").map(_._3).min,
+      "middle scores must not exceed head scores")
+    rows.foreach { case (id, _, _, b, kept) =>
+      assert(kept == (b != "tail"), s"doc $id: kept=$kept bucket=$b")
+    }
+  }
+
+  test("corpus_diff statuses match the closed-form epoch derivation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def status(id: Long): String =
+      if (id % 10 == 9) "added"            // only in v2
+      else if (id % 10 == 0) "removed"     // only in v1
+      else if (id % 7 == 0) "changed"      // revised in v2
+      else "unchanged"
+    val wantN = docs.keys.groupBy(status).view.mapValues(_.size.toLong).toMap
+    def cp(t: String): Long = t.codePointCount(0, t.length).toLong
+    val wantChars = docs.toSeq.groupBy(e => status(e._1)).view.mapValues { g =>
+      val v1 = g.collect { case (id, t) if id % 10 != 9 => cp(t) }.sum
+      val v2 = g.collect { case (id, t) if id % 10 != 0 =>
+        if (id % 7 == 0) cp(t + " rev2") else cp(t) }.sum
+      (v1, v2)
+    }.toMap
+    val got = SparkEntry.queries("corpus_diff")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == wantN.keySet, s"statuses ${got.keySet}")
+    got.foreach { case (st, (n, c1, c2)) =>
+      assert(n == wantN(st), s"$st: n=$n want=${wantN(st)}")
+      assert((c1, c2) == wantChars(st),
+        s"$st: chars=($c1,$c2) want=${wantChars(st)}")
+    }
+  }
+
+  test("text_vocab_coverage equals the driver top-100 vocab recompute") {
+    val words = Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => mkNorm(r.getString(1)).map(w => (r.getString(0), w)))
+    val vocab = words.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (w, n) => (-n, w) }.take(100).map(_._1).toSet
+    val want = words.groupBy(_._1).view.mapValues { g =>
+      val total = g.length.toLong
+      val covered = g.count(e => vocab(e._2)).toLong
+      val oovKinds = g.collect { case (_, w) if !vocab(w) => w }.toSet.size.toLong
+      val rate = BigDecimal((total - covered).toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (total, covered, oovKinds, rate)
+    }.toMap
+    val got = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == want, s"got=$got\nwant=$want")
   }
 
   test("sample_temperature flattens the domain skew, anchored at the smallest") {

@@ -69,6 +69,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("events_anomaly matches a local exact 3-sigma recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def d2(v: Double): BigDecimal =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._3, e._1))
+      sorted.zipWithIndex.toSeq.map { case ((id, _, _, v), i) =>
+        val hist = sorted.slice(math.max(0, i - 20), i).map(e => d2(e._4))
+        val n = hist.length
+        val flag = n == 20 && {
+          val s1 = hist.sum
+          val s2 = hist.map(x => x * x).sum
+          val dev = BigDecimal(n) * d2(v) - s1
+          dev * dev > BigDecimal(9) * (BigDecimal(n) * s2 - s1 * s1)
+        }
+        id -> ((n, flag))
+      }
+    }.toMap
+    val got = SparkEntry.queries("events_anomaly")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(4)))).toMap
+    assert(got == want, "anomaly verdicts diverged from the local recompute")
+    assert(got.values.exists(_._2) || rows.length < 5000,
+      "full-history windows should flag some 3-sigma events at sf>=0.01")
+  }
+
   test("agg_skew_kurt matches Spark's native skewness/kurtosis") {
     import org.apache.spark.sql.functions._
     val native = Tables.load(spark, sfDir, "lineitem")
@@ -713,6 +743,29 @@ class PlanSpec extends AnyFunSuite {
     // c12, c1, and the per-doc rollup are each partial+final
     assert("HashAggregate".r.findAllIn(p).size >= 6,
       s"expected three two-phase aggregates:\n$p")
+  }
+
+  test("text_lm_buckets: percentile cuts broadcast, no global rank window") {
+    // the head/middle/tail carve must come from the 1-row percentile
+    // aggregate broadcast back onto the scored corpus — an ntile/rank
+    // formulation would funnel the corpus through one sorted partition
+    val p = planOf("text_lm_buckets")
+    assert(!p.contains("Window"), s"global rank window in the carve:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"boundaries not broadcast:\n$p")
+  }
+
+  test("emb_pca_power: map-only Gram accumulation, broadcast matvecs") {
+    // the corpus pass is explode -> two-phase hash aggregate (<= dim^2
+    // rows per partition cross the exchange); the dim^2/dim-sized
+    // G/v1/v2 frames join by broadcast — the corpus itself must never
+    // sort-merge or cartesian
+    val p = planOf("emb_pca_power")
+    assert(!p.contains("SortMergeJoin"), s"metadata join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"matvec not broadcast:\n$p")
+    assert(p.contains("Generate"), s"no map-side pair explode:\n$p")
   }
 
   test("sample_temperature: rate table broadcasts onto the corpus") {

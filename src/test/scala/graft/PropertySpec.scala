@@ -165,6 +165,27 @@ object KernelProperties extends Properties("graft.kernels") {
       whole == want && merged == want
     }
 
+  property("GramTriangleAgg: any split/merge equals the naive pair sums") =
+    forAll(Gen.choose(2, 6), Gen.choose(0, 100)) { (d, splitSeed) =>
+      forAll(Gen.listOfN(8,
+        Gen.listOfN(d, Gen.choose(-1000L, 1000L)))) { vecs =>
+        val agg = new graft.functions.GramTriangleAgg(d)
+        def run(vs: Seq[Seq[Long]]): Seq[Long] =
+          agg.finish(vs.foldLeft(agg.zero) { (b, v) =>
+            agg.reduce(b, v)
+          })
+        val whole = run(vecs)
+        val cut = splitSeed % (vecs.length + 1)
+        val (l, r) = vecs.splitAt(cut)
+        val merged = agg.finish(agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce))).toSeq
+        val want = for { i <- 0 until d; j <- i until d }
+          yield vecs.map(v => v(i) * v(j)).sum
+        whole == want && merged == want
+      }
+    }
+
   property("TopKDoubles ignores NaN (SQL ordering parity)") =
     forAll(Gen.listOf(Gen.choose(-1e9, 1e9)), Gen.choose(1, 8),
            Gen.choose(0, 10)) { (xs, k, nans) =>
