@@ -574,7 +574,57 @@ object Multimodal {
           .as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Cross-modal PAIRING-INTEGRITY audit — the referential-health verb a
+    * multimodal corpus build runs before training on (caption, image)
+    * pairs: which captions have no asset (failed fetches), which assets
+    * have no caption (orphaned media), and does every paired payload
+    * still DECODE? The caption view drops doc_id%11=3 (caption-pipeline
+    * losses) and the asset view drops %13=5 (fetch losses), so all three
+    * statuses are non-vacuous at every SF; the asset side decodes each
+    * surviving PNG for real (dims → pixel mass) inside the partition
+    * iterator — a corrupt payload fails the audit loudly instead of
+    * surfacing at training time — and the decoded pixel mass is
+    * hash-gated against the oracle's closed form, so a decoder that
+    * misreads dimensions fails too. Shape: both sides collapse to
+    * (id, scalar) manifest rows before the FULL OUTER join (bytes never
+    * cross the exchange — the decode is partition-local on the asset
+    * scan); the per-status rollup is report-sized. The 100 TB pattern:
+    * integrity audits ride the same manifest frames the snapshot diff
+    * ([[graft.operators.TextAnalysis]] `corpus_diff`) uses.
+    */
+  private def mmPairIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val captions = Tables.load(s, d, "documents")
+      .filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("n_chars"))
+    val assets = s.read.parquet(ensureMediaTable(s, d))
+      .filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("png")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        require(img != null, s"undecodable PNG for doc $id")
+        (id, img.getWidth.toLong * img.getHeight)
+      }).toDF("doc_id", "px")
+    captions.join(assets, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("px").isNull, "caption_only")
+          .when(col("n_chars").isNull, "media_only")
+          .otherwise("paired").as("status"),
+        col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("nc"),
+        coalesce(col("px"), lit(0L)).as("px"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("nc")).as("chars"),
+        sum(col("px")).as("px_mass"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pair_integrity" -> mmPairIntegrity _,
     "mm_binary_features" -> mmBinaryFeatures _,
     "mm_decode_real" -> mmDecodeReal _,
     "mm_resize" -> mmResize _,
@@ -585,6 +635,24 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_pair_integrity" -> s"""
+      WITH c AS (
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 11 <> 3),
+      a AS (
+        SELECT doc_id,
+               (64 + doc_id % 64) * (48 + doc_id % 48) AS px
+        FROM documents WHERE doc_id < $MediaDocs AND doc_id % 13 <> 5),
+      j AS (
+        SELECT COALESCE(c.doc_id, a.doc_id) AS doc_id,
+               CASE WHEN a.px IS NULL THEN 'caption_only'
+                    WHEN c.n_chars IS NULL THEN 'media_only'
+                    ELSE 'paired' END AS status,
+               COALESCE(c.n_chars, 0) AS nc, COALESCE(a.px, 0) AS px
+        FROM c FULL OUTER JOIN a ON c.doc_id = a.doc_id)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id,
+             MAX(doc_id) AS max_id, CAST(SUM(nc) AS BIGINT) AS chars,
+             CAST(SUM(px) AS BIGINT) AS px_mass
+      FROM j GROUP BY status ORDER BY status""",
     "mm_binary_features" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -152,6 +152,47 @@ object Relational {
     "x|y|z|nope|qq|2.0|0.0|0.0|A|B|not-a-timestamp",
     "9|9|9|9|1e1x|1,0|0|0|N|F|2024-13-45 99:99:99")
 
+  /** Malformed-line-tolerant NDJSON ingest — the JSON twin of
+    * [[scanCsvMalformed]], completing the dirty-arrival story for the
+    * other dominant interchange format: a correct NDJSON dump of the
+    * documents manifest plus an injected junk file (truncated objects,
+    * non-JSON lines, type-mismatched fields). `DROPMALFORMED` must admit
+    * every well-formed record and ONLY those — the per-language rollup
+    * is oracle-gated against the ORIGINAL table, and the junk rows carry
+    * language codes absent from the fixture, so one coerced junk record
+    * surfaces as a new group and fails the compare, not just a count
+    * drift. The PERMISSIVE quarantine side (`_corrupt_record` counted
+    * exactly) is spec-asserted. Same scale contract as the CSV row:
+    * tolerance is per-LINE inside splits, no second scan.
+    */
+  private def scanJsonMalformed(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val path = scratch("documents_malformed_json")
+    src.write.mode("overwrite").json(path)
+    val junk = new java.io.File(path, "part-junk.json")
+    val w = new java.io.PrintWriter(junk, "UTF-8")
+    try MalformedJsonLines.foreach(w.println)
+    finally w.close()
+    s.read.schema(src.schema).option("mode", "DROPMALFORMED").json(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
+  /** The junk injected by [[scanJsonMalformed]] — a truncated object, a
+    * non-JSON line, and two records whose doc_id/n_chars fail LongType
+    * conversion; their `xx`/`zz` language codes are absent from the
+    * fixture, so any admission creates a fresh group in the gated rollup.
+    */
+  val MalformedJsonLines: Seq[String] = Seq(
+    """{"doc_id": 900001, "lang": "xx", "source": "junk", "n_chars"""",
+    "this is not json at all",
+    """{"doc_id": "not_a_number", "lang": "zz", "source": "junk", "n_chars": 5}""",
+    """{"doc_id": 900002, "lang": "zz", "source": "junk", "n_chars": "many"}""")
+
   /** Parquet sink with codec selection → scan round-trip
     * (reference: rust/benchmarks/tpch/src/main.rs:233-253). Exercises the
     * 5 codecs whose implementations ship with Spark (none/snappy/gzip/lz4/
@@ -2833,6 +2874,7 @@ object Relational {
     "join_null_safe" -> joinNullSafe _,
     "set_bag_ops" -> setBagOps _,
     "scan_csv_malformed" -> scanCsvMalformed _,
+    "scan_json_malformed" -> scanJsonMalformed _,
     "join_cross" -> joinCross _,
     "join_asof" -> joinAsof _,
     "join_asof_forward" -> joinAsofForward _,
@@ -3624,6 +3666,11 @@ object Relational {
                AS sum_price,
              COUNT(*) AS n
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "scan_json_malformed" -> """
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_doc
+      FROM documents GROUP BY lang ORDER BY lang""",
     "window_topk_rows" -> """
       WITH r AS (
         SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,

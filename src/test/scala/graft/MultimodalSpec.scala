@@ -140,6 +140,39 @@ class MultimodalSpec extends AnyFunSuite {
       s"pipeline must stay on the quarter-block equi-join:\n$p")
   }
 
+  test("mm_pair_integrity: all three statuses non-vacuous, masses closed-form") {
+    val got = SparkEntry.queries("mm_pair_integrity")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set("paired", "caption_only", "media_only"),
+      s"statuses: ${got.keySet}")
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = ids.keySet.filter(_ % 11 != 3)
+    val med = ids.keySet.filter(id =>
+      id < operators.Multimodal.MediaDocs && id % 13 != 5)
+    def px(id: Long): Long = (64 + id % 64) * (48 + id % 48)
+    val wantN = Map(
+      "paired" -> (cap & med).size.toLong,
+      "caption_only" -> (cap -- med).size.toLong,
+      "media_only" -> (med -- cap).size.toLong)
+    got.foreach { case (st, (n, chars, pxm)) =>
+      assert(n == wantN(st), s"$st: n=$n want=${wantN(st)}")
+      val members = st match {
+        case "paired" => cap & med
+        case "caption_only" => cap -- med
+        case _ => med -- cap
+      }
+      val wantChars =
+        if (st == "media_only") 0L else members.toSeq.map(ids).sum
+      val wantPx =
+        if (st == "caption_only") 0L else members.toSeq.map(px).sum
+      assert(chars == wantChars && pxm == wantPx,
+        s"$st masses: ($chars,$pxm) want ($wantChars,$wantPx)")
+    }
+  }
+
   test("mm_decode_real decodes the generated corpus at sf0.001") {
     val rows = operators.Multimodal.queries("mm_decode_real")(spark, sfDir)
       .collect()

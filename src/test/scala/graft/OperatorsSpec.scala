@@ -602,6 +602,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clean == base.count(), "all well-formed rows must survive")
   }
 
+  test("PERMISSIVE json surfaces exactly the injected junk in _corrupt_record") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // run the row first (writes the ndjson dir + junk file and proves the
+    // DROPMALFORMED side against its oracle elsewhere)
+    operators.Relational.queries("scan_json_malformed")(spark, sfDir).collect()
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val schema = StructType(base.schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json("/root/repo/target/scratch/documents_malformed_json")
+    df.cache()
+    val corrupt = df.filter(col("_corrupt_record").isNotNull).count()
+    val clean = df.filter(col("_corrupt_record").isNull).count()
+    df.unpersist()
+    assert(corrupt == operators.Relational.MalformedJsonLines.size.toLong,
+      s"expected every junk line quarantined, got $corrupt")
+    assert(clean == base.count(), "all well-formed records must survive")
+  }
+
   test("layout_compact shrinks the file count to the byte-derived target") {
     // the operational claim the content oracle can't see: 64 fragment
     // files come back as ceil(bytes/8MiB) compacted files
