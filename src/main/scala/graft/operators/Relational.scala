@@ -1806,6 +1806,39 @@ object Relational {
            max(col("o_orderdate")).as("max_date"))
       .orderBy(col("y"), col("q"))
 
+  /** Date/interval ARITHMETIC surface beside [[exprDatetime]]'s field
+    * extraction: day/month offsets with end-of-month clamping
+    * (`add_months`: Jan 31 + 1 → Feb 28/29 — the clamp both engines
+    * implement per the SQL convention), day differences, month-end
+    * snapping, `make_date` reconstruction, and ISO week numbers — the
+    * due-date/billing-cycle arithmetic every warehouse rollup leans on.
+    * All derived values are pure calendar arithmetic on DATE (no
+    * timezone, no DST — the fixture dates are zoneless), so every value
+    * is engine-exact; the rollup groups by derived month-end so the
+    * clamping behavior itself forms the group keys. Map-only projection
+    * into a two-phase aggregate.
+    */
+  private def exprInterval(s: SparkSession, d: String): DataFrame = {
+    val od = col("o_orderdate").cast(DateType)
+    def iso(c: Column) = date_format(c, "yyyy-MM-dd")
+    ord(s, d)
+      .select(
+        iso(last_day(od)).as("month_end"),
+        add_months(od, 2).as("due2m"),
+        date_add(od, 45).as("due45d"),
+        datediff(last_day(od), od).as("days_to_eom"),
+        make_date(year(od), month(od), lit(1)).as("month_start"),
+        weekofyear(od).cast(IntegerType).as("iso_week"))
+      .groupBy(col("month_end"))
+      .agg(count(lit(1)).as("n"),
+        iso(min(col("due2m"))).as("min_due2m"),
+        iso(max(col("due45d"))).as("max_due45d"),
+        sum(col("days_to_eom")).cast(LongType).as("sum_days_to_eom"),
+        iso(min(col("month_start"))).as("month_start"),
+        sum(col("iso_week")).cast(LongType).as("sum_iso_week"))
+      .orderBy(col("month_end"))
+  }
+
   /** Custom typed UDAF ([[graft.functions.TopKDoubles]]): top-10 order
     * values per status through a k-bounded Aggregator — partial buffers of
     * ≤k values per map partition, no per-group sort/shuffle of all rows.
@@ -2957,6 +2990,7 @@ object Relational {
     "agg_array" -> aggArray _,
     "expr_struct" -> exprStruct _,
     "expr_datetime" -> exprDatetime _,
+    "expr_interval" -> exprInterval _,
     "expr_null" -> exprNull _,
     "set_union_all" -> setUnionAll _,
     "set_union_distinct" -> setUnionDistinct _,
@@ -4006,6 +4040,24 @@ object Relational {
              MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS first_month,
              MAX(o_orderdate) AS max_date
       FROM orders GROUP BY 1, 2 ORDER BY y, q""",
+    "expr_interval" -> """
+      WITH t AS (
+        SELECT CAST(o_orderdate AS DATE) AS od FROM orders),
+      p AS (
+        SELECT strftime(last_day(od), '%Y-%m-%d') AS month_end,
+               od + INTERVAL 2 MONTH AS due2m,
+               od + 45 AS due45d,
+               date_diff('day', od, last_day(od)) AS days_to_eom,
+               make_date(year(od), month(od), 1) AS month_start,
+               CAST(weekofyear(od) AS INT) AS iso_week
+        FROM t)
+      SELECT month_end, COUNT(*) AS n,
+             strftime(MIN(due2m), '%Y-%m-%d') AS min_due2m,
+             strftime(MAX(due45d), '%Y-%m-%d') AS max_due45d,
+             CAST(SUM(days_to_eom) AS BIGINT) AS sum_days_to_eom,
+             strftime(MIN(month_start), '%Y-%m-%d') AS month_start,
+             CAST(SUM(iso_week) AS BIGINT) AS sum_iso_week
+      FROM p GROUP BY month_end ORDER BY month_end""",
     "expr_null" -> """
       SELECT COUNT(*) AS n,
              COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull,

@@ -754,6 +754,52 @@ object TextAnalysis {
       .orderBy(col("status"))
   }
 
+  /** Corpus token-CONCENTRATION report — the Lorenz-curve data-card
+    * metric (what share of the training-token mass sits in the longest
+    * documents? — the skew a batch scheduler and a packing stage both
+    * need to know): documents bucket into value-deciles of their token
+    * count at DISCRETE percentiles (actual data values, the eqdepth
+    * convention — no interpolated boundary can sit a ulp apart between
+    * engines), then per-decile document and token mass roll up with the
+    * cumulative share. Shape: ONE percentile aggregate broadcast back
+    * (at 100 TB it swaps for approx_percentile over a sample), map-only
+    * bucketing, a two-phase rollup to ≤10 rows, and the cumulative
+    * window runs over those ≤10 rows — never a global sort of the
+    * corpus. Counts are exact longs; the share is one exactly-rounded
+    * IEEE division.
+    */
+  private def textConcentration(s: SparkSession, d: String): DataFrame = {
+    // the token-count pass feeds both the percentile aggregate and the
+    // bucketing — cache it (released via Caches.releaseAll, the
+    // shared-intermediate contract)
+    val toks = docs(s, d)
+      .select(col("doc_id"),
+        size(TF.words(col("text"))).cast("long").as("tok"))
+      .cache()
+    val b = toks.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY tok)").as("t1"),
+      (2 to 9).map(i =>
+        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY tok)")
+          .as(s"t$i")): _*)
+    val bucket = (1 to 9).foldRight(lit(9): Column) { (i, els) =>
+      when(col("tok") <= col(s"t$i"), lit(i - 1)).otherwise(els)
+    }
+    val perDecile = toks.crossJoin(broadcast(b))
+      .select(bucket.cast("int").as("decile"), col("tok"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+    val cumW = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDecile
+      .select(col("decile"), col("n_docs"), col("sum_tokens"),
+        sum(col("sum_tokens")).over(cumW).as("cum_tokens"),
+        round(sum(col("sum_tokens")).over(cumW) * lit(1.0) /
+          sum(col("sum_tokens")).over(totW), 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** Vocabulary COVERAGE / OOV-rate report — the data-card metric behind
     * tokenizer sizing: under the corpus' own top-K word vocabulary
     * ([[textVocab]]'s selection rule, K=100), what fraction of each
@@ -2265,6 +2311,7 @@ object TextAnalysis {
     "text_lm_buckets" -> textLmBuckets _,
     "corpus_diff" -> corpusDiff _,
     "text_vocab_coverage" -> textVocabCoverage _,
+    "text_concentration" -> textConcentration _,
     "pack_shards" -> packShards _,
     "pack_sequences" -> packSequences _,
     "pack_global_shuffle" -> packGlobalShuffle _,
@@ -3098,6 +3145,36 @@ object TextAnalysis {
              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
              SUM(len1) AS chars_v1, SUM(len2) AS chars_v2
       FROM j GROUP BY status ORDER BY status""",
+    "text_concentration" -> s"""
+      WITH tk AS (
+        SELECT doc_id,
+               CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS tok
+        FROM documents),
+      b AS (
+        SELECT quantile_disc(tok, 0.1) AS t1, quantile_disc(tok, 0.2) AS t2,
+               quantile_disc(tok, 0.3) AS t3, quantile_disc(tok, 0.4) AS t4,
+               quantile_disc(tok, 0.5) AS t5, quantile_disc(tok, 0.6) AS t6,
+               quantile_disc(tok, 0.7) AS t7, quantile_disc(tok, 0.8) AS t8,
+               quantile_disc(tok, 0.9) AS t9
+        FROM tk),
+      dd AS (
+        SELECT CASE WHEN tok <= t1 THEN 0 WHEN tok <= t2 THEN 1
+                    WHEN tok <= t3 THEN 2 WHEN tok <= t4 THEN 3
+                    WHEN tok <= t5 THEN 4 WHEN tok <= t6 THEN 5
+                    WHEN tok <= t7 THEN 6 WHEN tok <= t8 THEN 7
+                    WHEN tok <= t9 THEN 8 ELSE 9 END AS decile, tok
+        FROM tk, b),
+      a AS (
+        SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+               SUM(tok) AS sum_tokens
+        FROM dd GROUP BY 1)
+      SELECT decile, n_docs, sum_tokens,
+             SUM(sum_tokens) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             round(SUM(sum_tokens) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) * 1.0 /
+                   SUM(sum_tokens) OVER (), 6) AS cum_share
+      FROM a ORDER BY decile""",
     "text_vocab_coverage" -> s"""
       WITH w AS (
         SELECT source, unnest(string_split($NormSql, ' ')) AS word

@@ -462,6 +462,61 @@ object Streaming {
     BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       .underlying.unscaledValue.longValueExact
 
+  /** Per-key state for the streaming anomaly replay: events BUFFERED
+    * until the watermark finalizes their position in event-time order,
+    * plus the trailing ≤20 finalized values (exact long cents). Buffer
+    * size is bounded by the watermark delay × per-key rate; the ring is
+    * 20 longs — the honest per-key state contract (production TTLs idle
+    * keys).
+    */
+  case class AnomPend(ts_us: Long, event_id: Long, cents: Long)
+  case class AnomState(pend: Seq[AnomPend], hist: Seq[Long])
+  case class AnomOut(user_id: Long, event_id: Long, ts_us: Long,
+                     n_hist: Int, is_anomaly: Boolean)
+
+  /** The 3σ verdict in exact long cents — the ×100-scaled twin of the
+    * batch row's DECIMAL test (both sides of the inequality scale by
+    * 10⁴ exactly, so the boolean is identical).
+    */
+  private def anomVerdict(hist: Seq[Long], x: Long): Boolean =
+    hist.size == 20 && {
+      val n = hist.size.toLong
+      val s1 = hist.sum
+      val s2 = hist.map(c => c * c).sum
+      val dev = n * x - s1
+      dev * dev > 9L * (n * s2 - s1 * s1)
+    }
+
+  /** Event-time-ORDERED replay under the watermark — the state pattern
+    * none of the other custom-state rows needs: a verdict that depends
+    * on the exact trailing-window ORDER of events can only be emitted
+    * once the watermark proves no earlier event can still arrive. New
+    * events buffer in state; each invocation finalizes (emits, in
+    * (ts, id) order, updating the trailing ring) exactly the buffered
+    * events at-or-behind the current watermark; a re-registered
+    * event-time timeout at wm+1 guarantees the final watermark advance
+    * flushes the tail even when that key gets no further data.
+    */
+  private def anomalyFn(user: Long, it: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[AnomState])
+      : Iterator[AnomOut] = {
+    val st0 = state.getOption.getOrElse(AnomState(Nil, Nil))
+    val all = st0.pend ++
+      it.map(e => AnomPend(e.ts_us, e.event_id, cents(e.value)))
+    val wmMs = state.getCurrentWatermarkMs()
+    val (ready, pend) = all.partition(_.ts_us <= wmMs * 1000L)
+    var hist = st0.hist
+    val out = ready.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+      val n = hist.size
+      val flag = anomVerdict(hist, e.cents)
+      hist = (hist :+ e.cents).takeRight(20)
+      AnomOut(user, e.event_id, e.ts_us, n, flag)
+    }
+    state.update(AnomState(pend, hist))
+    if (pend.nonEmpty) state.setTimeoutTimestamp(wmMs + 1)
+    out.iterator
+  }
+
   /** The sessionization state machine: the per-key session either extends
     * (gap < 30 min), closes-and-emits (a successor event proves the gap),
     * or times out (the WATERMARK proves no successor can arrive within the
@@ -632,6 +687,39 @@ object Streaming {
         case None    => s.conf.unset(provKey)
       }
     sessionRows(sink, cutoffUs)
+  }
+
+  /** The batch `events_anomaly` verdict executed BY the streaming engine
+    * ([[anomalyFn]]): watermarked event stream → per-user ordered replay
+    * from buffered state → trailing-20 3σ flags, emitted exactly when
+    * the watermark finalizes each event's position. The gated region is
+    * ts ≤ max − 2 min (final AvailableNow watermark is max − 1 min, so
+    * every gated event is provably emitted — the session rows' margin
+    * convention); the oracle is the SAME decimal window CTE as the batch
+    * row under that cutoff, so the incremental execution is held to the
+    * batch semantics row-for-row. State per key: the ≤20-cent ring plus
+    * a watermark-bounded buffer — the 100 TB shape for any
+    * order-sensitive streaming feature (trailing z-scores, deltas,
+    * sequence numbers).
+    */
+  private def streamExecAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val maxTs = events(s, d).filter(col("user_id") < 50)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoffUs = maxTs.getTime * 1000L - 2L * 60 * 1000000L
+    val typed = readEventStream(s, d).filter(col("user_id") < 50)
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value")).as[Ev]
+    val flags = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(anomalyFn)
+    runToMemory(s, "graft_exec_anomaly", flags.toDF(), "append")
+      .filter(col("ts_us") <= lit(cutoffUs))
+      .select(col("event_id"), col("user_id"), col("n_hist"),
+        col("is_anomaly"))
+      .orderBy(col("event_id"))
   }
 
   /** Multi-source fan-in executed BY the streaming engine: two
@@ -1013,6 +1101,7 @@ object Streaming {
     "stream_exec_static_join" -> streamExecStaticJoin _,
     "stream_exec_custom_state" -> streamExecCustomState _,
     "stream_exec_tws_session" -> streamExecTwsSession _,
+    "stream_exec_anomaly" -> streamExecAnomaly _,
     "stream_exec_foreach_batch" -> streamExecForeachBatch _,
     "stream_exec_union" -> streamExecUnion _,
     "sessionize_typed" -> sessionizeTyped _,
@@ -1171,6 +1260,34 @@ object Streaming {
     // 1-minute safety margin
     "stream_exec_custom_state" -> CustomStateSql,
     "stream_exec_tws_session" -> CustomStateSql,
+    // the streaming anomaly replay equals the batch decimal window CTE
+    // on the provably-emitted region (ts <= max - 2 min; the final
+    // AvailableNow watermark is max - 1 min)
+    "stream_exec_anomaly" -> """
+      WITH t AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS mts, value,
+               CAST(value AS DECIMAL(12,2)) AS vd
+        FROM events WHERE user_id < 50),
+      w AS (
+        SELECT event_id, user_id, mts,
+               CAST(COUNT(vd) OVER win AS INT) AS n_hist,
+               CAST(SUM(vd) OVER win AS DECIMAL(16,2)) AS s1,
+               CAST(SUM(vd*vd) OVER win AS DECIMAL(18,4)) AS s2,
+               CAST(value AS DECIMAL(12,2)) AS xd
+        FROM t
+        WINDOW win AS (PARTITION BY user_id ORDER BY mts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      m AS (SELECT MAX(mts) AS mx FROM t)
+      SELECT event_id, user_id, n_hist,
+             (n_hist = 20 AND
+              (CAST(n_hist AS DECIMAL(4,0)) * xd - s1)
+              * (CAST(n_hist AS DECIMAL(4,0)) * xd - s1)
+              > CAST(9 AS DECIMAL(2,0))
+                * (CAST(n_hist AS DECIMAL(4,0)) * s2 - s1 * s1))
+               AS is_anomaly
+      FROM w, m
+      WHERE epoch_us(w.mts) <= epoch_us(m.mx) - 120000000
+      ORDER BY event_id""",
     // merging session windows drained under AvailableNow equal the batch
     // gaps-and-islands sessionization exactly
     "stream_exec_session" -> SessionAggSql,

@@ -696,6 +696,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_exec_anomaly equals the batch verdicts on the emitted region") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("stream_exec_anomaly")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+    val ev = streaming.Streaming.events(spark, sfDir)
+      .filter(col("user_id") < 50)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val cutoffUs = maxUs - 2L * 60 * 1000000L
+    // the batch row computes per-user windows, so restricting users and
+    // the emitted region afterwards changes nothing about the verdicts
+    val want = SparkEntry.queries("events_anomaly")(spark, sfDir)
+      .join(ev.select(col("event_id"), unix_micros(col("ts")).as("us")),
+        Seq("event_id"))
+      .filter(col("us") <= cutoffUs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(4)))).toMap
+    assert(got.nonEmpty && got == want,
+      s"streamed verdicts diverged: got=${got.size} want=${want.size}")
+  }
+
   test("ckpt_restart: recovery spans two runs, output equals the batch cutoff") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("stream_exec_ckpt_restart")(spark, sfDir)
