@@ -2452,6 +2452,49 @@ object Relational {
       .orderBy(col("attributed"))
   }
 
+  /** Sequence-pattern match WITH NEGATION over the event stream
+    * (MATCH_RECOGNIZE / ClickHouse `sequenceMatch('(?1)(?!3)(?2)')`
+    * territory — the funnel row chains stages, this row adds the
+    * not-between condition a plain funnel cannot express): for every
+    * `view`, find the next `purchase` of the same user in strict
+    * (ts, event_id) order; the conversion is CLEAN only if it landed
+    * within the 2 h horizon AND no `error` event fell strictly between
+    * the view and that purchase. Same one-shuffle machinery as
+    * [[joinAsofForward]]: one tagged stream, ONE per-user sort, two
+    * running-FIRST frames over [next, ∞) (next purchase as a single
+    * struct so both fields come from one row; next error as a
+    * timestamp), verdicts map out of the projection — never a
+    * views×purchases join, linear per user at any scale. Every verdict
+    * is exact integer-µs arithmetic.
+    */
+  private def eventsPattern(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Streaming.events(s, d)
+      .filter(col("event_type").isin("view", "purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val horizonUs = 24L * 3600 * 1000000L
+    val converted = col("nxt_p").isNotNull &&
+      col("nxt_p.us") - unix_micros(col("ts")) <= horizonUs
+    ev
+      .withColumn("nxt_p", first(
+        when(col("event_type") === "purchase",
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("e"))),
+        ignoreNulls = true).over(w))
+      .withColumn("nxt_e_us", first(
+        when(col("event_type") === "error", unix_micros(col("ts"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event"), col("user_id"),
+        col("nxt_p.e").as("conv_event"),
+        (col("nxt_p.us") - unix_micros(col("ts"))).as("lag_us"),
+        converted.as("converted"),
+        (converted && (col("nxt_e_us").isNull ||
+          col("nxt_e_us") >= col("nxt_p.us"))).as("clean"))
+      .orderBy(col("view_event"))
+  }
+
   /** Trailing-window anomaly flags over the event stream — the
     * monitoring verb every metrics/abuse pipeline runs: each event's
     * value is tested against its OWN user's previous-20-event history by
@@ -2925,6 +2968,7 @@ object Relational {
     "events_seq_pairs" -> eventsSeqPairs _,
     "events_attribution" -> eventsAttribution _,
     "events_anomaly" -> eventsAnomaly _,
+    "events_pattern" -> eventsPattern _,
     "ts_resample" -> tsResample _,
     "quality_expectations" -> qualityExpectations _,
     "agg_incremental_rollup" -> aggIncrementalRollup _,
@@ -3785,6 +3829,28 @@ object Relational {
                 * (CAST(n_hist AS DECIMAL(4,0)) * s2 - s1 * s1))
                AS is_anomaly
       FROM w ORDER BY event_id""",
+    "events_pattern" -> """
+      WITH t AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, event_id, event_type
+        FROM events WHERE event_type IN ('view', 'purchase', 'error')),
+      w AS (
+        SELECT user_id, mts, event_id, event_type,
+               FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN
+                   {'us': epoch_us(mts), 'e': event_id} END IGNORE NULLS)
+                 OVER win AS nxt_p,
+               FIRST_VALUE(CASE WHEN event_type = 'error'
+                   THEN epoch_us(mts) END IGNORE NULLS)
+                 OVER win AS nxt_e
+        FROM t
+        WINDOW win AS (PARTITION BY user_id ORDER BY mts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT event_id AS view_event, user_id, nxt_p.e AS conv_event,
+             nxt_p.us - epoch_us(mts) AS lag_us,
+             COALESCE(nxt_p.us - epoch_us(mts) <= 86400000000, FALSE)
+               AS converted,
+             COALESCE(nxt_p.us - epoch_us(mts) <= 86400000000, FALSE)
+               AND (nxt_e IS NULL OR nxt_e >= nxt_p.us) AS clean
+      FROM w WHERE event_type = 'view' ORDER BY view_event""",
     "ts_resample" -> """
       WITH b AS (
         SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))

@@ -99,6 +99,35 @@ class OperatorsSpec extends AnyFunSuite {
       "full-history windows should flag some 3-sigma events at sf>=0.01")
   }
 
+  test("events_pattern matches a local sequence recompute; negation non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("view", "purchase", "error"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val horizon = 24L * 3600 * 1000000L
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.toSeq.collect { case ((_, us, id, "view"), i) =>
+        val after = sorted.drop(i + 1)
+        val p = after.find(_._4 == "purchase")
+        val e = after.find(_._4 == "error")
+        val conv = p.exists(pp => pp._2 - us <= horizon)
+        val clean = conv && e.forall(ee => ee._2 >= p.get._2)
+        id -> ((p.map(_._3), conv, clean))
+      }
+    }.toMap
+    val got = SparkEntry.queries("events_pattern")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got == want, "pattern verdicts diverged from the local recompute")
+    if (rows.length > 3000)
+      assert(got.values.exists(v => v._2 && !v._3),
+        "the error-between negation should fire at sf>=0.01")
+  }
+
   test("agg_skew_kurt matches Spark's native skewness/kurtosis") {
     import org.apache.spark.sql.functions._
     val native = Tables.load(spark, sfDir, "lineitem")
