@@ -883,10 +883,25 @@ object Similarity {
         col("maxabs"))
   }
 
+  /** Build-once table of the [[pcaV2]] component — the IVF-index
+    * lifecycle applied to the PCA artifact: the corpus Gram pass runs
+    * ONCE per (dataset, layout version) under a fingerprinted
+    * [[graft.Scratch]] key; both PCA rows (and, in production, every
+    * query applying the rotation) read the 64-row parquet. Exactly how
+    * a vector store treats its trained PCAMatrix.
+    */
+  private def pcaComponentTable(s: SparkSession, d: String): String =
+    graft.Scratch.ensure(s,
+      s"pca_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "embeddings"))) { dir =>
+      pcaV2(s, d).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/comp")
+    } + "/comp"
+
   /** The per-dim component report of [[pcaV2]]: integer component plus
     * the unit-scaled value (one exactly-rounded IEEE division). */
   private def pcaPower(s: SparkSession, d: String): DataFrame =
-    pcaV2(s, d)
+    s.read.parquet(pcaComponentTable(s, d))
       .select(col("pos"), col("component"),
         round(when(col("maxabs") === 0, lit(0.0))
           .otherwise(col("component") * lit(1.0) / col("maxabs")), 6)
@@ -902,7 +917,7 @@ object Similarity {
     * TakeOrderedAndProject, never a global sort.
     */
   private def pcaProject(s: SparkSession, d: String): DataFrame = {
-    val w = pcaV2(s, d)
+    val w = s.read.parquet(pcaComponentTable(s, d))
       .select(col("pos"), tdiv(col("component"), lit(PcaProjShift)).as("w"))
     val e = emb(s, d).select(col("vec_id"),
         posexplode(transform(col("v"), x => floor(x * lit(KmScale))))
