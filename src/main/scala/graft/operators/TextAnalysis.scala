@@ -1807,6 +1807,116 @@ object TextAnalysis {
       .orderBy(col("stage"))
   }
 
+  /** The EVAL-HARNESS assembly pipeline — the sixth composition row,
+    * and the one every benchmark team runs BEFORE the training funnels
+    * (`pipeline_pretraining` scrubs train against a fixed eval set; this
+    * row BUILDS that eval set): content-addressed eval carve (md5-'1',
+    * disjoint from the pretraining bench's '0' carve by construction) →
+    * Gopher quality gate (degenerate docs make bad eval items) →
+    * REVERSE-direction leak scrub — drop any candidate sharing ANY
+    * 5-gram shingle with the TRAINING complement (GPT-3 §B's "dirty"
+    * rule, the same any-overlap verdict as `text_decontaminate`, run
+    * the other way: a train-set near-duplicate of an eval item
+    * inflates every score it touches) → per-language stratified cap
+    * (en 25% / other 75%, the [[sampleStratified]] thresholds — but on
+    * md5 chars 3-4, a hash facet INDEPENDENT of the carve's chars 1-2;
+    * reusing the carve facet would make the cap tautologically pass,
+    * the classic correlated-hash bug in content-addressed pipelines) →
+    * 256-subword-token sequence packing per language shard.
+    *
+    * The scrub is the scale-interesting stage, and its shape INVERTS
+    * [[decontaminate]]'s: there the bench set broadcasts and the corpus
+    * streams; here the EVAL side is small by construction, so its
+    * shingle set broadcasts, the 15/16 training complement streams ONCE
+    * through the membership probe emitting only the report-sized hit
+    * set, and the per-candidate verdict is a second broadcast join of
+    * that hit set back onto the candidate shingle stream — nothing
+    * corpus-sized ever shuffles, exactly how a 100 TB corpus checks a
+    * GB-sized eval set. Funnel accounting follows
+    * [[pipelinePretraining]]'s discipline: each kernel runs once, stage
+    * survivor sets cache doc_id-wide, one subword-token pass over the
+    * candidates, all five rows from one tagged aggregate.
+    */
+  private def pipelineEvalHarness(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val n = 5
+    val raw = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val isEval = substring(md5(col("text")), 1, 1) === "1"
+    // stage 0: the candidate pool IS the carve — an eval harness never
+    // tokenizes the full corpus, so the funnel (and the oracle's
+    // recursive-CTE tokenizer) stays 1/16-sized
+    val cand = raw.filter(isEval).cache()
+    // stage 1: Gopher gate (same rule set as text_gopher_quality)
+    val ws = TF.words(col("text"))
+    val nW = size(ws)
+    val awl = length(regexp_replace(TF.normText(col("text")), " ", ""))
+      .cast("double") / nW
+    val nStop = size(filter(ws,
+      x => x.isInCollection(Seq("the", "a", "is", "and", "of"))))
+    val gateIds = cand
+      .filter(nW.between(10, 100000) && awl.between(2.0, 12.0) && nStop >= 2)
+      .select(col("doc_id")).cache()
+    val gated = cand.join(gateIds, Seq("doc_id"))
+    // stage 2: reverse leak scrub — eval shingle set broadcasts, the
+    // training complement streams once, hit set is ≤ |eval shingles|
+    val candSh = gated.select(col("doc_id"),
+        explode(GraftFunctions.word_shingles(TF.words(col("text")), n))
+          .as("shingle"))
+    val evalSet = candSh.select(col("shingle")).distinct()
+    val hitSet = raw.filter(!isEval)
+      .select(explode(
+        GraftFunctions.word_shingles(TF.words(col("text")), n)).as("shingle"))
+      .join(broadcast(evalSet), Seq("shingle")).distinct()
+    val leakedIds = candSh.join(broadcast(hitSet), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+    val scrubIds = gateIds.join(leakedIds, Seq("doc_id"), "left_anti").cache()
+    val scrubbed = cand.join(scrubIds, Seq("doc_id"))
+    // stage 3: per-language stratified cap (content-addressed, the
+    // sampleStratified thresholds, on the carve-independent md5 facet —
+    // membership never moves as SF grows)
+    val stratIds = scrubbed
+      .filter(substring(md5(col("text")), 3, 2) <
+        when(col("lang") === "en", lit("40")).otherwise(lit("c0")))
+      .select(col("doc_id")).cache()
+    // one subword-token pass over the candidates; every funnel row and
+    // the packer read this single frame
+    val toks = cand.select(col("doc_id"), col("lang"),
+      GraftFunctions.greedy_token_count(TF.normText(col("text"))).as("tok"))
+    val staged = toks
+      .join(gateIds.withColumn("s1", lit(1)), Seq("doc_id"), "left")
+      .join(scrubIds.withColumn("s2", lit(1)), Seq("doc_id"), "left")
+      .join(stratIds.withColumn("s3", lit(1)), Seq("doc_id"), "left")
+    val funnel = staged.agg(
+        count(lit(1)).as("n0"), sum(col("tok")).as("t0"),
+        count(col("s1")).as("n1"),
+        sum(when(col("s1") === 1, col("tok"))).as("t1"),
+        count(col("s2")).as("n2"),
+        sum(when(col("s2") === 1, col("tok"))).as("t2"),
+        count(col("s3")).as("n3"),
+        sum(when(col("s3") === 1, col("tok"))).as("t3"))
+      .select(expr(
+        """stack(4,
+           0, 'candidates',  n0, t0,
+           1, 'quality_kept', n1, t1,
+           2, 'leak_scrubbed', n2, t2,
+           3, 'stratified',   n3, t3)
+           AS (stage, stage_name, n_docs, n_tokens)"""))
+    // stage 4: pack survivors into 256-token bins per language shard
+    // (textTokenBudget's per-key cumulative window — never global)
+    val budget = 256
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = toks.join(stratIds, Seq("doc_id"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin_id", expr(s"cast((cum - tok) div $budget as int)"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(sum(col("tok")).as("bin_tok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bin_tok")).as("n_tokens"))
+      .select(lit(4).as("stage"), lit("packed_sequences").as("stage_name"),
+        col("n_docs"), col("n_tokens"))
+    funnel.unionAll(packed).orderBy(col("stage"))
+  }
+
   /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2) — the
     * line-level rule set every web-corpus pipeline starts from, distinct
     * from the Gopher DOCUMENT-level gate (`text_gopher_quality`):
@@ -2302,6 +2412,7 @@ object TextAnalysis {
     "text_unigram_apply" -> textUnigramApply _,
     "pipeline_pretraining" -> pipelinePretraining _,
     "pipeline_curation" -> pipelineCuration _,
+    "pipeline_eval_harness" -> pipelineEvalHarness _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_split_grouped" -> sampleSplitGrouped _,
@@ -2533,6 +2644,92 @@ object TextAnalysis {
       GROUP BY t.doc_id, t.n_shingles ORDER BY t.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "pipeline_eval_harness" -> s"""
+      WITH RECURSIVE v(w, l) AS (SELECT * FROM (VALUES ${
+        graft.functions.HashImpls.TokenVocab
+          .map(w => s"('$w', ${w.length})").mkString(", ")})),
+      cand AS (
+        SELECT doc_id, lang, text, $NormSql AS s0 FROM documents
+        WHERE substr(md5(text), 1, 1) = '1'),
+      step(doc_id, pos, n) AS (
+        SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM cand
+        UNION ALL
+        SELECT st.doc_id,
+               st.pos + COALESCE((SELECT MAX(l) FROM v
+                                  WHERE substr(t.s0, CAST(st.pos AS INT), l)
+                                          = w), 1),
+               st.n + 1
+        FROM step st JOIN cand t ON st.doc_id = t.doc_id
+        WHERE st.pos <= len(t.s0)),
+      toks AS (SELECT doc_id, MAX(n) AS tok FROM step GROUP BY doc_id),
+      gm AS (
+        SELECT doc_id,
+               CAST(len(ws) AS INT) AS n_words,
+               CAST(length(replace(s0, ' ', '')) AS DOUBLE) / len(ws) AS awl,
+               CAST(list_sum(list_transform(ws,
+                 x -> CASE WHEN x IN ('the','a','is','and','of')
+                      THEN 1 ELSE 0 END)) AS INT) AS n_stop
+        FROM (SELECT doc_id, string_split(s0, ' ') AS ws, s0 FROM cand)),
+      gated AS (
+        SELECT c.* FROM cand c JOIN gm USING (doc_id)
+        WHERE n_words BETWEEN 10 AND 100000 AND awl BETWEEN 2.0 AND 12.0
+          AND n_stop >= 2),
+      csh AS (
+        SELECT doc_id,
+               list_distinct([ w5[i] || ' ' || w5[i+1] || ' ' || w5[i+2] ||
+                               ' ' || w5[i+3] || ' ' || w5[i+4]
+                 for i in range(1, len(w5)-3) ]) AS sh
+        FROM (SELECT doc_id, string_split(s0, ' ') AS w5 FROM gated)
+        WHERE len(w5) >= 5),
+      evalset AS (SELECT DISTINCT unnest(sh) AS shingle FROM csh),
+      tsh AS (
+        SELECT list_distinct([ w5[i] || ' ' || w5[i+1] || ' ' || w5[i+2] ||
+                               ' ' || w5[i+3] || ' ' || w5[i+4]
+                 for i in range(1, len(w5)-3) ]) AS sh
+        FROM (SELECT string_split($NormSql, ' ') AS w5 FROM documents
+              WHERE substr(md5(text), 1, 1) <> '1')
+        WHERE len(w5) >= 5),
+      hitset AS (
+        SELECT DISTINCT t.shingle
+        FROM (SELECT unnest(sh) AS shingle FROM tsh) t
+        JOIN evalset USING (shingle)),
+      leaked AS (
+        SELECT DISTINCT k.doc_id
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM csh) k
+        JOIN hitset USING (shingle)),
+      scrub AS (
+        SELECT * FROM gated
+        WHERE doc_id NOT IN (SELECT doc_id FROM leaked)),
+      strat AS (
+        SELECT * FROM scrub
+        WHERE substr(md5(text), 3, 2) <
+              CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END),
+      pk AS (
+        SELECT s.lang, s.doc_id, t.tok,
+               SUM(t.tok) OVER (PARTITION BY s.lang ORDER BY s.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM strat s JOIN toks t USING (doc_id)),
+      bins AS (
+        SELECT lang, CAST((cum - tok) // 256 AS INT) AS bin_id,
+               SUM(tok) AS bt
+        FROM pk GROUP BY lang, bin_id),
+      funnel AS (
+        SELECT 0 AS stage, 'candidates' AS stage_name, COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens
+        FROM cand JOIN toks USING (doc_id)
+        UNION ALL
+        SELECT 1, 'quality_kept', COUNT(*), CAST(SUM(tok) AS BIGINT)
+        FROM gated JOIN toks USING (doc_id)
+        UNION ALL
+        SELECT 2, 'leak_scrubbed', COUNT(*), CAST(SUM(tok) AS BIGINT)
+        FROM scrub JOIN toks USING (doc_id)
+        UNION ALL
+        SELECT 3, 'stratified', COUNT(*), CAST(SUM(tok) AS BIGINT)
+        FROM strat JOIN toks USING (doc_id)
+        UNION ALL
+        SELECT 4, 'packed_sequences', COUNT(*), CAST(SUM(bt) AS BIGINT)
+        FROM bins)
+      SELECT * FROM funnel ORDER BY stage""",
     "pipeline_corpus" -> s"""
       WITH raw AS (
         SELECT doc_id, source, $NormSql AS norm,

@@ -1372,6 +1372,66 @@ class TextPipelineSpec extends AnyFunSuite {
       s"raw token mass ${nt(0)} != token-budget total $budgetTotal")
   }
 
+  test("pipeline_eval_harness: funnel equals a full local five-stage replay") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def tok(t: String): Long = graft.functions.HashImpls.greedyTokenCount(
+      UTF8String.fromString(t.trim.toLowerCase.replaceAll("\\s+", " ")))
+    def shingles(t: String): Set[String] = {
+      val w = mkNorm(t)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val stop = Set("the", "a", "is", "and", "of")
+    def gopher(t: String): Boolean = {
+      val w = mkNorm(t)
+      val awl = w.map(_.length).sum.toDouble / w.length
+      w.length >= 10 && w.length <= 100000 &&
+        awl >= 2.0 && awl <= 12.0 && w.count(stop) >= 2
+    }
+    val cand = docs.filter { case (_, _, t) => md5hex(t).head == '1' }
+    val gated = cand.filter { case (_, _, t) => gopher(t) }
+    val candSh = gated.map { case (id, _, t) => id -> shingles(t) }.toMap
+    val evalSet = candSh.values.foldLeft(Set.empty[String])(_ ++ _)
+    val hitSet = docs.iterator
+      .filter { case (_, _, t) => md5hex(t).head != '1' }
+      .foldLeft(Set.empty[String]) { case (acc, (_, _, t)) =>
+        acc ++ (shingles(t) & evalSet) }
+    val scrub = gated.filter { case (id, _, _) => (candSh(id) & hitSet).isEmpty }
+    val strat = scrub.filter { case (_, lang, t) =>
+      md5hex(t).substring(2, 4) < (if (lang == "en") "40" else "c0") }
+    // every stage must be non-vacuous on the fixture, or the funnel
+    // gates nothing (and the stratified facet-independence bug — the
+    // cap reusing the carve's md5 chars — would read as 100% pass)
+    assert(cand.length < docs.length && gated.length < cand.length &&
+      scrub.length < gated.length && strat.length < scrub.length &&
+      strat.nonEmpty,
+      s"vacuous stage: ${docs.length}/${cand.length}/${gated.length}/" +
+        s"${scrub.length}/${strat.length}")
+    def mass(xs: Array[(Long, String, String)]): Long =
+      xs.iterator.map(x => tok(x._3)).sum
+    val bins = strat.groupBy(_._2).iterator.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (_, lang, t) =>
+        val k = tok(t); val b = cum / 256; cum += k; ((lang, b), k) }
+    }.toSeq.groupBy(_._1)
+    val want = Seq(
+      (0, "candidates", cand.length.toLong, mass(cand)),
+      (1, "quality_kept", gated.length.toLong, mass(gated)),
+      (2, "leak_scrubbed", scrub.length.toLong, mass(scrub)),
+      (3, "stratified", strat.length.toLong, mass(strat)),
+      (4, "packed_sequences", bins.size.toLong,
+        bins.values.flatten.map(_._2).sum))
+    val got = SparkEntry.queries("pipeline_eval_harness")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"funnel mismatch:\n got $got\nwant $want")
+    Caches.releaseAll(spark)
+  }
+
   test("text_quality_classifier equals a local NB-contrast recompute; model broadcasts") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()

@@ -812,11 +812,52 @@ class PlanSpec extends AnyFunSuite {
     // rows per partition cross the exchange); the dim^2/dim-sized
     // G/v1/v2 frames join by broadcast — the corpus itself must never
     // sort-merge or cartesian
-    val p = planOf("emb_pca_power")
+    // the ROW reads the build-once component table (the IVF lifecycle),
+    // so the plan under audit is the BUILD chain itself
+    val p = operators.Similarity.pcaV2(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"), s"metadata join shuffled:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"matvec not broadcast:\n$p")
-    assert(p.contains("Generate"), s"no map-side pair explode:\n$p")
+    assert(p.contains("Generate"), s"no map-side explode for Sq:\n$p")
+    Caches.releaseAll(spark)
+  }
+
+  test("events_anomaly: one user-key exchange, no join") {
+    // the verdict is a windowed projection — any join or second
+    // exchange would mean the trailing frame was reformulated as a
+    // self-join (quadratic per user)
+    val p = planOf("events_anomaly")
+    assert(!p.contains("Join"), s"anomaly must stay join-free:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the user-key exchange:\n$p")
+  }
+
+  test("events_pattern: join-free tagged stream, one per-user sort") {
+    val p = planOf("events_pattern")
+    assert(!p.contains("Join"),
+      s"pattern match must not become a views×purchases join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the user-key exchange:\n$p")
+  }
+
+  test("text_vocab_coverage: top-K vocab broadcasts onto the stream") {
+    val p = planOf("text_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the K-row vocab:\n$p")
+  }
+
+  test("pipeline_eval_harness: both scrub sides broadcast, no cartesian") {
+    // the reverse-decontamination shape: the eval shingle set broadcasts
+    // onto the streaming train complement, then the hit set broadcasts
+    // back onto the candidate stream — if either join sort-merges, a
+    // corpus-sized shingle stream just crossed an exchange
+    val p = planOf("pipeline_eval_harness")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"scrub joins must broadcast the eval/hit sets:\n$p")
+    Caches.releaseAll(spark)
   }
 
   test("sample_temperature: rate table broadcasts onto the corpus") {
