@@ -204,7 +204,15 @@ object Bench {
     // trailing-window anomaly flags at 10× users (replicated event ids
     // shift the per-user sequences; the one user-key shuffle and bounded
     // ROWS frame must scale with key cardinality, not window depth)
-    "sf1_events_anomaly" -> "events_anomaly")
+    "sf1_events_anomaly" -> "events_anomaly",
+    // negation-pattern sequence match at 10× users: the tagged-union
+    // stream and its two running-FIRST frames must stay one per-user
+    // sort — any views×purchases reformulation would go quadratic here
+    "sf1_events_pattern" -> "events_pattern",
+    // the eval-harness composition at 10×: the carve stays 1/16, the
+    // training complement streams once through the broadcast probe, and
+    // the hit set must stay report-sized as replicas multiply overlap
+    "sf1_pipeline_eval_harness" -> "pipeline_eval_harness")
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the
