@@ -786,6 +786,62 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The UNPLANNED-skew join — [[joinSalted]]'s runtime complement. The
+    * salt is the remedy when the hot key is known before execution; this
+    * row is the production-common other case: the join is declared
+    * PLAIN, and AQE's OptimizeSkewedJoin splits the hot post-shuffle
+    * partition from runtime map statistics (the ~87%-hot synthetic key
+    * collapses most of the event stream onto one reducer). The
+    * SHUFFLE_MERGE hint keeps the tiny derived dim on the sort-merge
+    * path it would take at real scale, where the dim is a full
+    * dimension table past the broadcast bound; AQE honors the hint and
+    * won't demote to broadcast. At fixture scale the hot partition sits
+    * under the 256 MB default split threshold, so the SPEC proves the
+    * mechanism: it lowers the factor/threshold confs (save/restore),
+    * executes, asserts `skew=true` in the final adaptive plan AND
+    * result invariance vs the default-conf run. At 100 TB the default
+    * threshold fires by itself — zero code change, which is the point
+    * of declaring skew handling instead of scheduling it. The
+    * downstream rollup keys on an event-derived bucket (never the join
+    * key), so splitting the join's output partitioning costs AQE no
+    * extra exchange and the optimization is never vetoed.
+    */
+  private[graft] def skewJoinFrame(s: SparkSession, d: String): DataFrame = {
+    // The explicit 32-way spread on the unique key models the thousands
+    // of input splits a
+    // 100 TB fact table arrives in: AQE splits a skewed reducer
+    // partition at MAP-BLOCK granularity, and the fixture's events
+    // parquet is one row group = one map task, which would leave the
+    // hot partition a single atomic block no conf can divide. A
+    // production fact table is pre-split and never pays this exchange.
+    val ev = Tables.load(s, d, "events")
+      .select(
+        when(pmod(col("user_id"), lit(15L)) < 13, lit(0L))
+          .otherwise(col("user_id")).as("skew_k"),
+        col("event_id"), col("user_id"), col("value"))
+      .repartition(32, col("event_id"))
+    // coalesce(1) erases the aggregate's partitioning so the join
+    // re-shuffles the dim under ENSURE_REQUIREMENTS — the shape a dim
+    // table READ FROM STORAGE arrives in (no useful partitioning); a
+    // dim pipelined out of its own aggregate would sit directly under
+    // the join and put OptimizeSkewedJoin's pattern out of reach, a
+    // fixture artifact no production dim exhibits
+    val dim = ev.groupBy(col("skew_k"))
+      .agg(count(lit(1)).as("k_n"))
+      .coalesce(1)
+    ev.join(dim.hint("SHUFFLE_MERGE"), Seq("skew_k"))
+  }
+
+  private def joinSkewAqe(s: SparkSession, d: String): DataFrame =
+    skewJoinFrame(s, d)
+      .groupBy(pmod(col("event_id"), lit(97L)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("k_n")).as("sum_kn"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+      .orderBy(col("bucket"))
+
   // ---------------------------------------------------------------------
   // storage-layout tier (beyond-reference): bucketed co-located join,
   // partitioned sink + pruned read-back — the two layout techniques that
@@ -2959,6 +3015,7 @@ object Relational {
     "join_range" -> joinRange _,
     "join_bucketed" -> joinBucketed _,
     "join_salted" -> joinSalted _,
+    "join_skew_aqe" -> joinSkewAqe _,
     "sessionize_batch" -> sessionizeBatch _,
     "events_funnel" -> eventsFunnel _,
     "window_fill_forward" -> windowFillForward _,
@@ -3582,6 +3639,20 @@ object Relational {
              ${ds("o_totalprice")} AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_skew_aqe" -> """
+      WITH ev AS (
+        SELECT CASE WHEN user_id % 15 < 13 THEN 0 ELSE user_id END AS skew_k,
+               event_id, user_id, value
+        FROM events),
+      dim AS (SELECT skew_k, COUNT(*) AS k_n FROM ev GROUP BY skew_k)
+      SELECT CAST(e.event_id % 97 AS INT) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(e.user_id) AS BIGINT) AS sum_uid,
+             CAST(SUM(d.k_n) AS BIGINT) AS sum_kn,
+             round(MIN(e.value), 6) AS min_v,
+             round(MAX(e.value), 6) AS max_v
+      FROM ev e JOIN dim d USING (skew_k)
+      GROUP BY bucket ORDER BY bucket""",
     "layout_zorder" -> """
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

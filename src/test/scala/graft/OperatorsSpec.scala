@@ -860,6 +860,34 @@ class PlanSpec extends AnyFunSuite {
     Caches.releaseAll(spark)
   }
 
+  test("join_skew_aqe: runtime skew split fires under scaled-down thresholds; result invariant") {
+    // at fixture scale the hot partition is under the 256 MB default
+    // threshold, so prove the mechanism by scaling the confs to the
+    // fixture: factor 1 + 8KB thresholds make the ~87%-hot partition
+    // split, and the final adaptive plan must say so
+    val base = SparkEntry.queries("join_skew_aqe")(spark, sfDir).collect()
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "1")
+      spark.conf.set(keys(1), "1KB")
+      spark.conf.set(keys(2), "512b")
+      val df = operators.Relational.skewJoinFrame(spark, sfDir)
+      // execute THIS frame (a separate .count() would finalize its own
+      // adaptive plan and leave df's un-executed at isFinalPlan=false)
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no runtime skew split in:\n$p")
+      val skewed = SparkEntry.queries("join_skew_aqe")(spark, sfDir).collect()
+      assert(skewed.sameElements(base),
+        "the skew split must not change results")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("sample_temperature: rate table broadcasts onto the corpus") {
     // the per-domain rate table is k rows by construction — the corpus
     // membership filter must receive it by broadcast, never by shuffling
