@@ -2347,6 +2347,41 @@ object Relational {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Gaps-and-islands over the event stream — the classic "maximal runs
+    * of consecutive qualifying rows" verb in its ISO-SQL
+    * row_number-difference formulation: per user, in (ts, event_id)
+    * order, every maximal run of events whose value clears the
+    * threshold becomes one report row (span, size, peak). Distinct
+    * from [[sessionizeBatch]]'s TIME-gap islands: membership here is a
+    * PREDICATE on the row, and a single non-qualifying event breaks
+    * the run regardless of timing — the shape of uptime-streak /
+    * alert-run / abuse-burst reports. The two row_numbers share the
+    * partition+order spec, and the filter between them preserves both
+    * partitioning and order, so the second Window adds NO exchange and
+    * NO sort (plan-asserted: one user-key exchange, one sort); the
+    * island key rn_all − rn_hit is constant within a run, making the
+    * final rollup a plain two-phase aggregate. Linear per user at any
+    * scale — never a self-join.
+    */
+  private def windowIslands(s: SparkSession, d: String): DataFrame = {
+    val thr = 50.0
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.streaming.Streaming.events(s, d)
+      .withColumn("rn_all", row_number().over(w))
+      .filter(col("value") >= thr)
+      .withColumn("rn_hit", row_number().over(w))
+      .groupBy(col("user_id"), (col("rn_all") - col("rn_hit")).as("grp"))
+      .agg(min(col("ts")).as("island_start"),
+        max(col("ts")).as("island_end"),
+        count(lit(1)).as("n_events"),
+        max(col("value")).as("peak"),
+        min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("n_events"), col("peak"), col("first_event"))
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
   /** Strictly-ORDERED funnel (view → click → purchase): each step counts
     * only events after the user's previous-step time. Built as chained
     * user_id aggregations with the step time threaded through the group
@@ -3099,6 +3134,7 @@ object Relational {
     "set_except" -> setExcept _,
     "window_funcs" -> windowFuncs _,
     "window_rank" -> windowRank _,
+    "window_islands" -> windowIslands _,
     "window_navigation" -> windowNavigation _,
     "window_range_frame" -> windowRangeFrame _,
     "window_dist" -> windowDist _,
@@ -4266,6 +4302,21 @@ object Relational {
       WHERE l_orderkey <= 200
       WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
       ORDER BY l_orderkey, l_linenumber""",
+    "window_islands" -> """
+      WITH r AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all
+        FROM events),
+      h AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn_hit
+        FROM r WHERE value >= 50.0)
+      SELECT user_id, MIN(ts) AS island_start, MAX(ts) AS island_end,
+             COUNT(*) AS n_events, MAX(value) AS peak,
+             CAST(MIN(event_id) AS BIGINT) AS first_event
+      FROM h GROUP BY user_id, rn_all - rn_hit
+      ORDER BY user_id, island_start""",
     "window_rank" -> """
       SELECT * FROM (
         SELECT c_mktsegment,

@@ -848,6 +848,22 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled for the K-row vocab:\n$p")
   }
 
+  test("window_islands: one exchange, one sort — the filter preserves the window order") {
+    // the second row_number must ride the first window's sort; a plan
+    // with two sorts or two exchanges means the filter broke the
+    // ordering contract and the run re-shuffles the event stream
+    val p = planOf("window_islands")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user-key exchange:\n$p")
+    // plan prints top-down: rn_hit's Window sits above the Filter above
+    // rn_all's Window — that span must hold no Sort (and no exchange,
+    // checked above; the only other Sort is the presentation orderBy)
+    val span = p.substring(p.indexOf("AS rn_hit"), p.indexOf("AS rn_all"))
+    assert(!span.contains("Sort "),
+      s"second window must reuse the first sort:\n$p")
+    assert(!p.contains("Join"), s"islands must stay join-free:\n$p")
+  }
+
   test("pipeline_eval_harness: both scrub sides broadcast, no cartesian") {
     // the reverse-decontamination shape: the eval shingle set broadcasts
     // onto the streaming train complement, then the hit set broadcasts
@@ -858,6 +874,33 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"scrub joins must broadcast the eval/hit sets:\n$p")
     Caches.releaseAll(spark)
+  }
+
+  test("window_islands equals a local run-detection replay") {
+    val ev = graft.streaming.Streaming.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._2))
+      // maximal runs of consecutive value>=50 rows
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[Vector[(Long, Long, java.sql.Timestamp, Double)]]
+      var cur = Vector.empty[(Long, Long, java.sql.Timestamp, Double)]
+      sorted.foreach { r =>
+        if (r._4 >= 50.0) cur :+= r
+        else { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.map(run => (uid, run.head._3, run.last._3, run.length.toLong,
+        run.map(_._4).max, run.map(_._2).min))
+    }.sortBy(t => (t._1, t._2.getTime))
+    val got = SparkEntry.queries("window_islands")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == want, s"islands mismatch: got ${got.take(3)}…")
+    assert(want.exists(_._4 >= 3), "fixture must contain a multi-event run")
+    assert(want.size > ev.count(_._4 >= 50.0) / 2 || want.exists(_._4 >= 2),
+      "runs must be non-trivial")
   }
 
   test("join_skew_aqe: runtime skew split fires under scaled-down thresholds; result invariant") {
