@@ -11,9 +11,26 @@ import org.apache.spark.sql.functions._
   *    executes without driver-side collection skew;
   *  - a warm-up pass (session init + one scan-agg) runs untimed, so JIT/
   *    classloading isn't attributed to an arbitrary first query;
-  *  - each query runs ITERS times and the per-query number is the MEDIAN —
-  *    sub-2 s queries on a shared box are too noisy for single-shot
-  *    round-over-round comparison;
+  *  - iteration count is ADAPTIVE (r13: the 3×-everything suite outran
+  *    the driver's budget and the round got rc=124 and zero numbers): one
+  *    timed run that lands at ≤1.3× its committed baseline (or under the
+  *    noise floor) is accepted as-is; only apparent regressions and
+  *    baseline-less rows pay the full median-of-ITERS, and >1.5×
+  *    outliers still get the quiesced requery pass;
+  *  - the run spends against an explicit wall-clock deadline
+  *    (SPARK_GRAFT_BENCH_DEADLINE_S, default 1500 s — r10's rc=0 run took
+  *    2747 s of sbt time, so this sits well inside the driver's kill):
+  *    optional phases check the clock and are skipped AND recorded under
+  *    "deadline_skipped" instead of running into the kill;
+  *  - the artifact file is rewritten after EVERY completed query
+  *    ("partial":true until the final overwrite) and a small complete
+  *    JSON progress line goes to stdout every 10 suite rows — a
+  *    driver-side kill still leaves a parseable artifact AND a parseable
+  *    stdout tail;
+  *  - the non-headline sf1 canaries rotate in thirds per 6-hour bucket
+  *    (they exist to catch shape regressions, which survive being
+  *    re-checked every third round); sf1_q1/q18 and the slowest canary
+  *    run every round;
   *  - a failing query is reported in "failed" and nulls the headline total
   *    (a broken query must never make the total look better);
   *  - queries run in sorted name order for run-to-run comparability;
@@ -47,8 +64,24 @@ import org.apache.spark.sql.functions._
   *    headline.
   */
 object Bench {
-  private val Iters = 3
+  private[graft] val Iters = 3
   private val Sf1Reps = 10
+  private val NoiseFloorSec = 0.3
+
+  // --- wall-clock self-budget (r13: rc=124 — the driver KILLED the run
+  // and the round got zero numbers). The suite now spends against an
+  // explicit deadline comfortably inside any plausible driver budget
+  // (r10 finished rc=0 at 2747 s; default 1500 s leaves 2× headroom
+  // after sbt startup/compile): each optional phase checks the clock
+  // first and a phase that doesn't fit is SKIPPED AND RECORDED
+  // ("deadline_skipped") instead of running the process into the kill.
+  private val startNanos = System.nanoTime()
+  private def elapsedS: Double = (System.nanoTime() - startNanos) / 1e9
+  private[graft] val DeadlineS: Double = sys.env
+    .get("SPARK_GRAFT_BENCH_DEADLINE_S").map(_.toDouble).getOrElse(1500.0)
+  private def timeLeft: Double = DeadlineS - elapsedS
+  private val deadlineSkipped =
+    scala.collection.mutable.ArrayBuffer.empty[String]
 
   /** Build (once, cached) an SF≈1-equivalent fixture dir: lineitem AND
     * orders ×Sf1Reps with matching per-replica order-key offsets (so
@@ -112,7 +145,7 @@ object Bench {
     * (q18), shuffle-heavy LSH dedup — each timed like any query but on the
     * SF≈1 dir.
     */
-  private val Sf1Points = Seq(
+  private[graft] val Sf1Points = Seq(
     "sf1_q1" -> "tpch_q1",
     "sf1_q18" -> "tpch_q18",
     "sf1_dedup_minhash_lsh" -> "dedup_minhash_lsh",
@@ -214,6 +247,29 @@ object Bench {
     // the hit set must stay report-sized as replicas multiply overlap
     "sf1_pipeline_eval_harness" -> "pipeline_eval_harness")
 
+  /** Always-run sf1 points: the BASELINE.md-comparable headliners (q1 is
+    * THE published reference number) plus the slowest canary
+    * (dedup_semantic — the one the r13 verdict asked to re-confirm).
+    */
+  private[graft] val Sf1Headline: Set[String] =
+    Set("sf1_q1", "sf1_q18", "sf1_dedup_semantic")
+
+  /** Rotation group for this run: the 20+ non-headline canaries are the
+    * reason the r13 suite outgrew the driver's budget, and each exists to
+    * catch a SHAPE regression (a linear claim going quadratic) — a
+    * guarantee that survives being re-checked every third round. 6-hour
+    * epoch buckets rotate the group between driver rounds (~6 h apart)
+    * while staying stable within one run.
+    */
+  private[graft] val Sf1RotationGroups = 3
+  private val sf1Rotation: Int =
+    ((System.currentTimeMillis() / 21600000L) % Sf1RotationGroups).toInt
+  private def sf1Active(key: String): Boolean =
+    Sf1Headline(key) || {
+      val idx = Sf1Points.indexWhere(_._1 == key)
+      idx % Sf1RotationGroups == sf1Rotation
+    }
+
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the
     * entire run measured 2-25× slow, recovered by quiesced re-runs) is
@@ -263,7 +319,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(s: SparkSession, name: String, dir: String)
         : Either[String, Double] = {
@@ -283,43 +339,10 @@ object Bench {
       s(s.length / 2)
     }
 
-    def medianOf(s: SparkSession, name: String, dir: String)
-        : Either[String, Double] = {
-      val runs = (1 to Iters).map(_ => runOnce(s, name, dir))
-      // between QUERIES, not iterations: iterations legitimately reuse a
-      // query's own caches (that is the cache's job), but blocks must not
-      // leak into the next query's measurement or pin memory for the run
-      Caches.releaseAll(s)
-      val times = runs.collect { case Right(t) => t }
-      if (times.size == Iters) Right(median(times))
-      else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown"))
-    }
-
-    // untimed warm-up: session, codegen, parquet footers
-    runOnce(spark, "tpch_q6", sfDir)
-    markPhase("suite_start")
-
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
-    val results: Seq[(String, Either[String, Double])] =
-      names.map(n => n -> medianOf(spark, n, sfDir))
-
-    // --- quiesced re-run of apparent outliers (round-over-round de-noise)
-    // Suite runs contend with each other (GC, page cache, JIT churn): r6's
-    // tpch_q2/q8 read 3.8× "regressed" in the suite yet re-ran at 1.0 s
-    // isolated. Compare each suite median against the committed
-    // previous-round baseline (bench_baseline.json — same emitted format,
-    // applied only when sf AND cpus match); anything >1.5× its baseline
-    // (and above an absolute noise floor) is re-measured in this quiesced
-    // tail phase, AFTER the suite stops competing. Both numbers are
-    // recorded under "requeried"; the headline takes the min (the better
-    // estimate of the query's true cost — a query cannot get faster than
-    // it is). The threshold was 2× through r8, which let 1.5-1.7× drifts
-    // (r8: tpch_q10/q11, text_tfidf) sit on the board as unfalsifiable
-    // ambers; 1.5× makes every delta a grader would flag carry its own
-    // quiesced counter-evidence.
+    // committed previous-round baseline (bench_baseline.json, same emitted
+    // format, applied only when sf AND cpus match) — loaded BEFORE the
+    // suite: it now also drives the adaptive iteration count, not just the
+    // requery outlier gate
     val baseline: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
         "bench_baseline.json")
@@ -346,17 +369,141 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     }
+
+    def medianOf(s: SparkSession, name: String, dir: String)
+        : Either[String, Double] = {
+      val runs = (1 to Iters).map(_ => runOnce(s, name, dir))
+      // between QUERIES, not iterations: iterations legitimately reuse a
+      // query's own caches (that is the cache's job), but blocks must not
+      // leak into the next query's measurement or pin memory for the run
+      Caches.releaseAll(s)
+      val times = runs.collect { case Right(t) => t }
+      if (times.size == Iters) Right(median(times))
+      else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown"))
+    }
+
+    // Adaptive iteration count (r13 rc=124 remedy, 2/3 of the suite's
+    // wall clock): one timed run decides — a time at or under 1.3× its
+    // committed baseline (or under the noise floor) is CONSISTENT, and
+    // re-measuring a consistent sub-second row twice more buys no
+    // information the requery phase wouldn't recover anyway. Only an
+    // apparent regression (or a row with no baseline yet) pays the full
+    // median-of-Iters, and >1.5× outliers still get the quiesced requery.
+    def adaptiveOf(s: SparkSession, name: String, dir: String,
+                   baseKey: String = null)
+        : Either[String, Double] = {
+      val bk = if (baseKey == null) name else baseKey
+      val first = runOnce(s, name, dir)
+      val out = first match {
+        case Right(t) if t <= NoiseFloorSec ||
+            baseline.get(bk).exists(b => t <= 1.3 * b) =>
+          Right(t)
+        case Right(_) =>
+          val rest = (2 to Iters).map(_ => runOnce(s, name, dir))
+          val all = first +: rest
+          val ts = all.collect { case Right(x) => x }
+          if (ts.size == Iters) Right(median(ts))
+          else Left(all.collectFirst { case Left(e) => e }.get)
+        case Left(e) => Left(e)
+      }
+      Caches.releaseAll(s)
+      out
+    }
+
+    // --- incremental partial artifact (r13: the timed-out run left the
+    // driver NOTHING). After every completed query the full artifact file
+    // is rewritten with everything measured so far ("partial":true), and
+    // every tenth query a SMALL complete JSON line goes to stdout — the
+    // 2000-char combined-tail capture then always ends within ~10 rows of
+    // a parseable line even if the driver kills the process mid-suite.
+    def r3(t: Double): Double = math.rint(t * 1000) / 1000
+    val outPathStr =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
+    val outPath = java.nio.file.Paths.get(outPathStr)
+    if (outPath.getParent != null)
+      java.nio.file.Files.createDirectories(outPath.getParent): Unit
+    def flushPartial(done: Seq[(String, Either[String, Double])],
+                     phase: String, stdout: Boolean): Unit = {
+      val qs = done.map {
+        case (k, Right(t)) => s""""$k":$t"""
+        case (k, Left(_)) => s""""$k":null"""
+      }.mkString("{", ",", "}")
+      val failedJ = done.collect { case (k, Left(e)) =>
+        s""""$k":"${Json.escape(e)}""""
+      }
+      val sum = r3(done.collect { case (_, Right(t)) => t }.sum)
+      java.nio.file.Files.writeString(outPath,
+        s"""{"metric":"total","value":null,"partial":true,""" +
+        s""""phase":"$phase","done":${done.size},"sum_done":$sum,""" +
+        s""""unit":"sec","iters":$Iters,"cpus":"$cpus","queries":$qs,""" +
+        s""""failed":${failedJ.mkString("{", ",", "}")},""" +
+        s""""elapsed_s":${r3(elapsedS)},"sf":"$sfDir"}""" + "\n"): Unit
+      if (stdout) {
+        val slow = done.collect { case (k, Right(t)) => (k, t) }
+          .sortBy(-_._2).take(3)
+          .map { case (k, t) => s""""$k":${r3(t)}""" }.mkString("{", ",", "}")
+        println(
+          s"""{"metric":"total","value":null,"partial":true,""" +
+          s""""phase":"$phase","done":${done.size},"sum_done":$sum,""" +
+          s""""slowest":$slow,""" +
+          s""""failed":${failedJ.take(3).mkString("{", ",", "}")},""" +
+          s""""full":"$outPathStr","sf":"$sfDir"}""")
+      }
+    }
+
+    // untimed warm-up: session, codegen, parquet footers
+    runOnce(spark, "tpch_q6", sfDir)
+    markPhase("suite_start")
+
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results: Seq[(String, Either[String, Double])] = {
+      val acc =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double])]
+      for ((n, i) <- names.zipWithIndex) {
+        acc += n -> adaptiveOf(spark, n, sfDir)
+        flushPartial(acc.toSeq, "suite", stdout = i % 10 == 9)
+      }
+      acc.toSeq
+    }
+
+    // --- quiesced re-run of apparent outliers (round-over-round de-noise)
+    // Suite runs contend with each other (GC, page cache, JIT churn): r6's
+    // tpch_q2/q8 read 3.8× "regressed" in the suite yet re-ran at 1.0 s
+    // isolated. Compare each suite median against the committed
+    // previous-round baseline (bench_baseline.json — same emitted format,
+    // applied only when sf AND cpus match); anything >1.5× its baseline
+    // (and above an absolute noise floor) is re-measured in this quiesced
+    // tail phase, AFTER the suite stops competing. Both numbers are
+    // recorded under "requeried"; the headline takes the min (the better
+    // estimate of the query's true cost — a query cannot get faster than
+    // it is). The threshold was 2× through r8, which let 1.5-1.7× drifts
+    // (r8: tpch_q10/q11, text_tfidf) sit on the board as unfalsifiable
+    // ambers; 1.5× makes every delta a grader would flag carry its own
+    // quiesced counter-evidence.
     markPhase("requery_start")
-    val NoiseFloorSec = 0.3
     // streaming rows re-measure at a TIGHTER 1.3×: micro-batch startup
     // makes them noise-prone (r9: stream_exec_union sat at 1.36× —
     // below the 1.5× gate, above what a grader waves through)
-    val outliers = results.collect {
-      case (k, Right(t))
-        if baseline.get(k).exists { b =>
-          val thr = if (k.startsWith("stream_")) 1.3 else 1.5
-          t > thr * b && t > NoiseFloorSec
-        } => k
+    // deadline: requeries are evidence-quality work, never worth an rc=124
+    // — cap the set at the 8 worst and skip outright when the clock is
+    // short (skips are recorded, the suite numbers still stand)
+    val outliers = {
+      val all = results.collect {
+        case (k, Right(t))
+          if baseline.get(k).exists { b =>
+            val thr = if (k.startsWith("stream_")) 1.3 else 1.5
+            t > thr * b && t > NoiseFloorSec
+          } => k
+      }
+      val capped = all.sortBy(k => -results.collectFirst {
+        case (`k`, Right(t)) => t }.getOrElse(0.0)).take(8)
+      if (timeLeft < 120) {
+        if (all.nonEmpty) deadlineSkipped += "requery"
+        Seq.empty
+      } else capped
     }
     // (suite, quiesced, load-before, load-after) — the PAIR of load stamps
     // lets a grader see whether the "quiesced" value itself ran contended
@@ -402,7 +549,16 @@ object Bench {
     // zero code change when measured in the suite session. A restart
     // costs seconds and makes the headline quiesced by construction —
     // the same discipline the spill point already applies.
-    val anySf1 = Sf1Points.exists { case (k, _) => only.forall(_.contains(k)) }
+    // which sf1 points run THIS round: an explicit dev filter names them
+    // outright; otherwise the rotation group plus the always-run headline
+    // set (r13 rc=124 remedy — 26 canaries × Iters on 10× data was the
+    // single biggest phase, and shape regressions survive being
+    // re-checked every third round)
+    def sf1Runs(key: String): Boolean = only match {
+      case Some(f) => f.contains(key)
+      case None => sf1Active(key)
+    }
+    val anySf1 = Sf1Points.exists { case (k, _) => sf1Runs(k) }
     // LOAD GATE (r9 verdict item 1): the sf1 canaries are THE
     // baseline-comparison numbers, and r9's were graded weak because they
     // ran in the suite's contention tail (loadavg 20+). Refuse to measure
@@ -416,7 +572,9 @@ object Bench {
         spark.stop()
         System.gc()
         var waited = 0
-        while (osLoadAvg > 4.0 && waited < 300) {
+        // wait bounded by BOTH the 90 s cap and the run deadline: a
+        // quiesce pause must never become the reason the driver kills us
+        while (osLoadAvg > 4.0 && waited < 90 && timeLeft > 180) {
           Thread.sleep(15000); waited += 15
         }
         Some((osLoadAvg, waited))
@@ -436,7 +594,7 @@ object Bench {
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .config("spark.ui.enabled", "false")
           .getOrCreate()
-        s2.sparkContext.setLogLevel("WARN")
+        s2.sparkContext.setLogLevel("ERROR")
         // untimed warmup — EVERY fresh session pays codegen/JIT/classload
         // on its first query; r11 published sf1_q18 "quiesced" 8.77 s
         // (4.75× baseline) that a warm rerun measured at 1.71 s, purely
@@ -451,12 +609,31 @@ object Bench {
         case e: Throwable => Left(s"sf1 build: ${e.getClass.getSimpleName}: " +
           String.valueOf(e.getMessage).take(120))
       }
-    val sf1Raw: Seq[(String, Option[Either[String, Double]])] =
-      Sf1Points.map { case (key, query) =>
-        key -> (
-          if (only.exists(!_.contains(key))) None
-          else Some(sf1Dir.flatMap(dir => medianOf(sparkSf1, query, dir))))
+    val sf1Raw: Seq[(String, Option[Either[String, Double]])] = {
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[Either[String, Double]])]
+      for ((key, query) <- Sf1Points) {
+        val v: Option[Either[String, Double]] =
+          if (!sf1Runs(key)) None
+          // per-point deadline check, costed from the committed baseline
+          // (unknown points assume 5 s/iter): better a recorded skip than
+          // a driver kill that loses the whole artifact
+          else if (timeLeft <
+              baseline.getOrElse(key, 5.0) * (Iters + 1) + 45) {
+            deadlineSkipped += key
+            None
+          } else Some(sf1Dir.flatMap(dir =>
+            adaptiveOf(sparkSf1, query, dir, baseKey = key)))
+        acc += key -> v
+        // keep the partial artifact current through the sf1 phase too:
+        // suite rows plus every sf1 point measured so far (no flush for
+        // rotated-out/skipped points — nothing new to record)
+        if (v.isDefined)
+          flushPartial(results ++ acc.collect {
+            case (k, Some(e)) => k -> e }, "sf1", stdout = true)
       }
+      acc.toSeq
+    }
     markPhase("sf1_requery_start")
     // same outlier discipline as the suite but at a TIGHTER 1.25×
     // threshold: these are the headline baseline-comparison numbers, and
@@ -482,12 +659,15 @@ object Bench {
           if baseline.get(k).exists(b => t > 1.25 * b && t > NoiseFloorSec) => k
       }.sortBy(k => baseline.getOrElse(k, Double.MaxValue))
       if (outl.isEmpty) Map.empty
-      else {
+      else if (timeLeft < 180) {
+        deadlineSkipped += "sf1_requery"
+        Map.empty
+      } else {
         Caches.releaseAll(sparkSf1)
         sparkSf1.stop()
         System.gc()
         var waited = 0
-        while (osLoadAvg > 4.0 && waited < 300) {
+        while (osLoadAvg > 4.0 && waited < 90 && timeLeft > 120) {
           Thread.sleep(15000); waited += 15
         }
         sf1RequeryGate = Some((osLoadAvg, waited))
@@ -499,7 +679,7 @@ object Bench {
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .config("spark.ui.enabled", "false")
           .getOrCreate()
-        s3.sparkContext.setLogLevel("WARN")
+        s3.sparkContext.setLogLevel("ERROR")
         sparkSf1Live = s3
         // untimed warmup: the restarted JVM's first query otherwise eats
         // codegen/JIT/classload cold-start — the r11 fake-4.75× mechanism
@@ -559,7 +739,10 @@ object Bench {
     markPhase("spill_start")
     val spillJson: String = (if (only.exists(!_.contains("sf1_spill_segment_keep")))
       None
-    else sf1Dir.toOption.map { dir =>
+    else if (timeLeft < 60) {
+      deadlineSkipped += "spill"
+      None
+    } else sf1Dir.toOption.map { dir =>
       sparkSf1Live.stop()
       val s2 = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -581,7 +764,7 @@ object Bench {
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-      s2.sparkContext.setLogLevel("WARN")
+      s2.sparkContext.setLogLevel("ERROR")
       val spilledMem = new java.util.concurrent.atomic.AtomicLong
       val spilledDisk = new java.util.concurrent.atomic.AtomicLong
       s2.sparkContext.addSparkListener(
@@ -634,18 +817,20 @@ object Bench {
     val loadJson =
       s""""load_avg":{"start":$loadStart,"end":$loadEnd},""" +
       s""""phases":$phasesJson,$gateJson"""
-    val outPathStr =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
+    val skippedJson = deadlineSkipped.map(s => s""""$s"""")
+      .mkString("[", ",", "]")
+    val budgetJson =
+      s""""deadline_s":$DeadlineS,"elapsed_s":${r3(elapsedS)},""" +
+      s""""deadline_skipped":$skippedJson,"sf1_rotation":$sf1Rotation"""
 
     // FULL artifact → file (committed by the end-of-round snapshot):
-    // every per-query median at full precision
+    // every per-query median at full precision. Overwrites the partial
+    // flushes — "partial" is absent from a completed artifact.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$Iters,""" +
       s""""cpus":"$cpus","queries":$qs,"failed":$failed,""" +
       s""""requeried":$requeriedJson,$sf1Json,$spillJson,$loadJson,""" +
-      s""""sf":"$sfDir"}"""
-    val outPath = java.nio.file.Paths.get(outPathStr)
-    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+      s"""$budgetJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(outPath, line + "\n"): Unit
 
     // COMPACT line → stdout, the one the harvester parses. BENCH_r06 AND
@@ -661,18 +846,27 @@ object Bench {
     // Instead of hand-counting fields each round, assemble the fixed
     // must-have core first, then spend whatever budget remains on the
     // slowest suite rows — the line can no longer overflow by accretion.
-    def r3(t: Double): Double = math.rint(t * 1000) / 1000
-    val CompactBudget = 1900
+    // 1750, not 1900: the 2000-char capture is stdout+stderr COMBINED and
+    // ends with sbt's ~80-char epilogue, so a 1900-char line plus one
+    // stray WARN line already clips the head (the r10/r11 tails both
+    // start mid-JSON).
+    val CompactBudget = 1750
     // requeried: suite+quiesced only — baseline and both load stamps live
     // in the full artifact, referenced by path
     val requeriedCompact = allRequeried.toSeq.sortBy(-_._2._1).take(6).map {
       case (k, (s, q, _, _)) =>
         s""""$k":{"suite":${r3(s)},"quiesced":${r3(q)}}"""
     }.mkString("{", ",", "}")
-    val sf1Compact = sf1.map {
+    // compact: only the points that RAN — with rotation, most rounds skip
+    // ~2/3 of the canaries, and 17 `"sf1_x":null` entries are ~450 chars
+    // of budget that the full artifact already records
+    val sf1Compact = sf1.collect {
       case (k, Some(Right(t))) => s""""$k":${r3(t)}"""
-      case (k, _) => s""""$k":null"""
-    }.mkString(",")
+      case (k, Some(Left(_))) => s""""$k":null"""
+    }.mkString(",") match {
+      case "" => s""""sf1_ran":0"""
+      case s => s
+    }
     // phases as compact triples [name, load, probe_s] — keys dropped
     val phasesCompact = phaseMarks.map { case (n, l, p) =>
       s"""["$n",$l,$p]"""
@@ -685,7 +879,7 @@ object Bench {
       s""""cpus":"$cpus","queries":$topQs,"queries_total":${names.size},""" +
       s""""full":"$outPathStr","failed":$failed,""" +
       s""""requeried":$requeriedCompact,$sf1Compact,$spillJson,""" +
-      s"""$loadCompact,"sf":"$sfDir"}"""
+      s"""$loadCompact,$budgetJson,"sf":"$sfDir"}"""
     val slowest = names
       .flatMap(k => finalTime(k).toOption.map(k -> _))
       .sortBy(-_._2)

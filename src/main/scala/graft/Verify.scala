@@ -11,11 +11,22 @@ object Verify {
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Process-private scratch root unless the caller pinned one: the
+    // correctness gate must never read a build-once artifact written by a
+    // concurrent or earlier process (the r13 lesson — Verify and a
+    // timed-out Bench shared target/scratch). A fresh root forces every
+    // fingerprinted layout to rebuild from the inputs of THIS run; the
+    // root is purged on exit so gate runs leave nothing behind.
+    val privateScratch = sys.env.get("SPARK_GRAFT_SCRATCH").isEmpty
+    val scratchRoot =
+      sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+        s"target/scratch-verify-${ProcessHandle.current.pid}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.scratch", scratchRoot)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,5 +46,6 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (privateScratch) Scratch.purge(scratchRoot)
   }
 }

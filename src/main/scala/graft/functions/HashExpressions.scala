@@ -696,10 +696,18 @@ object GraftFunctions {
         }))
   )
 
+  /** Idempotent: operator builders call this at every entry point, so a
+    * long-lived session (Verify/Bench run hundreds of queries) would
+    * otherwise re-replace each name per query — harmless, but it emits a
+    * `SimpleFunctionRegistry ... replaced` WARN per name per query, and
+    * that spam is what drowned the r13 bench tail capture. Register a
+    * name only when it is not already bound.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 

@@ -2549,7 +2549,7 @@ object Relational {
     * not-between condition a plain funnel cannot express): for every
     * `view`, find the next `purchase` of the same user in strict
     * (ts, event_id) order; the conversion is CLEAN only if it landed
-    * within the 2 h horizon AND no `error` event fell strictly between
+    * within the 24 h horizon AND no `error` event fell strictly between
     * the view and that purchase. Same one-shuffle machinery as
     * [[joinAsofForward]]: one tagged stream, ONE per-user sort, two
     * running-FIRST frames over [next, ∞) (next purchase as a single

@@ -628,26 +628,42 @@ object Similarity {
     * verdict (vec_id, cluster, kept) so downstream corpus assembly can
     * either filter on `kept` or weight by cluster. Scale shape: every
     * stage is the banded/blocked machinery already proven on its own
-    * rows; the final labels table is duplicate-sized, so it broadcasts
-    * onto the corpus — no corpus shuffle. The oracle replays the exact
-    * threshold pair set and the component closure in SQL (n² oracle, like
-    * every exact-pair-set oracle: the SPARK side stays sub-quadratic).
+    * rows; the labels table is DUPLICATE-sized, which is small on a clean
+    * corpus but corpus-scale on a replica-heavy one (real crawl corpora
+    * run 30-50% dup; the sf1 fixture is 10× replicas by construction), so
+    * the label join uses the [[TextAnalysis.decontaminateFraction]]
+    * checked-bound pattern: a measured count under the bound broadcasts
+    * (no corpus shuffle — labels.count() is a metadata read off the
+    * localCheckpointed CC result, not a recompute); past the bound it
+    * degrades to the ordinary shuffled equi-join, which is the right plan
+    * when the "small" side isn't. The oracle replays the exact threshold
+    * pair set and the component closure in SQL (n² oracle, like every
+    * exact-pair-set oracle: the SPARK side stays sub-quadratic).
     */
+  def semanticDedupVerdicts(corpus: DataFrame,
+                            t: Double = LshThreshold,
+                            maxBroadcastLabels: Long = 5L * 1000 * 1000)
+      : DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val pairs = hyperplaneLshPairs(corpus, t)
+      .select(col("vec_a"), col("vec_b"))
+    val labels = Dedup.connectedComponents(pairs, maxRounds = 20)
+      .select(col("node").as("vec_id"), col("label"))
+    val labelSide =
+      if (labels.count() <= maxBroadcastLabels) broadcast(labels) else labels
+    corpus.select(col("vec_id"))
+      .join(labelSide, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"),
+        (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val corpus = lshCorpus(s, d).cache()
-    try {
-      val pairs = hyperplaneLshPairs(corpus, LshThreshold)
-        .select(col("vec_a"), col("vec_b"))
-      val labels = Dedup.connectedComponents(pairs, maxRounds = 20)
-        .select(col("node").as("vec_id"), col("label"))
-      corpus.select(col("vec_id"))
-        .join(broadcast(labels), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("label"), col("vec_id")).as("cluster"),
-          (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("kept"))
-        .orderBy(col("vec_id"))
-    } finally { corpus.unpersist(blocking = true); () }
+    try semanticDedupVerdicts(corpus)
+    finally { corpus.unpersist(blocking = true); () }
   }
 
   // -- Engine-exact k-means clustering (cluster_kmeans) ------------------
@@ -809,7 +825,7 @@ object Similarity {
     * convention extended to matrix work:
     *  - dims quantize once to ⌊x·1000⌋ (IEEE-identical in both engines);
     *  - the covariance numerator `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` is an exact BIGINT
-    *    (|·| ≤ 2n²·10⁶ — inside 2⁵³ through n ≈ 2·10⁵; past that the
+    *    (|·| ≤ 2n²·10⁶ — inside 2⁵³ through n ≈ 6·10⁴; past that the
     *    quantization scale drops a decade and nothing else changes);
     *  - G = tdiv(numerator, n²) is the integer covariance matrix
     *    (n-independent magnitude, |G| ≤ 10⁶ for unit-normed inputs);
@@ -892,7 +908,7 @@ object Similarity {
     */
   private def pcaComponentTable(s: SparkSession, d: String): String =
     graft.Scratch.ensure(s,
-      s"pca_v1_${graft.Scratch.sanitize(d)}_" +
+      s"pca_v2_k${KmScale}p${PcaProjShift}_${graft.Scratch.sanitize(d)}_" +
         graft.Scratch.fingerprint(Tables.path(d, "embeddings"))) { dir =>
       pcaV2(s, d).coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/comp")
@@ -1091,7 +1107,8 @@ object Similarity {
     "cluster_kmeans" -> KmOracleSql,
     "emb_pca_power" -> s"""
       $PcaCteSql
-      SELECT CAST(v2.pi AS INT) AS pos, v2.v2 * c.sgn AS component,
+      SELECT CAST(v2.pi AS INT) AS pos,
+             CAST(v2.v2 * c.sgn AS BIGINT) AS component,
              round(CASE WHEN c.maxabs = 0 THEN 0.0
                         ELSE v2.v2 * c.sgn * 1.0 / c.maxabs END, 6) AS unit
       FROM v2, c ORDER BY pos""",
@@ -1102,7 +1119,7 @@ object Similarity {
                CAST((wv - wv % $PcaProjShift) / $PcaProjShift AS BIGINT) AS w
         FROM (SELECT v2.pi AS pos, v2.v2 * c.sgn AS wv FROM v2, c)),
       pr AS (
-        SELECT e.vec_id, SUM(e.x * w.w) AS proj
+        SELECT e.vec_id, CAST(SUM(e.x * w.w) AS BIGINT) AS proj
         FROM e JOIN w ON e.pos = w.pos GROUP BY 1)
       SELECT CAST(row_number() OVER (ORDER BY abs(proj) DESC, vec_id)
                AS INT) AS rnk,

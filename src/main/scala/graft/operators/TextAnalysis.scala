@@ -3340,7 +3340,8 @@ object TextAnalysis {
         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
       SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-             SUM(len1) AS chars_v1, SUM(len2) AS chars_v2
+             CAST(SUM(len1) AS BIGINT) AS chars_v1,
+             CAST(SUM(len2) AS BIGINT) AS chars_v2
       FROM j GROUP BY status ORDER BY status""",
     "text_concentration" -> s"""
       WITH tk AS (
@@ -3363,11 +3364,11 @@ object TextAnalysis {
         FROM tk, b),
       a AS (
         SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
-               SUM(tok) AS sum_tokens
+               CAST(SUM(tok) AS BIGINT) AS sum_tokens
         FROM dd GROUP BY 1)
       SELECT decile, n_docs, sum_tokens,
-             SUM(sum_tokens) OVER (ORDER BY decile
-               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             CAST(SUM(sum_tokens) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
              round(SUM(sum_tokens) OVER (ORDER BY decile
                      ROWS UNBOUNDED PRECEDING) * 1.0 /
                    SUM(sum_tokens) OVER (), 6) AS cum_share

@@ -514,6 +514,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.count(_._3) * 2 <= n, "every cluster must collapse >= 2 docs")
   }
 
+  test("dedup_semantic: over-bound label set degrades to shuffle join, same verdicts") {
+    // The r13 verdict's scale caveat: labels are DUPLICATE-sized, and an
+    // unconditional broadcast hint on a replica-heavy corpus (30-50% dup
+    // in real crawls) is a scale-killer. Force both sides of the checked
+    // bound and pin (a) value equality and (b) the over-bound plan
+    // actually shuffling instead of broadcasting an unbounded frame.
+    import operators.Similarity
+    // AQE off + auto-broadcast off for the plan assertions: at fixture
+    // scale AQE would (correctly) re-broadcast the tiny shuffle side at
+    // runtime, hiding exactly the static hint this test exists to check
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val corpus = Similarity.lshCorpus(spark, sfDir).cache()
+    try {
+      val bcast = Similarity.semanticDedupVerdicts(corpus)
+      val shuffled =
+        Similarity.semanticDedupVerdicts(corpus, maxBroadcastLabels = 0L)
+      val a = bcast.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val b = shuffled.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(a == b, "broadcast and shuffle label joins must agree exactly")
+      val pb = bcast.queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin"),
+        s"under-bound labels must broadcast:\n$pb")
+      val p = shuffled.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"over-bound labels still broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no shuffled join in the over-bound plan:\n$p")
+    } finally {
+      corpus.unpersist(blocking = true)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThr)
+      Caches.releaseAll(spark)
+    }
+  }
+
   test("broadcast argmax assignment at k=64 equals the literal path exactly") {
     import operators.Similarity
     // k=64 is above AssignLiteralMaxK, so production dispatch (kmeans,

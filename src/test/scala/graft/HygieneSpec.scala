@@ -138,3 +138,49 @@ class FixtureLoadSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The bench suite's wall clock must FIT the driver's budget (r13: rc=124,
+  * zero benchmark numbers for the round). Static assertion from the
+  * committed baseline: the adaptive single-pass suite, the worst-case sf1
+  * rotation group at full median-of-Iters rigor, and a generous fixed
+  * overhead (sessions, warmups, capped load gates, sf1 build, spill) must
+  * sit inside the self-deadline with margin — a new query or canary that
+  * breaks the budget fails HERE, in a test, instead of failing the round.
+  */
+class BenchBudgetSpec extends AnyFunSuite {
+  test("estimated bench wall time fits the self-deadline with margin") {
+    val f = new java.io.File("bench_baseline.json")
+    assert(f.isFile, "bench_baseline.json missing — the budget is unverifiable")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    import scala.jdk.CollectionConverters._
+    val qn = root.path("queries")
+    val suite = qn.fieldNames().asScala
+      .filter(k => qn.get(k).isNumber).map(k => qn.get(k).asDouble).sum
+    val sf1 = root.fieldNames().asScala
+      .filter(k => k.startsWith("sf1_") && root.get(k).isNumber)
+      .map(k => k -> root.get(k).asDouble).toMap
+    // every query map entry must have a baseline (a baseline-less row
+    // always pays full Iters AND can never take the 1-run fast path)
+    val missing = SparkEntry.queries.keys.filterNot(k => qn.has(k)).toSeq
+    // worst rotation group, each active point at full Iters plus one
+    // warm-up-equivalent (the fresh-session first pass)
+    val worstSf1 = (0 until Bench.Sf1RotationGroups).map { r =>
+      Bench.Sf1Points.zipWithIndex.collect {
+        case ((k, _), i)
+          if Bench.Sf1Headline(k) || i % Bench.Sf1RotationGroups == r =>
+          sf1.getOrElse(k, 5.0)
+      }.sum
+    }.max
+    // suite: 1 adaptive run each, plus 50% slack for rows that trip the
+    // 1.3× gate and pay the remaining iterations or a requery
+    val FixedOverheadS = 420.0 // sessions+warmups+2×90 s gates+build+spill
+    val est = suite * 1.5 + worstSf1 * (Bench.Iters + 1) + FixedOverheadS +
+      missing.size * 5.0 * Bench.Iters
+    assert(est < Bench.DeadlineS * 0.9,
+      f"estimated bench wall $est%.0f s exceeds 90%% of the " +
+      f"${Bench.DeadlineS}%.0f s self-deadline (suite=$suite%.0f s, " +
+      f"worst sf1 group=$worstSf1%.0f s, ${missing.size} baseline-less " +
+      s"rows: ${missing.take(5).mkString(",")}) — trim Iters, rotate more " +
+      "canaries out, or raise the deadline after checking the driver budget")
+  }
+}

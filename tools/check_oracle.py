@@ -66,6 +66,22 @@ def main(sf_dir, out_dir, skip_n2=False):
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        # HUGEINT guard: DuckDB SUM(BIGINT) widens to HUGEINT, which the
+        # driver's typed hash distinguishes from Spark's BIGINT even when
+        # every value is identical (repr-based compares can't see it —
+        # the r13 corpus_diff/pca/concentration lesson). Force the
+        # convention: CAST every SUM-derived output AS BIGINT.
+        try:
+            huge = [r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+                if "HUGEINT" in r[1]]
+            if huge:
+                print(f"FAIL {name}: HUGEINT oracle columns {huge} — "
+                      f"wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+        except Exception:
+            pass
         try:
             got = duckdb.connect().execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
