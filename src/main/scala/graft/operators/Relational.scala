@@ -27,7 +27,14 @@ object Relational {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
-  private def scratch(sub: String) = s"/root/repo/target/scratch/$sub"
+  /** Sink/layout work dirs under the CONFIGURABLE scratch root (not a
+    * hard-coded path): Verify pins a process-private root, so its sink
+    * round-trips can no longer clobber — or be clobbered by — a
+    * concurrent Bench writing the same fixed dirs (the r13 cross-talk).
+    * Default root resolves to `target/scratch` as before.
+    */
+  private def scratch(sub: String) =
+    s"${graft.Scratch.root(org.apache.spark.sql.SparkSession.active)}/$sub"
 
   // ---------------------------------------------------------------------
   // §2.1 scans / sources / sinks
@@ -3015,9 +3022,122 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  // --- resilience rows: engine-degradation paths, value-gated -----------
+  // Each of these behaviors was spec-only through r13 (plan/flag
+  // assertions in OperatorsSpec); these rows put their VALUES behind the
+  // same DuckDB gate as every other operator. All four scope their
+  // degradation confs to a CHILD session (`newSession`) so nothing leaks
+  // into any other row's plan or measurement.
+
+  /** Sort-based aggregation fallback, value-gated: an ObjectHashAggregate
+    * query (collect_set) with the in-memory hash map capped at ONE entry,
+    * so every partial degrades to the sort-based path — the machinery real
+    * memory pressure triggers at 100 TB — and the values must not move.
+    * The set ships as a sorted joined STRING (array outputs break the
+    * driver's pandas sort).
+    */
+  private def resilienceAggFallback(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    Tables.load(s2, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Corrupt-split tolerance, value-gated: a parquet copy of `documents`
+    * with a garbage member file planted in the directory (built once under
+    * a fingerprinted Scratch key), read back under
+    * `ignoreCorruptFiles=true`. Reads stay fail-loud by default
+    * (spec-asserted); opted in, every good row arrives — the aggregate
+    * must equal the oracle over the ORIGINAL table exactly.
+    */
+  private def resilienceCorruptScan(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"corrupt_docs_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "documents"))) { tmp =>
+      Tables.load(s, d, "documents")
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/data")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/data/part-corrupt.parquet"),
+        "deliberately not a parquet file".getBytes): Unit
+    }
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    s2.read.parquet(s"$dir/data")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Dynamic partition pruning, value-gated: orders laid out partitioned
+    * on o_orderstatus (built once under Scratch — the 100 TB star-join
+    * layout), joined to a filtered status dim; at runtime the dim's build
+    * side prunes fact PARTITIONS (plan-asserted in OperatorsSpec).
+    * useStats=false so fixture-scale row counts can't talk the optimizer
+    * out of the pruning path this row exists to exercise.
+    */
+  private def resilienceDppJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.ensure(s,
+      s"dpp_orders_v1_${graft.Scratch.sanitize(d)}_" +
+        graft.Scratch.fingerprint(Tables.path(d, "orders"))) { tmp =>
+      Tables.load(s, d, "orders")
+        .write.partitionBy("o_orderstatus").mode("overwrite")
+        .parquet(s"$tmp/fact")
+    }
+    val s2 = s.newSession()
+    s2.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val fact = s2.read.parquet(s"$dir/fact")
+    // the dim filter is on NON-join columns, so the surviving statuses are
+    // only knowable at runtime — a literal filter on the join key itself
+    // would constant-propagate into a STATIC partition filter and the
+    // dynamic pruning this row exists to exercise would never fire
+    val dim = Tables.load(s2, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 200 === 0)
+      .select(col("o_orderstatus").as("dim_status")).distinct()
+    fact.join(dim, col("o_orderstatus") === col("dim_status"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Runtime bloom-filter join pruning, value-gated: broadcast disabled
+    * and the bloom creation thresholds opened, so the selective dim side
+    * builds a bloom filter that prunes the fact side BELOW its shuffle
+    * (the might_contain injection is plan-asserted in OperatorsSpec). The
+    * runtime filter must be value-transparent: the pruned join's aggregate
+    * equals the plain oracle join exactly.
+    */
+  private def resilienceBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    val li = Tables.load(s2, d, "lineitem")
+    val sel = Tables.load(s2, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "resilience_agg_fallback" -> resilienceAggFallback _,
+    "resilience_corrupt_scan" -> resilienceCorruptScan _,
+    "resilience_dpp_join" -> resilienceDppJoin _,
+    "resilience_bloom_join" -> resilienceBloomJoin _,
     "scan_parquet" -> scanParquet _,
     "scan_parquet_bloom" -> scanParquetBloom _,
     "scan_csv_roundtrip" -> csvRoundtrip _,
@@ -3150,6 +3270,39 @@ object Relational {
   private def ds(e: String) = D.format(e)
 
   val oracles: Map[String, String] = Map(
+    "resilience_agg_fallback" -> """
+      WITH m AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),
+      a AS (
+        SELECT l_returnflag,
+               string_agg(l_linestatus, ',' ORDER BY l_linestatus)
+                 AS statuses
+        FROM m GROUP BY 1),
+      c AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem GROUP BY 1)
+      SELECT c.l_returnflag, c.n, c.sum_qty, a.statuses
+      FROM c JOIN a USING (l_returnflag) ORDER BY 1""",
+    "resilience_corrupt_scan" -> """
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1 ORDER BY 1""",
+    "resilience_dpp_join" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM orders WHERE o_orderstatus IN (
+        SELECT DISTINCT o_orderstatus FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 200 = 0)
+      GROUP BY 1 ORDER BY 1""",
+    "resilience_bloom_join" -> """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY 1""",
     "scan_parquet" -> s"""
       SELECT l_returnflag, ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n
       FROM lineitem WHERE l_quantity >= 45

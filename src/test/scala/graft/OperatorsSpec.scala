@@ -1038,6 +1038,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("resilience rows engage their machinery: DPP prunes, bloom injects, fallback caps") {
+    // the four oracle-gated resilience_* rows (VERDICT r13 item 7) pin
+    // VALUES at the driver gate; this spec pins that each row's child
+    // session actually engages the degradation/pruning path it names —
+    // a conf typo would otherwise leave a green row testing nothing
+    val dpp = operators.Relational.queries("resilience_dpp_join")(spark, sfDir)
+    dpp.collect()
+    val pd = dpp.queryExecution.executedPlan.toString
+    assert(pd.contains("dynamicpruning"),
+      s"resilience_dpp_join scan carries no dynamicpruningexpression:\n$pd")
+    val bloom = operators.Relational.queries("resilience_bloom_join")(spark, sfDir)
+    val pb = bloom.queryExecution.optimizedPlan.toString
+    assert(pb.contains("might_contain"),
+      s"resilience_bloom_join injected no runtime bloom filter:\n$pb")
+    val fb = operators.Relational.queries("resilience_agg_fallback")(spark, sfDir)
+    assert(fb.sparkSession.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "1",
+      "fallback threshold not pinned on the row's child session")
+    assert(fb.queryExecution.executedPlan.toString
+        .contains("ObjectHashAggregate"),
+      "resilience_agg_fallback is not an object-hash aggregate — the " +
+      "fallback conf would gate nothing")
+    // and none of the child-session confs leaked into the parent
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats").forall(_ == "true"))
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "bloom row's broadcast-disable leaked into the shared session")
+    Caches.releaseAll(spark)
+  }
+
   test("AQE splits a deliberately skewed sort-merge join (skew=true)") {
     // At 100× scale, skew — not average throughput — is what kills the join
     // tier; prove the runtime mitigation actually engages: ~98% of lineitem
