@@ -492,6 +492,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"got=${got.toSeq}\nwant=${want.toSeq}")
   }
 
+  test("emb_pca rows: cached component table equals a from-zero rebuild exactly") {
+    // r13 carried four driver-red rows; two of them read the build-once
+    // PCA component table through Scratch. The root cause was an oracle
+    // type mismatch, but the stale-cache failure mode stays real: this
+    // pins cache == rebuild, repr-exact, by re-running both rows under a
+    // fresh scratch root (forcing the Gram pass from zero) and comparing
+    // against the shared-root (possibly cached) run.
+    val cachedPow = SparkEntry.queries("emb_pca_power")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val cachedProj = SparkEntry.queries("emb_pca_project")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val saved = spark.conf.getOption("spark.graft.scratch")
+    spark.conf.set("spark.graft.scratch", SparkTestSession.tempDir("pca_det"))
+    try {
+      val freshPow = SparkEntry.queries("emb_pca_power")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      val freshProj = SparkEntry.queries("emb_pca_project")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(freshPow == cachedPow,
+        "emb_pca_power: rebuilt component table diverges from cached")
+      assert(freshProj == cachedProj,
+        "emb_pca_project: rebuilt projection diverges from cached")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.graft.scratch", v)
+      case None => spark.conf.unset("spark.graft.scratch")
+    }
+  }
+
   test("dedup_semantic: one min-id keeper per cluster, every planted copy collapses") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
