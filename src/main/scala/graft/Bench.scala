@@ -245,7 +245,10 @@ object Bench {
     // the eval-harness composition at 10×: the carve stays 1/16, the
     // training complement streams once through the broadcast probe, and
     // the hit set must stay report-sized as replicas multiply overlap
-    "sf1_pipeline_eval_harness" -> "pipeline_eval_harness")
+    "sf1_pipeline_eval_harness" -> "pipeline_eval_harness",
+    // BM25 at 10× docs: the per-term tf pass and the 1-row stats
+    // broadcast must scale map-side; top-k stays TakeOrdered
+    "sf1_text_bm25_topk" -> "text_bm25_topk")
 
   /** Always-run sf1 points: the BASELINE.md-comparable headliners (q1 is
     * THE published reference number) plus the slowest canary

@@ -631,6 +631,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** BM25 top-k retrieval scoring against a fixed query — the other half
+    * of the retrieval-scoring story next to [[textTfidf]]: BM25's term
+    * saturation (k1) and length normalization (b) are what production
+    * curation uses for eval-set mining and quality-by-query selection,
+    * and plain tf·idf has neither. Engine-exactness follows the repo's
+    * rational-arithmetic convention: the idf factor is the raw Robertson
+    * ratio (N−df+0.5)/(df+0.5) — order-isomorphic to the usual ln form
+    * for fixed N, but every op is an exactly-rounded IEEE step instead of
+    * a libm-dependent log — k1/b are the exactly-representable 1.5/0.75
+    * (so k1+1 = 2.5 is exact), and the per-term scores add in one FIXED
+    * written order in both engines (a SUM aggregate would add in
+    * partition order and flake the last ulp). Shape: per-term tf and
+    * doc length are map-side array ops over ONE tokenization; corpus
+    * stats (N, Σlen, per-term df) are a single 1-row aggregate broadcast
+    * back (bounded metadata, the IVF-centroid class); scoring is
+    * map-side; the top-k is TakeOrdered — no global sort, no shuffle of
+    * scored rows. One corpus pass end to end.
+    */
+  private val Bm25Terms = Seq("vector", "customer", "stream")
+  private val Bm25K = 20
+
+  private def textBm25TopK(s: SparkSession, d: String): DataFrame = {
+    val withTf = Bm25Terms.zipWithIndex.foldLeft(
+      docs(s, d).select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .withColumn("len", size(col("ws")).cast("long"))) {
+      case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("ws"), x => x === lit(t))).cast("long"))
+    }.drop("ws")
+    val stats = withTf.agg(
+      count(lit(1)).as("n"),
+      sum(col("len")).as("sumlen") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val avglen = col("sumlen").cast("double") / col("n").cast("double")
+    val norm = lit(0.25) + lit(0.75) * (col("len").cast("double") / avglen)
+    def term(i: Int): Column = {
+      val tfD = col(s"tf$i").cast("double")
+      val idf = ((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * ((tfD * lit(2.5)) / (tfD + lit(1.5) * norm))
+    }
+    val score = term(0) + term(1) + term(2)
+    val win = Window.orderBy(col("s").desc, col("doc_id"))
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("len").as("n_tokens"), score.as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(Bm25K)
+      .select(row_number().over(win).cast("int").as("rnk"),
+        col("doc_id"), col("n_tokens"), round(col("s"), 6).as("bm25"))
+      .orderBy(col("rnk"))
+  }
+
   /** Corpus-LM predictability scoring — the CCNet-style "perplexity
     * filter" shape of training-data curation: train an n-gram LM on the
     * corpus itself, score every document by how predictable its text is
@@ -2420,6 +2473,7 @@ object TextAnalysis {
     "sample_temperature" -> sampleTemperature _,
     "text_lm_score" -> textLmScore _,
     "text_lm_buckets" -> textLmBuckets _,
+    "text_bm25_topk" -> textBm25TopK _,
     "corpus_diff" -> corpusDiff _,
     "text_vocab_coverage" -> textVocabCoverage _,
     "text_concentration" -> textConcentration _,
@@ -3319,6 +3373,45 @@ object TextAnalysis {
                   ELSE 'head' END AS bucket,
              sc.key > b.t1 AS kept
       FROM sc, b ORDER BY sc.doc_id""",
+    // the arithmetic below mirrors textBm25TopK's column expressions
+    // step for step (same association order) — every op is an
+    // exactly-rounded IEEE step, so the doubles are bit-identical
+    "text_bm25_topk" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+      t AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+               CAST(len(list_filter(ws, x -> x = 'vector')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(ws, x -> x = 'customer')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(ws, x -> x = 'stream')) AS BIGINT) AS tf2
+        FROM w),
+      st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS sumlen,
+               CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        FROM t),
+      sc AS (
+        SELECT t.doc_id, t.len AS n_tokens,
+          (CAST(st.n - st.df0 AS DOUBLE) + 0.5) / (CAST(st.df0 AS DOUBLE) + 0.5)
+            * ((CAST(tf0 AS DOUBLE) * 2.5) / (CAST(tf0 AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(t.len AS DOUBLE)
+                 / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+          + (CAST(st.n - st.df1 AS DOUBLE) + 0.5) / (CAST(st.df1 AS DOUBLE) + 0.5)
+            * ((CAST(tf1 AS DOUBLE) * 2.5) / (CAST(tf1 AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(t.len AS DOUBLE)
+                 / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+          + (CAST(st.n - st.df2 AS DOUBLE) + 0.5) / (CAST(st.df2 AS DOUBLE) + 0.5)
+            * ((CAST(tf2 AS DOUBLE) * 2.5) / (CAST(tf2 AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(t.len AS DOUBLE)
+                 / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+          AS s
+        FROM t, st)
+      SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rnk,
+             doc_id, n_tokens, round(s, 6) AS bm25
+      FROM (SELECT * FROM sc ORDER BY s DESC, doc_id LIMIT 20)
+      ORDER BY rnk""",
     "corpus_diff" -> """
       WITH v1 AS (
         SELECT doc_id, md5(text) AS h1,

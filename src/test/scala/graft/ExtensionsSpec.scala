@@ -1192,6 +1192,40 @@ class TextPipelineSpec extends AnyFunSuite {
   private def mkNorm(t: String): Array[String] =
     t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
 
+  test("text_bm25_topk equals a local exact recompute; top-k is TakeOrdered") {
+    // replicate the rational-BM25 arithmetic step for step (same
+    // association order as the operator and the oracle)
+    val raw = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> mkNorm(r.getString(1))).toMap
+    val terms = Seq("vector", "customer", "stream")
+    val n = raw.size.toDouble
+    val sumlen = raw.values.map(_.length.toLong).sum.toDouble
+    val dfs = terms.map(t => raw.values.count(_.contains(t)).toDouble)
+    def score(ws: Array[String]): Double = {
+      val norm = 0.25 + 0.75 * (ws.length.toDouble / (sumlen / n))
+      terms.zip(dfs).map { case (t, df) =>
+        val tf = ws.count(_ == t).toDouble
+        ((n - df) + 0.5) / (df + 0.5) * ((tf * 2.5) / (tf + 1.5 * norm))
+      }.reduceLeft(_ + _)
+    }
+    val want = raw.toSeq.map { case (id, ws) => (id, score(ws)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, s), i) =>
+        (i + 1, id, math.rint(s * 1e6) / 1e6)
+      }
+    val df = SparkEntry.queries("text_bm25_topk")(spark, sfDir)
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == want, s"got=${got.take(3)}…\nwant=${want.take(3)}…")
+    // scale shape: the top-k must be a TakeOrdered, not a global sort of
+    // scored rows, and the 1-row stats frame must broadcast
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k is not TakeOrdered:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats not broadcast:\n$p")
+  }
+
   private def md5hex(t: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
