@@ -825,8 +825,10 @@ object Similarity {
     * convention extended to matrix work:
     *  - dims quantize once to ⌊x·1000⌋ (IEEE-identical in both engines);
     *  - the covariance numerator `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` is an exact BIGINT
-    *    (|·| ≤ 2n²·10⁶ — inside 2⁵³ through n ≈ 6·10⁴; past that the
-    *    quantization scale drops a decade and nothing else changes);
+    *    (|·| ≤ 2n²·10⁶ — inside 2⁵³ through n ≈ 6·10⁴; a corpus past
+    *    that needs [[KmScale]] dropped a decade — one constant, mirrored
+    *    in the oracle's literal — which nothing else depends on; the
+    *    fixtures stay ≤6·10⁴ so 1000 is always exact here);
     *  - G = tdiv(numerator, n²) is the integer covariance matrix
     *    (n-independent magnitude, |G| ≤ 10⁶ for unit-normed inputs);
     *  - v₂ = G·(G·1) — two matvecs as exact BIGINT sums, |v₂| ≤
