@@ -462,15 +462,27 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // the suite itself also spends against the deadline: if a future
+    // suite outgrows even the single-pass budget, the remaining rows are
+    // recorded under "deadline_skipped" and every later phase still
+    // emits — a complete partial artifact beats a harness kill that
+    // loses everything (the r13 failure mode)
     val results: Seq[(String, Either[String, Double])] = {
       val acc =
         scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double])]
-      for ((n, i) <- names.zipWithIndex) {
-        acc += n -> adaptiveOf(spark, n, sfDir)
-        flushPartial(acc.toSeq, "suite", stdout = i % 10 == 9)
+      var stopped = false
+      for ((n, i) <- names.zipWithIndex if !stopped) {
+        if (timeLeft < 30) {
+          deadlineSkipped ++= names.drop(i)
+          stopped = true
+        } else {
+          acc += n -> adaptiveOf(spark, n, sfDir)
+          flushPartial(acc.toSeq, "suite", stdout = i % 10 == 9)
+        }
       }
       acc.toSeq
     }
+    val measured: Set[String] = results.map(_._1).toSet
 
     // --- quiesced re-run of apparent outliers (round-over-round de-noise)
     // Suite runs contend with each other (GC, page cache, JIT churn): r6's
@@ -725,9 +737,10 @@ object Bench {
         s""""$k":"${Json.escape(e)}""""
       }).mkString("{", ",", "}")
     val anyFailed = results.exists(_._2.isLeft)
-    // an all-unknown filter must not read as a perfect 0.0-second run
+    // an all-unknown filter must not read as a perfect 0.0-second run,
+    // and a deadline-truncated suite must not read as a fast one
     val total =
-      if (anyFailed || names.isEmpty) "null"
+      if (anyFailed || names.isEmpty || results.size < names.size) "null"
       else names.map(finalTime).collect { case Right(t) => t }.sum.toString
 
     // --- spill-under-pressure point (VERDICT r6 task 5) -----------------
@@ -825,6 +838,15 @@ object Bench {
     val budgetJson =
       s""""deadline_s":$DeadlineS,"elapsed_s":${r3(elapsedS)},""" +
       s""""deadline_skipped":$skippedJson,"sf1_rotation":$sf1Rotation"""
+    // compact: a deadline-truncated SUITE can skip hundreds of names —
+    // the stdout line carries the count and first few, the full artifact
+    // the complete list
+    val budgetCompact =
+      s""""deadline_s":$DeadlineS,"elapsed_s":${r3(elapsedS)},""" +
+      s""""deadline_skipped_n":${deadlineSkipped.size},""" +
+      s""""deadline_skipped":${deadlineSkipped.take(4)
+        .map(s => s""""$s"""").mkString("[", ",", "]")},""" +
+      s""""sf1_rotation":$sf1Rotation"""
 
     // FULL artifact → file (committed by the end-of-round snapshot):
     // every per-query median at full precision. Overwrites the partial
@@ -882,8 +904,8 @@ object Bench {
       s""""cpus":"$cpus","queries":$topQs,"queries_total":${names.size},""" +
       s""""full":"$outPathStr","failed":$failed,""" +
       s""""requeried":$requeriedCompact,$sf1Compact,$spillJson,""" +
-      s"""$loadCompact,$budgetJson,"sf":"$sfDir"}"""
-    val slowest = names
+      s"""$loadCompact,$budgetCompact,"sf":"$sfDir"}"""
+    val slowest = names.filter(measured)
       .flatMap(k => finalTime(k).toOption.map(k -> _))
       .sortBy(-_._2)
       .map { case (k, t) => s""""$k":${r3(t)}""" }
