@@ -425,6 +425,18 @@ object Bench {
     val outPath = java.nio.file.Paths.get(outPathStr)
     if (outPath.getParent != null)
       java.nio.file.Files.createDirectories(outPath.getParent): Unit
+    // write-then-rename: an in-place writeString truncates first, so a
+    // kill mid-write would leave a corrupt artifact — the exact thing
+    // the incremental flush exists to prevent
+    def atomicWriteArtifact(line: String): Unit = {
+      val tmp = outPath.resolveSibling(
+        outPath.getFileName.toString +
+          s".tmp-${java.lang.ProcessHandle.current.pid}")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, outPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
     def flushPartial(done: Seq[(String, Either[String, Double])],
                      phase: String, stdout: Boolean): Unit = {
       val qs = done.map {
@@ -435,12 +447,12 @@ object Bench {
         s""""$k":"${Json.escape(e)}""""
       }
       val sum = r3(done.collect { case (_, Right(t)) => t }.sum)
-      java.nio.file.Files.writeString(outPath,
+      atomicWriteArtifact(
         s"""{"metric":"total","value":null,"partial":true,""" +
         s""""phase":"$phase","done":${done.size},"sum_done":$sum,""" +
         s""""unit":"sec","iters":$Iters,"cpus":"$cpus","queries":$qs,""" +
         s""""failed":${failedJ.mkString("{", ",", "}")},""" +
-        s""""elapsed_s":${r3(elapsedS)},"sf":"$sfDir"}""" + "\n"): Unit
+        s""""elapsed_s":${r3(elapsedS)},"sf":"$sfDir"}""")
       if (stdout) {
         val slow = done.collect { case (k, Right(t)) => (k, t) }
           .sortBy(-_._2).take(3)
@@ -856,7 +868,7 @@ object Bench {
       s""""cpus":"$cpus","queries":$qs,"failed":$failed,""" +
       s""""requeried":$requeriedJson,$sf1Json,$spillJson,$loadJson,""" +
       s"""$budgetJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(outPath, line + "\n"): Unit
+    atomicWriteArtifact(line)
 
     // COMPACT line → stdout, the one the harvester parses. BENCH_r06 AND
     // r07 came back "parsed": null because the full line (≈10 KB) was
