@@ -249,7 +249,7 @@ object Graph {
         SELECT e.v, r.dist + 1 FROM reach r JOIN e ON r.node = e.u
         WHERE r.dist < 30),
       lab AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
-      SELECT n.node, COALESCE(l.dist, -1) AS dist
+      SELECT CAST(n.node AS INT) AS node, COALESCE(l.dist, -1) AS dist
       FROM nodes n LEFT JOIN lab l ON n.node = l.node
       ORDER BY n.node""",
     "graph_triangles" -> """

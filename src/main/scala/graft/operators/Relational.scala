@@ -3604,7 +3604,8 @@ object Relational {
     "expr_regex" -> """
       SELECT doc_id,
              regexp_extract(text, '^(\w+)', 1) AS first_word,
-             length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+             CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+               AS novowel_len,
              CAST(regexp_matches(text, 'the') AS INT) AS has_the
       FROM documents ORDER BY doc_id""",
     "expr_string_ext" -> """
@@ -4013,9 +4014,9 @@ object Relational {
       WITH r AS (
         SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
                l_extendedprice,
-               row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+               CAST(row_number() OVER (PARTITION BY l_returnflag, l_linestatus
                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
-                 AS rnk
+                 AS INT) AS rnk
         FROM lineitem)
       SELECT * FROM r WHERE rnk <= 3
       ORDER BY l_returnflag, l_linestatus, rnk""",
@@ -4419,7 +4420,7 @@ object Relational {
              LAST_VALUE(l_quantity) OVER
                (PARTITION BY l_orderkey ORDER BY l_linenumber
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_qty,
-             NTILE(4) OVER w AS quartile
+             CAST(NTILE(4) OVER w AS INT) AS quartile
       FROM lineitem WHERE l_orderkey <= 200
       WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
       ORDER BY l_orderkey, l_linenumber""",
