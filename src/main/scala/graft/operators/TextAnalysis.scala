@@ -652,9 +652,16 @@ object TextAnalysis {
   private val Bm25Terms = Seq("vector", "customer", "stream")
   private val Bm25K = 20
 
-  private def textBm25TopK(s: SparkSession, d: String): DataFrame = {
-    val withTf = Bm25Terms.zipWithIndex.foldLeft(
-      docs(s, d).select(col("doc_id"), TF.words(col("text")).as("ws"))
+  /** Library form: BM25 top-k of `(doc_id, text)` rows against `terms`.
+    * See the scaladoc above for the exactness and scale contracts; the
+    * per-term scores reduce in left-to-right term order (fixed
+    * association — the property PropertySpec pins against a local
+    * mirror over random corpora).
+    */
+  def bm25TopK(docsDf: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val withTf = terms.zipWithIndex.foldLeft(
+      docsDf.select(col("doc_id"), TF.words(col("text")).as("ws"))
         .withColumn("len", size(col("ws")).cast("long"))) {
       case (df, (t, i)) =>
         df.withColumn(s"tf$i",
@@ -663,7 +670,7 @@ object TextAnalysis {
     val stats = withTf.agg(
       count(lit(1)).as("n"),
       sum(col("len")).as("sumlen") +:
-        Bm25Terms.indices.map(i =>
+        terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
     val avglen = col("sumlen").cast("double") / col("n").cast("double")
     val norm = lit(0.25) + lit(0.75) * (col("len").cast("double") / avglen)
@@ -673,16 +680,20 @@ object TextAnalysis {
         (col(s"df$i").cast("double") + lit(0.5))
       idf * ((tfD * lit(2.5)) / (tfD + lit(1.5) * norm))
     }
-    val score = term(0) + term(1) + term(2)
+    val score = terms.indices.map(term).reduceLeft(_ + _)
     val win = Window.orderBy(col("s").desc, col("doc_id"))
     withTf.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("len").as("n_tokens"), score.as("s"))
       .orderBy(col("s").desc, col("doc_id"))
-      .limit(Bm25K)
+      .limit(k)
       .select(row_number().over(win).cast("int").as("rnk"),
         col("doc_id"), col("n_tokens"), round(col("s"), 6).as("bm25"))
       .orderBy(col("rnk"))
   }
+
+  private def textBm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25TopK(docs(s, d).select(col("doc_id"), col("text")),
+      Bm25Terms, Bm25K)
 
   /** Corpus-LM predictability scoring — the CCNet-style "perplexity
     * filter" shape of training-data curation: train an n-gram LM on the

@@ -1192,6 +1192,45 @@ class TextPipelineSpec extends AnyFunSuite {
   private def mkNorm(t: String): Array[String] =
     t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
 
+  test("bm25TopK equals the local mirror on randomized corpora (zero-tf, ties, tiny N)") {
+    // seeded random corpora over a tiny vocab force the edge cases the
+    // fixture can't: docs with zero query-term hits (score exactly 0),
+    // identical docs (score ties broken by doc_id), single-doc corpora
+    // (idf = 0.5/0.5 when the one doc contains the term)
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "ee")
+    val terms = Seq("a", "dd")
+    for (trial <- 1 to 5) {
+      val nDocs = 1 + rnd.nextInt(12)
+      val corpus = (0L until nDocs).map { id =>
+        val words = Vector.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        (id, words.mkString(" "))
+      }
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      val got = operators.TextAnalysis.bm25TopK(df, terms, nDocs)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+      // local mirror with the operator's exact association order
+      val n = nDocs.toDouble
+      val toks = corpus.map { case (id, t) => id -> t.split(" ") }
+      val sumlen = toks.map(_._2.length.toLong).sum.toDouble
+      val dfs = terms.map(t => toks.count(_._2.contains(t)).toDouble)
+      val want = toks.map { case (id, ws) =>
+        val norm = 0.25 + 0.75 * (ws.length.toDouble / (sumlen / n))
+        val s = terms.zip(dfs).map { case (t, dft) =>
+          val tf = ws.count(_ == t).toDouble
+          ((n - dft) + 0.5) / (dft + 0.5) * ((tf * 2.5) / (tf + 1.5 * norm))
+        }.reduceLeft(_ + _)
+        (id, ws.length.toLong, s)
+      }.sortBy { case (id, _, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, len, s), i) =>
+          (i + 1, id, math.rint(s * 1e6) / 1e6)
+        }
+      assert(got == want, s"trial $trial (n=$nDocs): got=$got\nwant=$want")
+    }
+  }
+
   test("text_bm25_topk equals a local exact recompute; top-k is TakeOrdered") {
     // replicate the rational-BM25 arithmetic step for step (same
     // association order as the operator and the oracle)
