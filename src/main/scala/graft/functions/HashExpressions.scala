@@ -696,14 +696,39 @@ object GraftFunctions {
         }))
   )
 
+  /** The idempotent-register skip below backs off whenever a name is
+    * already bound — and a session registry holds Spark's built-ins too,
+    * so a graft builder whose name shadowed a built-in would silently
+    * never register and the built-in would win (ADVICE r14). Checked once
+    * against Spark's STATIC built-in registry (independent of anything
+    * graft registers into sessions): a colliding name fails loudly at
+    * first use instead of resolving to the wrong function forever.
+    */
+  /** Registered function names (for the built-in-collision spec). */
+  def names: Seq[String] = builders.map(_._1)
+
+  private lazy val assertNoBuiltinCollision: Unit = {
+    val builtin =
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    val clashes = builders.map(_._1)
+      .filter(n => builtin.functionExists(FunctionIdentifier(n)))
+    require(clashes.isEmpty,
+      s"graft function names shadow Spark built-ins: ${clashes.mkString(",")}" +
+        " — the idempotent register() would silently skip them; rename")
+  }
+
   /** Idempotent: operator builders call this at every entry point, so a
     * long-lived session (Verify/Bench run hundreds of queries) would
     * otherwise re-replace each name per query — harmless, but it emits a
     * `SimpleFunctionRegistry ... replaced` WARN per name per query, and
     * that spam is what drowned the r13 bench tail capture. Register a
-    * name only when it is not already bound.
+    * name only when it is not already bound; sound because
+    * [[assertNoBuiltinCollision]] guarantees an already-bound graft name
+    * can only be graft's own earlier registration (imperative or via
+    * [[GraftExtensions]] injection).
     */
   def register(spark: SparkSession): Unit = {
+    assertNoBuiltinCollision
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
       if (!reg.functionExists(FunctionIdentifier(name)))
@@ -714,11 +739,13 @@ object GraftFunctions {
   /** The `SparkSessionExtensions` path: same builders, catalog-injected at
     * session construction.
     */
-  def injectInto(ext: SparkSessionExtensions): Unit =
+  def injectInto(ext: SparkSessionExtensions): Unit = {
+    assertNoBuiltinCollision
     builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), b))
     }
+  }
 
   /** Wrappers assume [[register]] ran on the active session. */
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)

@@ -3131,6 +3131,26 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** AQE runtime shuffle coalescing, value-gated (the last spec-only
+    * resilience behavior — SURVEY §8): shuffle partitions are sized for
+    * the big stages, so a small aggregate's exchange starts grossly
+    * over-partitioned (200 here) and AQE must fold it back down at
+    * runtime — the mechanism that lets ONE partitions setting serve both
+    * 100 TB and 100 KB stages. The child session pins the deliberately
+    * oversized count; the coalesce engagement is plan-asserted in
+    * OperatorsSpec (an `AQEShuffleRead coalesced` node) so a conf typo
+    * cannot leave this row vacuously green; the values must not move.
+    */
+  private def resilienceAqeCoalesce(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "200")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    Tables.load(s2, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3138,6 +3158,7 @@ object Relational {
     "resilience_corrupt_scan" -> resilienceCorruptScan _,
     "resilience_dpp_join" -> resilienceDppJoin _,
     "resilience_bloom_join" -> resilienceBloomJoin _,
+    "resilience_aqe_coalesce" -> resilienceAqeCoalesce _,
     "scan_parquet" -> scanParquet _,
     "scan_parquet_bloom" -> scanParquetBloom _,
     "scan_csv_roundtrip" -> csvRoundtrip _,
@@ -3303,6 +3324,11 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1 ORDER BY 1""",
+    "resilience_aqe_coalesce" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
     "scan_parquet" -> s"""
       SELECT l_returnflag, ${ds("l_extendedprice")} AS sum_price, COUNT(*) AS n
       FROM lineitem WHERE l_quantity >= 45

@@ -9,6 +9,20 @@ class HashExpressionsSpec extends AnyFunSuite {
   import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  test("no graft function name shadows a Spark built-in") {
+    // the idempotent register() skips any already-bound name — sound only
+    // while no graft name collides with a built-in (a collision would
+    // silently resolve to Spark's function forever). The runtime guard in
+    // GraftFunctions.register fails loudly; this test makes the collision
+    // a named failure at PR time instead of a require() at first use.
+    val builtin =
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    val clashes = GraftFunctions.names.filter(n => builtin.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    assert(clashes.isEmpty,
+      s"graft function names shadow Spark built-ins: $clashes — rename them")
+  }
+
   test("rolling hash matches direct polynomial computation") {
     val s = "hello world"
     var expect = 0L

@@ -139,6 +139,126 @@ class FixtureLoadSpec extends AnyFunSuite {
   }
 }
 
+/** The reference enumerates 7 parquet writer codecs
+  * (rust/benchmarks/tpch/src/main.rs:233-253); this classpath provides 5
+  * live (none/snappy/gzip/lz4/zstd — round-trip-gated by the driver's
+  * `sink_parquet_codecs` row) while brotli and lzo need native codec jars
+  * the pinned classpath lacks. Contract under test (VERDICT r14 item 3):
+  * the 5 live codecs actually write, and the 2 declared-only ones actually
+  * FAIL — so if the classpath ever gains brotli/lzo jars, this spec fails
+  * loudly and the `sink_parquet_codecs` gate must be upgraded to exercise
+  * them live instead of silently under-claiming.
+  */
+class CodecContractSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val live = Set("none", "snappy", "gzip", "lz4", "zstd")
+
+  test("parquet codec contract: 5 live, brotli+lzo declared-only") {
+    val df = spark.range(3).toDF("id")
+    for (c <- graft.context.Compression.values) {
+      val name = graft.context.Compression.option(c)
+      val out = tempDir(s"graft-codec-$name")
+      val wrote =
+        try {
+          df.write.mode("overwrite").option("compression", name)
+            .parquet(s"$out/t.parquet")
+          true
+        } catch { case _: Throwable => false }
+      if (live(name)) {
+        assert(wrote, s"live codec '$name' failed to write")
+        assert(spark.read.parquet(s"$out/t.parquet").count() == 3,
+          s"live codec '$name' did not round-trip")
+      } else
+        assert(!wrote,
+          s"classpath now provides codec '$name' — upgrade the " +
+            "sink_parquet_codecs gate (operators/Relational.scala) to " +
+            "exercise it live and move it to this spec's live set")
+    }
+  }
+}
+
+/** Oracle type-convention guard (VERDICT r14 item 7): the four r13 red
+  * rows were ONE defect class — DuckDB widens SUM(BIGINT/INT) to HUGEINT
+  * while Spark stays BIGINT, so an uncast SUM in an oracle hash-mismatches
+  * even when every value agrees. Contract under test: every `SUM(` in
+  * every oracle SQL string sits inside some enclosing `CAST(...)`, or its
+  * query is allowlisted (sums over DOUBLE columns — DuckDB sums DOUBLE to
+  * DOUBLE, no divergence; each allowlisted row is driver-green). A new
+  * oracle with an uncast integer SUM fails HERE, in a test, instead of
+  * failing the driver round.
+  */
+class OracleTypeConventionSpec extends AnyFunSuite {
+
+  /** Start offsets of `sum(` calls with NO enclosing `cast(` — found with
+    * a paren-stack walk (regex can't see nesting). String literals are
+    * blanked first so quoted text can't host a false positive.
+    */
+  private def uncastSums(sql: String): Seq[Int] = {
+    val s = sql.replaceAll("'[^']*'", "''").toLowerCase
+    def precedingWord(j: Int): String = {
+      var e = j
+      while (e > 0 && s(e - 1).isWhitespace) e -= 1
+      var b = e
+      while (b > 0 && (s(b - 1).isLetterOrDigit || s(b - 1) == '_')) b -= 1
+      s.substring(b, e)
+    }
+    val stack = scala.collection.mutable.Stack.empty[String]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- 0 until s.length) s(i) match {
+      case '(' =>
+        val w = precedingWord(i)
+        if (w == "sum" && !stack.contains("cast")) bad += i - 3
+        stack.push(w)
+      case ')' => if (stack.nonEmpty) { stack.pop(): Unit }
+      case _ =>
+    }
+    bad.toSeq
+  }
+
+  test("paren-stack walker classifies cast nesting correctly") {
+    assert(uncastSums("SELECT SUM(x) FROM t").nonEmpty)
+    assert(uncastSums("SELECT CAST(SUM(x) AS BIGINT) FROM t").isEmpty)
+    assert(uncastSums("SELECT CAST(4*SUM(x) AS DOUBLE) FROM t").isEmpty)
+    assert(uncastSums(
+      "SELECT CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) FROM t").isEmpty)
+    assert(uncastSums("SELECT CAST(a AS INT), SUM(x) FROM t").nonEmpty)
+    assert(uncastSums("SELECT checksum(x), 'sum(' FROM t").isEmpty)
+  }
+
+  /** Rows whose uncast SUMs are safe by type: the summand is DOUBLE or
+    * DECIMAL (DuckDB sums those to DOUBLE/DECIMAL — only INTEGER/BIGINT
+    * widen to HUGEINT) or the SUM is a non-output intermediate compared
+    * against a literal. Every entry is driver-green in CORRECTNESS_r14,
+    * which the driver's typed hash makes impossible for a
+    * HUGEINT-diverging output column — so membership is itself verified,
+    * not asserted. A NEW row must earn a green round before joining.
+    */
+  private val DoubleSumAllowlist: Set[String] = Set(
+    "agg_topk", "agg_typed_aggregator", "agg_weighted_median",
+    "dedup_simhash", "emb_pca_power", "emb_pca_project", "graph_pagerank",
+    "mm_phash_dedup", "pack_sequences", "pipeline_eval_harness",
+    "pipeline_multimodal", "scd2_history", "sessionize_batch",
+    "sessionize_typed", "stream_exec_custom_state", "stream_exec_session",
+    "stream_exec_tws_session", "stream_session_agg", "text_bpe_train",
+    "text_concentration", "text_lm_buckets", "text_lm_score",
+    "text_token_budget", "text_token_budget_bpe", "text_unigram_apply",
+    "text_unigram_train", "text_vocab_coverage", "tpch_q18")
+
+  test("every oracle SUM is CAST-wrapped or allowlisted as a DOUBLE sum") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
+      case (name, sql)
+        if !DoubleSumAllowlist(name) && uncastSums(sql).nonEmpty =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"oracles with uncast SUMs (DuckDB HUGEINT hazard): " +
+        s"${offenders.mkString(",")} — CAST them (AS BIGINT/DOUBLE) or, if " +
+        "the summand is DOUBLE-typed, add the row to DoubleSumAllowlist " +
+        "with the reasoning")
+  }
+}
+
 /** The bench suite's wall clock must FIT the driver's budget (r13: rc=124,
   * zero benchmark numbers for the round). Static assertion from the
   * committed baseline: the adaptive single-pass suite, the worst-case sf1

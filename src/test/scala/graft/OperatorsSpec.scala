@@ -1060,11 +1060,25 @@ class PlanSpec extends AnyFunSuite {
         .contains("ObjectHashAggregate"),
       "resilience_agg_fallback is not an object-hash aggregate — the " +
       "fallback conf would gate nothing")
+    // AQE runtime shuffle coalescing (the r14 verdict's last spec-only
+    // resilience behavior, now a value-gated row): the child session's
+    // deliberately-oversized 200-partition exchange must be folded down
+    // at runtime — a finalized plan with no coalesced AQEShuffleRead
+    // means the conf gated nothing and the green row would be vacuous
+    val aqe = operators.Relational.queries("resilience_aqe_coalesce")(spark, sfDir)
+    aqe.collect()
+    assert(aqe.sparkSession.conf.get("spark.sql.shuffle.partitions") == "200",
+      "oversized partition count not pinned on the row's child session")
+    val pa = aqe.queryExecution.executedPlan.toString
+    assert(pa.contains("AQEShuffleRead coalesced"),
+      s"resilience_aqe_coalesce plan shows no runtime coalesce:\n$pa")
     // and none of the child-session confs leaked into the parent
     assert(spark.conf.getOption(
       "spark.sql.optimizer.dynamicPartitionPruning.useStats").forall(_ == "true"))
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
       "bloom row's broadcast-disable leaked into the shared session")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "200",
+      "AQE-coalesce row's oversized partition count leaked into the shared session")
     Caches.releaseAll(spark)
   }
 
