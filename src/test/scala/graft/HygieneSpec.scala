@@ -268,39 +268,73 @@ class OracleTypeConventionSpec extends AnyFunSuite {
   * breaks the budget fails HERE, in a test, instead of failing the round.
   */
 class BenchBudgetSpec extends AnyFunSuite {
-  test("estimated bench wall time fits the self-deadline with margin") {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val root = {
     val f = new java.io.File("bench_baseline.json")
     assert(f.isFile, "bench_baseline.json missing — the budget is unverifiable")
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-    import scala.jdk.CollectionConverters._
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+  }
+  private lazy val suite = {
     val qn = root.path("queries")
-    val suite = qn.fieldNames().asScala
+    qn.fieldNames().asScala
       .filter(k => qn.get(k).isNumber).map(k => qn.get(k).asDouble).sum
-    val sf1 = root.fieldNames().asScala
-      .filter(k => k.startsWith("sf1_") && root.get(k).isNumber)
+  }
+  private lazy val sf1 = {
+    val sf1Keys = Bench.Sf1Points.map(_._1).toSet
+    root.fieldNames().asScala
+      .filter(k => sf1Keys(k) && root.get(k).isNumber)
       .map(k => k -> root.get(k).asDouble).toMap
-    // every query map entry must have a baseline (a baseline-less row
-    // always pays full Iters AND can never take the 1-run fast path)
-    val missing = SparkEntry.queries.keys.filterNot(k => qn.has(k)).toSeq
-    // worst rotation group, each active point at full Iters plus one
-    // warm-up-equivalent (the fresh-session first pass)
-    val worstSf1 = (0 until Bench.Sf1RotationGroups).map { r =>
+  }
+  // every query map entry must have a baseline (a baseline-less row
+  // always pays full Iters AND can never take the 1-run fast path)
+  private lazy val missing =
+    SparkEntry.queries.keys.filterNot(k => root.path("queries").has(k)).toSeq
+  // worst rotation group (headline points always active), per-run cost
+  // scaled by the caller's iteration model
+  private def worstSf1(itersEach: Double): Double =
+    (0 until Bench.Sf1RotationGroups).map { r =>
       Bench.Sf1Points.zipWithIndex.collect {
         case ((k, _), i)
           if Bench.Sf1Headline(k) || i % Bench.Sf1RotationGroups == r =>
           sf1.getOrElse(k, 5.0)
       }.sum
-    }.max
-    // suite: 1 adaptive run each, plus 50% slack for rows that trip the
-    // 1.3× gate and pay the remaining iterations or a requery
-    val FixedOverheadS = 420.0 // sessions+warmups+2×90 s gates+build+spill
-    val est = suite * 1.5 + worstSf1 * (Bench.Iters + 1) + FixedOverheadS +
+    }.max * itersEach
+
+  test("estimated bench wall time fits the self-deadline with margin") {
+    // quiet machine, full rigor: 1 adaptive run per suite row plus 50%
+    // slack for rows that trip the 1.3× gate and pay the remaining
+    // iterations or a requery; sf1 points at full Iters plus one
+    // warm-up-equivalent (the fresh-session first pass)
+    val FixedOverheadS = 450.0 // sessions+warmups+3 bounded gates+build+spill
+    val est = suite * 1.5 + worstSf1(Bench.Iters + 1) + FixedOverheadS +
       missing.size * 5.0 * Bench.Iters
     assert(est < Bench.DeadlineS * 0.9,
       f"estimated bench wall $est%.0f s exceeds 90%% of the " +
       f"${Bench.DeadlineS}%.0f s self-deadline (suite=$suite%.0f s, " +
-      f"worst sf1 group=$worstSf1%.0f s, ${missing.size} baseline-less " +
+      f"${missing.size} baseline-less " +
       s"rows: ${missing.take(5).mkString(",")}) — trim Iters, rotate more " +
       "canaries out, or raise the deadline after checking the driver budget")
+  }
+
+  test("contended mode fits the self-deadline at a 3× slowdown") {
+    // VERDICT r14 item 2: the driver's window ran at load 5.4-6.2 and the
+    // full-rigor suite burned 1490 s of the 1500 s budget. Contended mode
+    // (pre-run load > ContentionLoadGate) runs every row ONCE, skips both
+    // requery passes, and doesn't wait on quiesce gates — this test pins
+    // that the cheap path fits even when every measured second stretches
+    // 3×. Adding an r15+ row that breaks THIS budget must fail here, in a
+    // test, not in the driver's round (VERDICT r14 item 8).
+    val ContentionMultiplier = 3.0
+    // non-measured overhead that also stretches with machine slowness:
+    // sf1 fixture build, spill point, warmups, session churn (~90 s quiet)
+    val ScaledOverheadQuietS = 90.0
+    val est = ContentionMultiplier *
+      (suite + worstSf1(1.0) + missing.size * 5.0 + ScaledOverheadQuietS)
+    assert(est < Bench.DeadlineS * 0.9,
+      f"contended-mode estimate $est%.0f s (at ${ContentionMultiplier}×) " +
+      f"exceeds 90%% of the ${Bench.DeadlineS}%.0f s self-deadline " +
+      f"(single-pass suite=$suite%.0f s) — retire redundant sub-second " +
+      "rows or widen the sf1 rotation before adding more")
   }
 }
