@@ -1072,7 +1072,10 @@ object Bench {
       System.err.println(
         s"WARN: compact bench line ${compact.length} chars exceeds " +
           s"$CompactBudget even with zero per-query entries")
-    println(compact)
+    // stop BEFORE the compact line goes out: the harvester's ~2000-char
+    // capture is stdout+stderr COMBINED, and Spark shutdown chatter after
+    // the println would push the one line that matters out of the tail
     sparkLive.stop()
+    println(compact)
   }
 }
