@@ -98,6 +98,15 @@ object Bench {
     */
   private[graft] val ContentionLoadGate = 2.0
 
+  /** Pre-run fixed-work speed probe above this (seconds) also flips the
+    * run into contended mode: loadavg only sees THIS VM's host-visible
+    * processes, and the r9/r10 adjudication measured the box 2-4× slow at
+    * loadavg < 1 (virtualized host capacity). Quiet probes on this rig
+    * read 0.45-0.55 s; 1.0 s means every measured second will stretch ~2×
+    * and the full-rigor path no longer fits the budget.
+    */
+  private[graft] val ContentionProbeGateS = 1.0
+
   // --- wall-clock self-budget (r13: rc=124 — the driver KILLED the run
   // and the round got zero numbers). The suite now spends against an
   // explicit deadline comfortably inside any plausible driver budget
@@ -347,11 +356,18 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = osLoadAvg
+    val probeStart = speedProbe
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // contended mode is decided from the PRE-RUN external load: every
-    // later loadavg reading is polluted by our own 32-thread phases
-    val contended = loadStart > ContentionLoadGate
+    // contended mode is decided from the PRE-RUN external load (every
+    // later loadavg reading is polluted by our own 32-thread phases) OR a
+    // slow pre-run speed probe (host throttling that loadavg can't see);
+    // SPARK_GRAFT_BENCH_CONTENDED=1/0 overrides for dev testing
+    val contended = sys.env.get("SPARK_GRAFT_BENCH_CONTENDED") match {
+      case Some(v) => v == "1"
+      case None =>
+        loadStart > ContentionLoadGate || probeStart > ContentionProbeGateS
+    }
     // mid-run escalation: a quiet start that still outruns 45% of the
     // deadline (the quiet full run fits in ~40%) degrades to single-run
     def singleRun: Boolean = contended || elapsedS > DeadlineS * 0.45
@@ -981,6 +997,7 @@ object Bench {
       s""""iters_max":$Iters,"adaptive":{"single_run":$singleRunRows,""" +
       s""""full_iters":$fullIterRows},""" +
       s""""contended":{"active":$contended,"load_start":$loadStart,""" +
+      s""""probe_start":$probeStart,""" +
       s""""skipped":${contentionSkipped.map(s => s""""$s"""")
         .mkString("[", ",", "]")}}"""
     val skippedJson = deadlineSkipped.map(s => s""""$s"""")
