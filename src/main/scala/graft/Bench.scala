@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    the acceptance metric is graded on;
   *  - iteration count is ADAPTIVE (r13: the 3×-everything suite outran
   *    the driver's budget and the round got rc=124 and zero numbers): one
-  *    timed run that lands at ≤1.3× its committed baseline (or under the
+  *    timed run that lands at ≤1.5× its committed baseline (or under the
   *    noise floor) is accepted as-is; only apparent regressions and
   *    baseline-less rows pay the full median-of-ITERS, and >1.5×
   *    outliers still get the quiesced requery pass. The artifact records
@@ -454,12 +454,19 @@ object Bench {
     }
 
     // Adaptive iteration count (r13 rc=124 remedy, 2/3 of the suite's
-    // wall clock): one timed run decides — a time at or under 1.3× its
+    // wall clock): one timed run decides — a time at or under 1.5× its
     // committed baseline (or under the noise floor) is CONSISTENT, and
     // re-measuring a consistent sub-second row twice more buys no
     // information the requery phase wouldn't recover anyway. Only an
     // apparent regression (or a row with no baseline yet) pays the full
     // median-of-Iters, and >1.5× outliers still get the quiesced requery.
+    // The gate was 1.3× through the first r15 run — but the committed
+    // baseline is a MIN-merge across rounds, so it only ever gets lower,
+    // and a gate tighter than the requery threshold ratchets ever more
+    // ordinary-noise rows (165 of 262 in the r15 quiet run, 907 s wall vs
+    // r14's 566) into full iterations for rows the requery pass would
+    // never even flag. 1.5× aligns the two gates: anything the fast path
+    // waves through is by definition not an outlier.
     // In contended/escalated mode EVERY row is single-run — re-measuring
     // under external load buys noise, not information, and the r14
     // driver window proved the full-rigor path can't fit a 3× slowdown.
@@ -470,7 +477,7 @@ object Bench {
       val first = runOnce(s, name, dir)
       val out = first match {
         case Right(t) if singleRun || t <= NoiseFloorSec ||
-            baseline.get(bk).exists(b => t <= 1.3 * b) =>
+            baseline.get(bk).exists(b => t <= 1.5 * b) =>
           singleRunRows += 1
           Right(t)
         case Right(_) =>
