@@ -598,17 +598,24 @@ object Similarity {
       .select(col("vec_a"), col("vec_b")).distinct()
   }
 
-  /** Approximate threshold join: banded candidates, exact-cosine verified
-    * (precision 1 by construction; recall < 1 by banding, quantified in
-    * the scaladoc above and spec-asserted on the planted geometry).
+  /** [[hyperplaneLshPairs]] without the presentation sort — the verdict
+    * pipeline feeds these pairs straight into connected components, where
+    * a global sort would be a pure range-partition exchange tax.
     */
-  def hyperplaneLshPairs(corpus: DataFrame, t: Double): DataFrame =
+  private def hyperplaneLshPairsUnsorted(corpus: DataFrame, t: Double): DataFrame =
     hyperplaneCandidates(corpus)
       .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
       .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= t)
       .select(col("vec_a"), col("vec_b"),
         round(GraftFunctions.cosine_sim(col("va"), col("vb")), 6).as("cos"))
+
+  /** Approximate threshold join: banded candidates, exact-cosine verified
+    * (precision 1 by construction; recall < 1 by banding, quantified in
+    * the scaladoc above and spec-asserted on the planted geometry).
+    */
+  def hyperplaneLshPairs(corpus: DataFrame, t: Double): DataFrame =
+    hyperplaneLshPairsUnsorted(corpus, t)
       .orderBy(col("vec_a"), col("vec_b"))
 
   private def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
@@ -634,21 +641,86 @@ object Similarity {
     * the label join uses the [[TextAnalysis.decontaminateFraction]]
     * checked-bound pattern: a measured count under the bound broadcasts
     * (no corpus shuffle — labels.count() is a metadata read off the
-    * localCheckpointed CC result, not a recompute); past the bound it
-    * degrades to the ordinary shuffled equi-join, which is the right plan
-    * when the "small" side isn't. The oracle replays the exact threshold
-    * pair set and the component closure in SQL (n² oracle, like every
-    * exact-pair-set oracle: the SPARK side stays sub-quadratic).
+    * eagerly-localCheckpointed label table, not a recompute); past the
+    * bound it degrades to the ordinary shuffled equi-join, which is the
+    * right plan when the "small" side isn't. The oracle replays the exact
+    * threshold pair set and the component closure in SQL (n² oracle, like
+    * every exact-pair-set oracle: the SPARK side stays sub-quadratic).
+    *
+    * Exact-duplicate pre-collapse (same internal ordering as the lexical
+    * tier, [[Dedup]]'s jaccard pipeline): bitwise-identical vectors have
+    * identical band signatures and cosine exactly 1 against each other,
+    * so the banded machinery only ever needs ONE representative (min
+    * vec_id) per distinct vector; the other members re-attach to their
+    * representative's component label afterwards. On a replica-heavy
+    * corpus — the SF≈1 canary is 10× identical replicas — skipping the
+    * collapse multiplies every LSH bucket by the replication factor r and
+    * the band self-join's Σ|bucket|² term (plus the pair graph CC chews
+    * on) by r²; the collapse trades that for two skinny corpus shuffles
+    * (16-byte md5 group key + two ids). Grouping hashes the vector's
+    * STRING form — shortest-roundtrip float rendering, so distinct bit
+    * patterns never collide textually and a false merge needs a 2^-128
+    * digest collision, the same contract as the text tier's md5 key.
+    * Equivalence is exact, not approximate: banding is a deterministic
+    * function of the vector, so a full-corpus pair (a,b) is LSH-found iff
+    * the rep pair is, and intra-group pairs (identical signatures collide
+    * in every band, cos = 1 ≥ t) are always found — components over the
+    * full corpus are exactly the group-unions of components over reps
+    * (spec-pinned against the uncollapsed reference on a replicated
+    * corpus).
     */
   def semanticDedupVerdicts(corpus: DataFrame,
                             t: Double = LshThreshold,
                             maxBroadcastLabels: Long = 5L * 1000 * 1000)
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val pairs = hyperplaneLshPairs(corpus, t)
+    val keyed = corpus
+      .select(col("vec_id"), md5(col("v").cast("string")).as("gk"))
+    // groups and reps are each referenced several times by the banded
+    // machinery below (band explode ×2, cosine-verify ×2, the member
+    // expansion) and everything that reads them is materialized INSIDE
+    // this builder (CC's convergence loop, the labels checkpoint) — so
+    // cache for the builder's own actions and unpersist before returning;
+    // without this every reference re-runs the md5 groupBy shuffle.
+    val groups = keyed.groupBy(col("gk")).agg(min(col("vec_id")).as("rep"))
+      .cache()
+    val reps = corpus
+      .join(groups.select(col("rep").as("vec_id")), Seq("vec_id"))
+      .cache()
+    val pairs = hyperplaneLshPairsUnsorted(reps, t)
       .select(col("vec_a"), col("vec_b"))
-    val labels = Dedup.connectedComponents(pairs, maxRounds = 20)
-      .select(col("node").as("vec_id"), col("label"))
+    val sc = corpus.sparkSession.sparkContext
+    val blocksBeforeCc = sc.getPersistentRDDs.keySet
+    val repLabels =
+      try Dedup.connectedComponents(pairs, maxRounds = 20)
+        .select(col("node").as("rep"), col("label"))
+      catch { case e: Throwable =>
+        reps.unpersist(blocking = true)
+        groups.unpersist(blocking = true)
+        throw e
+      }
+    val ccBlocks = sc.getPersistentRDDs.keySet.diff(blocksBeforeCc)
+    // Re-attach non-representative members (exactly the exact-duplicate
+    // rows, so this union stays DUPLICATE-sized like the pre-collapse
+    // labels were): a member's component label is its rep's CC label, or
+    // the rep itself when the rep sits in no cross-rep pair. Eager
+    // localCheckpoint so the bound probe below and the final label join
+    // both read materialized blocks instead of re-running the expansion
+    // shuffles (the blocks fall under the Caches.releaseAll contract,
+    // same as connectedComponents' final round).
+    val labels = keyed
+      .join(groups, Seq("gk"))
+      .filter(col("vec_id") =!= col("rep"))
+      .join(repLabels, Seq("rep"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("rep")).as("label"))
+      .unionByName(repLabels.select(col("rep").as("vec_id"), col("label")))
+      .localCheckpoint(true)
+    // the expansion is materialized; CC's final-round blocks and the
+    // builder-scoped rep caches are now dead
+    ccBlocks.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+    reps.unpersist(blocking = true)
+    groups.unpersist(blocking = true)
     val labelSide =
       if (labels.count() <= maxBroadcastLabels) broadcast(labels) else labels
     corpus.select(col("vec_id"))

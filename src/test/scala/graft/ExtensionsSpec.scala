@@ -596,6 +596,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic: exact-dup pre-collapse equals the uncollapsed reference on a replicated corpus") {
+    // The SF≈1 canary's shape at spec scale: k identical replicas per
+    // vector with disjoint vec_id ranges. The pre-collapse inside
+    // semanticDedupVerdicts must be invisible in the OUTPUT — verdicts
+    // equal the uncollapsed pipeline (full-corpus LSH pairs → CC →
+    // min-label) row for row. This is the equivalence argument in the
+    // scaladoc made executable: banding is deterministic in the vector,
+    // so rep pairs stand in for member pairs exactly.
+    import operators.{Dedup, Similarity}
+    val base = Similarity.lshCorpus(spark, sfDir)
+    val step = base.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val corpus = base
+      .crossJoin(broadcast(spark.range(3).select(col("id").as("rep"))))
+      .withColumn("vec_id", col("vec_id") + col("rep") * step)
+      .drop("rep").cache()
+    try {
+      val got = Similarity.semanticDedupVerdicts(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq.sortBy(_._1)
+      val pairs = Similarity
+        .hyperplaneLshPairs(corpus, Similarity.LshThreshold)
+        .select(col("vec_a"), col("vec_b"))
+      val labels = Dedup.connectedComponents(pairs, maxRounds = 20)
+        .select(col("node").as("vec_id"), col("label"))
+      val want = corpus.select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"),
+          (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("kept"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq.sortBy(_._1)
+      assert(got.size == want.size, s"${got.size} vs ${want.size} verdicts")
+      assert(got == want,
+        "collapsed and uncollapsed semantic-dedup verdicts diverge")
+      // every replica group collapsed onto one keeper: survivors are at
+      // most one per distinct vector (= the unreplicated corpus size)
+      assert(got.count(_._3) <= base.count(),
+        "replicas not collapsed — more keepers than distinct vectors")
+    } finally {
+      corpus.unpersist(blocking = true)
+      Caches.releaseAll(spark)
+    }
+  }
+
   test("broadcast argmax assignment at k=64 equals the literal path exactly") {
     import operators.Similarity
     // k=64 is above AssignLiteralMaxK, so production dispatch (kmeans,
