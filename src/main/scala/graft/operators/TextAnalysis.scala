@@ -24,6 +24,42 @@ object TextAnalysis {
       TF.tokenCountBpe(col("text")).cast("int").as("tok_bpe"))
       .orderBy(col("doc_id"))
 
+  /** Overlapping-window document chunking — the RAG/context-prep step
+    * that splits long documents into retrieval- or training-sized pieces:
+    * [[ChunkSize]]-token windows advancing by [[ChunkStride]] tokens (so
+    * consecutive chunks share `size − stride` tokens of context and no
+    * sentence straddling a boundary is lost from both sides). Chunk count
+    * per doc is `1 + ⌈max(n − size, 0) / stride⌉` — exactly the windows
+    * needed to cover every token, never a redundant trailing window fully
+    * contained in its predecessor; short docs yield one chunk. Emits the
+    * md5 of each chunk's text (the driver-comparable form) plus its token
+    * count. Scale shape: tokenize → `sequence`/`posexplode` → `slice` is
+    * one map-only codegen'd pass per document — no shuffle anywhere but
+    * the presentation sort, and the explode fan-out is output-sized (the
+    * chunks themselves), so it parallelizes with the scan at any corpus
+    * size. Tokens are whitespace words (`split(trim(text))`), the same
+    * definition the [[textTokens]] oracle pins; the oracle replays the
+    * window arithmetic with `generate_series` + `list_slice`.
+    */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  private def textChunk(s: SparkSession, d: String): DataFrame = {
+    val (sz, st) = (ChunkSize, ChunkStride)
+    docs(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("nchunks",
+        expr(s"1 + cast((greatest(size(w) - $sz, 0) + ${st - 1}) div $st as int)"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_id"))
+      .withColumn("chunk", slice(col("w"), col("chunk_id") * st + 1, lit(sz)))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tok"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Quality scoring: length / punctuation / stopword / word-shape ratios. */
   private def textQuality(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
@@ -2509,6 +2545,7 @@ object TextAnalysis {
     "text_pii_redact" -> textPiiRedact _,
     "text_ngram_stats" -> textNgramStats _,
     "text_tokens" -> textTokens _,
+    "text_chunk" -> textChunk _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
@@ -3846,6 +3883,26 @@ object TextAnalysis {
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,
              CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS tok_bpe
       FROM documents ORDER BY doc_id""",
+    "text_chunk" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               1 + CAST((greatest(len(string_split_regex(trim(text), '\\s+'))
+                                    - $ChunkSize, 0)
+                         + ${ChunkStride - 1}) // $ChunkStride AS INT)
+                 AS nchunks
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS chunk_id, w
+        FROM toks)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             CAST(len(list_slice(w, chunk_id * $ChunkStride + 1,
+                                 chunk_id * $ChunkStride + $ChunkSize))
+                  AS INT) AS n_tok,
+             md5(array_to_string(
+                   list_slice(w, chunk_id * $ChunkStride + 1,
+                              chunk_id * $ChunkStride + $ChunkSize), ' '))
+               AS chunk_md5
+      FROM chunks ORDER BY doc_id, chunk_id""",
     "text_quality" -> s"""
       SELECT doc_id,
              CAST(length(text) AS INT) AS n_chars_calc,
