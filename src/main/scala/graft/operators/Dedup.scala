@@ -327,10 +327,20 @@ object Dedup {
       .union(pairs.toDF("b2", "a2").select(col("a2"), col("b2")))
       .toDF("u", "v").cache()
     try {
+      // init = min(self, neighbors): one propagation folded into the
+      // node-set groupBy that the old `distinct()` init paid anyway. On
+      // pair-dominated graphs (every dedup tier's common case: near-dup
+      // clusters of 2) this IS the fixpoint, so the loop exits after one
+      // sum-equality round instead of two; deeper components save one
+      // round the same way. prevSum is seeded from the init state so that
+      // first equality check is meaningful (labels only ever decrease, so
+      // Σ unchanged across a round ⇒ pointwise unchanged ⇒ fixpoint).
       var (labels, labelIds) = tracked(
-        edges.select(col("u").as("node")).distinct()
-          .withColumn("label", col("node")))
-      var prevSum = Long.MinValue
+        edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+          .select(col("u").as("node"),
+            least(col("u"), col("mv")).as("label")))
+      var prevSum = Option(labels.agg(sum(col("label"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       var converged = false
       var iter = 0
       try {
