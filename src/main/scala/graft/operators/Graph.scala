@@ -192,9 +192,52 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Connected components as a public graph primitive — the fourth graph
+    * row, gating [[Dedup.connectedComponents]] (min-label propagation
+    * with pointer jumping) against a SQL closure oracle directly, on a
+    * graph that actually fragments: the co-purchase (market-basket)
+    * graph. Parts are linked when they appear in the same order, kept
+    * only above 2× the MEAN pair support (the [[significantEdges]]
+    * data-relative convention, tightened so the graph stays sparse and
+    * multi-component at any scale factor). Edge derivation is the
+    * 100 TB-shaped stage: a lineitem self-join on l_orderkey emits
+    * O(k²) pairs per order with k bounded by order size (≤7 in TPC-H) —
+    * never a part×part join — then one groupBy; CC itself is the proven
+    * O(log D)-round kernel. Output is one row per component (label =
+    * min part key, member count), the form a curation pipeline consumes.
+    * Oracle: the same edge derivation, then the transitive closure as a
+    * recursive CTE (UNION-dedup'd, so it terminates on cycles) reduced
+    * by MIN label per node.
+    */
+  private def components(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val sup = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    // mean support as a 1-row broadcast stats frame, NOT a global
+    // window: the pair set is corpus-scale here (unlike the
+    // nation²-bounded [[significantEdges]]), and an unpartitioned
+    // `over()` would funnel it through a single partition
+    val m = sup.agg(avg(col("support")).as("avg_s"))
+    // 2× mean, not mean: the mean sits just above the once-co-purchased
+    // mass, so >mean keeps one giant component (98% of nodes at sf0.01);
+    // 2× keeps only genuinely recurring pairs and the graph fragments
+    // into the many small components a basket analysis actually mines
+    val pairs = sup.crossJoin(broadcast(m))
+      .filter(col("support") > lit(2) * col("avg_s"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    Dedup.connectedComponents(pairs, maxRounds = 20)
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .orderBy(col("component"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerank _,
     "graph_triangles" -> triangles _,
+    "graph_components" -> components _,
     "graph_bfs" -> bfs _
   )
 
@@ -252,6 +295,27 @@ object Graph {
       SELECT CAST(n.node AS INT) AS node, COALESCE(l.dist, -1) AS dist
       FROM nodes n LEFT JOIN lab l ON n.node = l.node
       ORDER BY n.node""",
+    // transitive closure by recursive CTE (UNION dedups, so it
+    // terminates on cycles), reduced to min label per node, then one
+    // row per component
+    "graph_components" -> """
+      WITH RECURSIVE sup AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
+        FROM lineitem x
+        JOIN lineitem y ON y.l_orderkey = x.l_orderkey
+                       AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2),
+      und AS (SELECT a, b FROM sup
+              WHERE support > 2*(SELECT AVG(support) FROM sup)),
+      e AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+      reach(node, lab) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN e ON r.node = e.u),
+      comp AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node)
+      SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY label ORDER BY component""",
     "graph_triangles" -> """
       WITH flows AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
                      FROM customer c

@@ -1646,4 +1646,39 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("pagerank") >= 0.15 / 25 - 1e-9),
       "every node keeps at least the teleport share")
   }
+
+  test("graph_components equals driver-side union-find on the co-purchase graph") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("graph_components")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toSeq.sortBy(_._1)
+    // at this fixture's part cardinality (~200) the >2×mean graph
+    // percolates into one component; fragmentation (63 components) shows
+    // at sf0.01 where the driver gate runs — here the union-find replay
+    // is the contract
+    assert(got.nonEmpty, "co-purchase graph has no edges at this SF")
+    // same edge derivation, reduced by a local union-find
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val sup = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mean = sup.map(_._3).sum.toDouble / sup.length
+    val edges = sup.filter(_._3 > 2 * mean).map(e => (e._1, e._2))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      ms.min -> ms.size.toLong
+    }.toSeq.sortBy(_._1)
+    assert(got == want, s"components diverge from union-find:\n$got\n$want")
+  }
 }
