@@ -200,7 +200,23 @@ object Dedup {
   private def minhashVerifiedPairsReleasable(
       s: SparkSession, d: String): (DataFrame, () => Unit) = {
     GraftFunctions.register(s)
-    val sh = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
+    // Exact-duplicate pre-collapse, same contract as [[jaccardPairs]]:
+    // identical normalized text ⇒ identical shingle set ⇒ identical
+    // MinHash signature, so banding is deterministic across a duplicate
+    // group — the rep pair is band-found iff every member pair would be,
+    // and intra-group pairs always collide (every band) at Jaccard
+    // exactly 1.0. On a replica-heavy corpus the collapse divides every
+    // band bucket by the replication factor r, shrinking the self-join's
+    // Σ|bucket|² candidates and the array-payload verify joins r²-fold;
+    // the member re-expansion afterwards is output-bound (exactly the
+    // pair rows the uncollapsed tier emits, no more).
+    val keyed = docs(s, d).select(col("doc_id"),
+      md5(TF.normText(col("text"))).as("gk"))
+    val groups = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
+    val members = keyed.join(groups, Seq("gk"))
+    val sh = shingleSets(s, d).filter(size(col("sh")) > 0)
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .cache()
     val bands = bandKeys(sh)
     val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
         col("h1"), col("h2"))
@@ -209,14 +225,33 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact verification of candidates (array_intersect on shingle sets)
-    val verified = candidates
+    val repPairs = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", lit(1.0) * col("common") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
-    (verified.select(col("doc_a"), col("doc_b"), col("jaccard")),
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("jaccard"))
+    // re-expand representative pairs to member pairs; groups are disjoint
+    // so least/greatest canonicalization never double-counts
+    val cross = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("ida")),
+        Seq("rep_a"))
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("idb")),
+        Seq("rep_b"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+    // intra-group pairs: only docs that shingle (≥3 words) participate,
+    // same as the uncollapsed tier's size(sh) > 0 screen
+    val withSh = members
+      .join(sh.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+    val intra = withSh.select(col("gk"), col("doc_id").as("ida"))
+      .join(withSh.select(col("gk"), col("doc_id").as("idb")), Seq("gk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    (cross.unionByName(intra),
       () => { sh.unpersist(blocking = true); () })
   }
 
