@@ -44,7 +44,11 @@ object TextAnalysis {
   private val ChunkSize = 32
   private val ChunkStride = 24
 
-  private def textChunk(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, chunk_id, chunk: Array[String]) — the window derivation
+    * shared by [[textChunk]] (the chunking row itself) and
+    * [[pipelineRag]] (chunk-level retrieval).
+    */
+  private def chunkedDocs(s: SparkSession, d: String): DataFrame = {
     val (sz, st) = (ChunkSize, ChunkStride)
     docs(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
@@ -53,11 +57,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_id"))
       .withColumn("chunk", slice(col("w"), col("chunk_id") * st + 1, lit(sz)))
+      .drop("w")
+  }
+
+  private def textChunk(s: SparkSession, d: String): DataFrame =
+    chunkedDocs(s, d)
       .select(
         col("doc_id"), col("chunk_id"),
         size(col("chunk")).as("n_tok"),
         md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val RagTerms = Seq("merge", "filter", "spark")
+  private val RagK = 20
+  private val RagBudget = 128
+
+  /** RAG retrieval + context assembly — the seventh composition row,
+    * chaining the chunking tier into the retrieval stack the way a
+    * retrieval-augmented serving path actually runs: chunk every document
+    * into [[ChunkSize]]/[[ChunkStride]] overlapping windows
+    * ([[chunkedDocs]]), score each CHUNK against the query terms with the
+    * exact-rational BM25 kernel ([[bm25TopK]] — chunk-level retrieval is
+    * what makes RAG work on long documents; whole-doc BM25 is
+    * `text_bm25_topk` beside it), then pack the ranked chunks into a
+    * [[RagBudget]]-token context window: cumulative token count in rank
+    * order, cut at the budget — retrieval ends where the context window
+    * fills, exactly the serving-side packing rule. Chunk identity rides a
+    * packed key (doc_id·1000 + chunk_id; chunk counts are ≤ ~40 at any
+    * fixture shape, bounded by max doc length / stride) and is decomposed
+    * back to (src_doc, chunk_id) provenance in the output. Scale shape:
+    * chunking is the map-only pass, BM25 is one corpus aggregate + a
+    * top-k (TakeOrdered — never a global sort of the corpus), and the
+    * budget window runs over K ≤ 20 rows. The oracle replays chunking
+    * (generate_series/list_slice), the full BM25 arithmetic in the same
+    * fixed term order, and the cumulative budget cut.
+    */
+  private def pipelineRag(s: SparkSession, d: String): DataFrame = {
+    val chunkCorpus = chunkedDocs(s, d).select(
+      (col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+      array_join(col("chunk"), " ").as("text"))
+    val top = bm25TopK(chunkCorpus, RagTerms, RagK)
+    val w = Window.orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= RagBudget)
+      .select(col("rnk"),
+        expr("doc_id div 1000").as("src_doc"),
+        (col("doc_id") % 1000).cast("int").as("chunk_id"),
+        col("n_tokens"),
+        col("cum_tokens").cast("long").as("cum_tokens"),
+        col("bm25"))
+      .orderBy(col("rnk"))
   }
 
   /** Quality scoring: length / punctuation / stopword / word-shape ratios. */
@@ -2513,6 +2563,7 @@ object TextAnalysis {
     "pipeline_pretraining" -> pipelinePretraining _,
     "pipeline_curation" -> pipelineCuration _,
     "pipeline_eval_harness" -> pipelineEvalHarness _,
+    "pipeline_rag" -> pipelineRag _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_split_grouped" -> sampleSplitGrouped _,
@@ -3424,6 +3475,68 @@ object TextAnalysis {
     // the arithmetic below mirrors textBm25TopK's column expressions
     // step for step (same association order) — every op is an
     // exactly-rounded IEEE step, so the doubles are bit-identical
+    "pipeline_rag" -> s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               1 + CAST((greatest(len(string_split_regex(trim(text), '\\s+'))
+                                    - $ChunkSize, 0)
+                         + ${ChunkStride - 1}) // $ChunkStride AS INT)
+                 AS nchunks
+        FROM documents),
+      ch AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS chunk_id, w
+        FROM toks),
+      cdocs AS (
+        SELECT doc_id * 1000 + chunk_id AS doc_id,
+               array_to_string(
+                 list_slice(w, chunk_id * $ChunkStride + 1,
+                            chunk_id * $ChunkStride + $ChunkSize), ' ') AS text
+        FROM ch),
+      w AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM cdocs),
+      t AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+               CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(ws, x -> x = 'filter')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf2
+        FROM w),
+      st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS sumlen,
+               CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        FROM t),
+      sc AS (
+        SELECT t.doc_id, t.len AS n_tokens,
+          (CAST(st.n - st.df0 AS DOUBLE) + 0.5) / (CAST(st.df0 AS DOUBLE) + 0.5)
+            * ((CAST(tf0 AS DOUBLE) * 2.5) / (CAST(tf0 AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(t.len AS DOUBLE)
+                 / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+          + (CAST(st.n - st.df1 AS DOUBLE) + 0.5) / (CAST(st.df1 AS DOUBLE) + 0.5)
+            * ((CAST(tf1 AS DOUBLE) * 2.5) / (CAST(tf1 AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(t.len AS DOUBLE)
+                 / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+          + (CAST(st.n - st.df2 AS DOUBLE) + 0.5) / (CAST(st.df2 AS DOUBLE) + 0.5)
+            * ((CAST(tf2 AS DOUBLE) * 2.5) / (CAST(tf2 AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(t.len AS DOUBLE)
+                 / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+          AS s
+        FROM t, st),
+      top AS (
+        SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rnk,
+               doc_id, n_tokens, round(s, 6) AS bm25
+        FROM (SELECT * FROM sc ORDER BY s DESC, doc_id LIMIT $RagK)),
+      cum AS (
+        SELECT rnk, doc_id, n_tokens, bm25,
+               SUM(n_tokens) OVER (ORDER BY rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_tokens
+        FROM top)
+      SELECT rnk, doc_id // 1000 AS src_doc,
+             CAST(doc_id % 1000 AS INT) AS chunk_id,
+             n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, bm25
+      FROM cum WHERE cum_tokens <= $RagBudget ORDER BY rnk""",
     "text_bm25_topk" -> s"""
       WITH w AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

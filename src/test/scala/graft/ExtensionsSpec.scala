@@ -1571,6 +1571,34 @@ class TextPipelineSpec extends AnyFunSuite {
       s"raw token mass ${nt(0)} != token-budget total $budgetTotal")
   }
 
+  test("pipeline_rag: context packing respects the budget and rank order") {
+    val rows = SparkEntry.queries("pipeline_rag")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "retrieval found no chunks for the query terms")
+    // ranks are contiguous from 1 (a budget cut never skips a rank:
+    // cumulative tokens are monotone, so the kept prefix is a prefix)
+    assert(rows.map(_._1).toSeq == (1 to rows.length),
+      s"ranks not a contiguous prefix: ${rows.map(_._1).mkString(",")}")
+    // scores non-increasing in rank; cumulative tokens exact and bounded
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._6 >= b._6; case _ => true },
+      "bm25 not non-increasing in rank")
+    var cum = 0L
+    for (r <- rows) {
+      cum += r._4
+      assert(r._5 == cum, s"cum_tokens drifts at rank ${r._1}")
+      assert(cum <= 128, s"context budget exceeded at rank ${r._1}: $cum")
+    }
+    // provenance decomposition round-trips: every chunk exists in the
+    // chunking row with the same source doc and chunk index
+    val chunkKeys = SparkEntry.queries("text_chunk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    for (r <- rows)
+      assert(chunkKeys((r._2, r._3)),
+        s"retrieved chunk (${r._2},${r._3}) not in text_chunk output")
+  }
+
   test("pipeline_eval_harness: funnel equals a full local five-stage replay") {
     import org.apache.spark.unsafe.types.UTF8String
     val docs = Tables.load(spark, sfDir, "documents")
