@@ -865,16 +865,45 @@ object Dedup {
   private def dedupContainment(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val t = 0.9
+    // Exact-duplicate pre-collapse on BOTH sides, same contract as the
+    // jaccard/minhash tiers. Corpus side: identical normalized text ⇒
+    // identical shingle postings, so replicas multiply every df and the
+    // Σ_prefix df probe cost r-fold for nothing. Probe side: identical
+    // fragment spans ⇒ identical containment against everything. Each
+    // side collapses to min-id representatives (the fragment key is the
+    // fragment SHINGLE SET itself, since the %29 carve does not respect
+    // text groups); verified rep pairs re-expand member×member at the
+    // same containment — output-bound, exactly the rows the uncollapsed
+    // tier emits. Recall is unaffected: the prefix-filter guarantee
+    // holds under ANY consistent (df, s) order, so the df shift from
+    // collapsing cannot lose a verified pair. Measured trade (SF≈1
+    // 10×-replica canary, quiet windows): 3.9 → 4.5 s — the group keying
+    // costs more than the index shrink repays at THIS fixture's profile,
+    // where shingle map work dominates; the collapse is kept because the
+    // uncollapsed index term is quadratic in replication (candidates ×r²)
+    // and overtakes the fixed keying cost on any dup-heavy real corpus.
     val base = docs(s, d).select(col("doc_id"), TF.words(col("text")).as("ws"))
-    val frags = base.filter(pmod(col("doc_id"), lit(29)) === 0)
+    val fragsAll = base.filter(pmod(col("doc_id"), lit(29)) === 0)
       .select(col("doc_id").as("frag_id"),
         GraftFunctions.word_shingles(
           slice(col("ws"), lit(1), (size(col("ws")) / 2).cast("int")),
           ShingleN).as("shf"))
       .filter(size(col("shf")) > 0)
+    val fKeyed = fragsAll.select(col("frag_id"),
+      md5(col("shf").cast("string")).as("fgk"))
+    val fGroups = fKeyed.groupBy(col("fgk")).agg(min(col("frag_id")).as("frep"))
+    val fMembers = fKeyed.join(fGroups, Seq("fgk"))
+    val frags = fragsAll
+      .join(fGroups.select(col("frep").as("frag_id")), Seq("frag_id"), "left_semi")
+    val cKeyed = docs(s, d).select(col("doc_id"),
+      md5(TF.normText(col("text"))).as("cgk"))
+    val cGroups = cKeyed.groupBy(col("cgk")).agg(min(col("doc_id")).as("crep"))
+    val cMembers = cKeyed.join(cGroups, Seq("cgk"))
     // cache released by the session owner via Caches.releaseAll (the
     // lazy-builder contract documented on graft.Caches)
-    val corpus = shingleSets(s, d).filter(size(col("sh")) > 0).cache()
+    val corpus = shingleSets(s, d).filter(size(col("sh")) > 0)
+      .join(cGroups.select(col("crep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .cache()
     val inv = corpus.select(col("doc_id"), explode(col("sh")).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -904,12 +933,19 @@ object Dedup {
     // hot shingles surviving the prefix), not a default.
     val candidates = prefix.join(inv, Seq("s"))
       .select(col("frag_id"), col("doc_id")).distinct()
-    candidates.join(frags, Seq("frag_id"))
+    val repPairs = candidates.join(frags, Seq("frag_id"))
       .join(corpus, Seq("doc_id"))
       .withColumn("common", size(array_intersect(col("shf"), col("sh"))))
       .withColumn("containment",
         lit(1.0) * col("common") / size(col("shf")))
       .filter(col("containment") >= t)
+      .select(col("frag_id").as("frep"), col("doc_id").as("crep"),
+        col("containment"))
+    // member×member re-expansion of the verified rep pairs (groups on
+    // each side are disjoint, so no pair is emitted twice)
+    repPairs
+      .join(fMembers.select(col("frep"), col("frag_id")), Seq("frep"))
+      .join(cMembers.select(col("crep"), col("doc_id")), Seq("crep"))
       .select(col("frag_id"), col("doc_id"), col("containment"))
       .orderBy(col("frag_id"), col("doc_id"))
   }

@@ -294,6 +294,60 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=${got.size} want=${want.size} " +
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  test("minhash exact-duplicate pre-collapse expands to the full pair set") {
+    // same contract as the jaccard expansion spec above, for the MinHash
+    // tier's collapse: base pair (a,b,j) → 4 member pairs at the same j,
+    // plus the (d, d+off, 1.0) replica pair for every shingling doc
+    // (identical signatures collide in every band, so banding recall on
+    // the new intra pairs is 1 by construction, not probabilistic)
+    val off = 1000000L
+    val base = Tables.load(spark, sfDir, "documents")
+    val dir = SparkTestSession.tempDir("graft_mhrep")
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + off))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def key(j: Double) = BigDecimal(j).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val basePairs = operators.Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), key(r.getDouble(2))))
+    val eligible = base.select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("nm"))
+      .filter(size(split(col("nm"), " ")) >= 3)
+      .collect().map(_.getLong(0))
+    val want = (basePairs.flatMap { case (a, b, j) =>
+      for (x <- Seq(a, a + off); y <- Seq(b, b + off))
+        yield (math.min(x, y), math.max(x, y), j)
+    } ++ eligible.map(d => (d, d + off, key(1.0)))).toSet
+    val got = operators.Dedup.queries("dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), key(r.getDouble(2)))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("containment exact-duplicate pre-collapse expands to the full pair set") {
+    // both sides collapse here (probe fragments AND corpus), so the
+    // expansion is member×member: base (frag, doc, c) → exactly the 4
+    // pairs {frag, frag+off}×{doc, doc+off} at the same c. Replication
+    // adds no NEW rep-level relation (no extra intra term — the
+    // fragment-in-own-doc pair already exists in the base at c = 1.0).
+    // The offset must keep the %29 fragment carve aligned across
+    // replicas, so it is a multiple of 29.
+    val off = 29L * 50000
+    val base = Tables.load(spark, sfDir, "documents")
+    val dir = SparkTestSession.tempDir("graft_ctrep")
+    base.unionByName(base.withColumn("doc_id", col("doc_id") + off))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def key(c: Double) = BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val basePairs = operators.Dedup.queries("dedup_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), key(r.getDouble(2))))
+    assert(basePairs.nonEmpty, "planted fragments must surface sources")
+    val want = basePairs.flatMap { case (f, d, c) =>
+      for (x <- Seq(f, f + off); y <- Seq(d, d + off)) yield (x, y, c)
+    }.toSet
+    val got = operators.Dedup.queries("dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), key(r.getDouble(2)))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
