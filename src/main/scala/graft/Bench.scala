@@ -291,7 +291,16 @@ object Bench {
     "sf1_pipeline_eval_harness" -> "pipeline_eval_harness",
     // BM25 at 10× docs: the per-term tf pass and the 1-row stats
     // broadcast must scale map-side; top-k stays TakeOrdered
-    "sf1_text_bm25_topk" -> "text_bm25_topk")
+    "sf1_text_bm25_topk" -> "text_bm25_topk",
+    // round-15 rows: chunk-level retrieval at 10× docs — the chunk
+    // explode is output-sized, BM25 over 10× chunks stays one aggregate
+    // + TakeOrdered, and the context window stays K-bounded
+    "sf1_pipeline_rag" -> "pipeline_rag",
+    // co-purchase CC at 10×: replicas carry NEW order keys but the SAME
+    // part keys, so every pair's support and the mean scale together ×10
+    // — the filtered edge set (and the CC loop) must stay size-invariant
+    // while the self-join input grows 10×
+    "sf1_graph_components" -> "graph_components")
 
   /** Always-run sf1 points — the ACCEPTANCE PHASE set, measured before
     * anything else in the fresh JVM: the BASELINE.md-comparable headliners

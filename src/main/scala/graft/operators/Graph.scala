@@ -209,7 +209,12 @@ object Graph {
     * recursive CTE (UNION-dedup'd, so it terminates on cycles) reduced
     * by MIN label per node.
     */
-  private def components(s: SparkSession, d: String): DataFrame = {
+  /** The co-purchase edge derivation — public to `private[graft]` so the
+    * plan spec can assert its shape directly (the edges are consumed
+    * inside connectedComponents' checkpoint loop, so the final frame's
+    * executed plan no longer shows them).
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val sup = li.as("x").join(li.as("y"),
@@ -225,10 +230,13 @@ object Graph {
     // mass, so >mean keeps one giant component (98% of nodes at sf0.01);
     // 2× keeps only genuinely recurring pairs and the graph fragments
     // into the many small components a basket analysis actually mines
-    val pairs = sup.crossJoin(broadcast(m))
+    sup.crossJoin(broadcast(m))
       .filter(col("support") > lit(2) * col("avg_s"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    Dedup.connectedComponents(pairs, maxRounds = 20)
+  }
+
+  private def components(s: SparkSession, d: String): DataFrame = {
+    Dedup.connectedComponents(coPurchaseEdges(s, d), maxRounds = 20)
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).cast("long").as("n_members"))
       .orderBy(col("component"))

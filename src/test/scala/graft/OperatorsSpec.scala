@@ -734,6 +734,43 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final HashAggregate:\n$p")
   }
 
+  test("text_chunk is one map-only pass: no exchange below the presentation sort") {
+    val p = planOf("text_chunk")
+    // exactly the sort's range exchange — chunking itself (tokenize →
+    // sequence/explode → slice) must not shuffle anything
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"chunking pass shuffles beyond the presentation sort:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"the single exchange must be the presentation sort's:\n$p")
+    assert(p.contains("Generate explode"), s"no explode fan-out in:\n$p")
+  }
+
+  test("pipeline_rag retrieves via TakeOrdered, never a global corpus sort") {
+    val p = planOf("pipeline_rag")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the corpus-wide BM25 stats frame joins broadcast (1 row)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"stats frame not broadcast:\n$p")
+  }
+
+  test("graph_components thresholds via a broadcast stats frame, not a global window") {
+    // assert on the edge derivation directly: the edges are consumed
+    // inside connectedComponents' checkpoint loop, so the final frame's
+    // plan no longer shows the threshold join
+    val df = operators.Graph.coPurchaseEdges(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the mean-support threshold must not be an unpartitioned window
+    // (single-partition funnel on the corpus-scale pair set)
+    assert(!p.contains("Window"),
+      s"global window over the pair set:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"mean threshold not a 1-row broadcast join:\n$p")
+  }
+
   test("unigram apply joins the corpus word stream broadcast, never shuffled") {
     // the 100 TB contract of the apply row: the corpus side map-side
     // joins the vocab-sized word->n_tok table; a sort-merge join here
