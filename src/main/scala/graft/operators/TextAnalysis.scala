@@ -3529,13 +3529,13 @@ object TextAnalysis {
         FROM (SELECT * FROM sc ORDER BY s DESC, doc_id LIMIT $RagK)),
       cum AS (
         SELECT rnk, doc_id, n_tokens, bm25,
-               SUM(n_tokens) OVER (ORDER BY rnk
+               CAST(SUM(n_tokens) OVER (ORDER BY rnk
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS cum_tokens
+                 AS BIGINT) AS cum_tokens
         FROM top)
       SELECT rnk, doc_id // 1000 AS src_doc,
              CAST(doc_id % 1000 AS INT) AS chunk_id,
-             n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, bm25
+             n_tokens, cum_tokens, bm25
       FROM cum WHERE cum_tokens <= $RagBudget ORDER BY rnk""",
     "text_bm25_topk" -> s"""
       WITH w AS (

@@ -84,7 +84,11 @@ class HygieneSpec extends AnyFunSuite {
         // fraction tier broadcasts a sketch (tracked, unpersisted by
         // releaseAll via Caches.trackBroadcast)
         "pipeline_streaming_ingest", "text_unigram_train",
-        "text_unigram_apply", "text_decontaminate_frac_bloom"))
+        "text_unigram_apply", "text_decontaminate_frac_bloom",
+        // r15: CC consumers outside the dedup map (edge cache + final
+        // label checkpoint must die with releaseAll), and the chunk-level
+        // retrieval composition
+        "graph_components", "pipeline_rag"))
       .toSeq.sorted
 
   for (name <- cacheHeavy) {
