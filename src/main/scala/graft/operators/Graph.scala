@@ -236,10 +236,18 @@ object Graph {
   }
 
   private def components(s: SparkSession, d: String): DataFrame = {
-    Dedup.connectedComponents(coPurchaseEdges(s, d), maxRounds = 20)
-      .groupBy(col("label").as("component"))
-      .agg(count(lit(1)).cast("long").as("n_members"))
-      .orderBy(col("component"))
+    // the edge frame is consumed entirely inside connectedComponents
+    // (its convergence loop checkpoints eagerly), and coPurchaseEdges
+    // reads its support aggregate twice (mean + filter) — cache the
+    // edges for the builder's own actions and release before returning,
+    // so the lineitem self-join runs once instead of twice
+    val pairs = coPurchaseEdges(s, d).cache()
+    try {
+      Dedup.connectedComponents(pairs, maxRounds = 20)
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).cast("long").as("n_members"))
+        .orderBy(col("component"))
+    } finally { pairs.unpersist(blocking = true); () }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
