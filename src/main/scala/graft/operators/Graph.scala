@@ -217,9 +217,23 @@ object Graph {
   private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val sup = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    // per-order pair generation via collect_list + combination explode —
+    // ONE shuffle on the order key, where the equivalent lineitem
+    // self-join would shuffle the table through both join sides. Order
+    // sizes are bounded (≤7 line items in TPC-H), so the per-group
+    // combination fan-out is O(k²)-bounded per order, never corpus².
+    // sort_array makes every emitted pair (a ≤ b) positionally; the
+    // strict filter drops same-part pairs, and duplicate parts within an
+    // order emit each combination once per occurrence — exactly the
+    // multiset the x.pk < y.pk self-join counts.
+    val sup = li.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """flatten(transform(pks, (x, i) ->
+             transform(slice(pks, i + 2, size(pks)),
+                       y -> struct(x AS a, y AS b))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     // mean support as a 1-row broadcast stats frame, NOT a global
     // window: the pair set is corpus-scale here (unlike the
