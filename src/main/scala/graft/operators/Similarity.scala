@@ -682,7 +682,8 @@ object Similarity {
     // this builder (CC's convergence loop, the labels checkpoint) — so
     // cache for the builder's own actions and unpersist before returning;
     // without this every reference re-runs the md5 groupBy shuffle.
-    val groups = keyed.groupBy(col("gk")).agg(min(col("vec_id")).as("rep"))
+    val groups = keyed.groupBy(col("gk"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("gn"))
       .cache()
     val reps = corpus
       .join(groups.select(col("rep").as("vec_id")), Seq("vec_id"))
@@ -708,8 +709,13 @@ object Similarity {
     // both read materialized blocks instead of re-running the expansion
     // shuffles (the blocks fall under the Caches.releaseAll contract,
     // same as connectedComponents' final round).
+    // only multi-member groups can contribute non-representative rows, so
+    // the expansion joins the corpus-sized keyed frame against the
+    // DUPLICATE-GROUP subset (empty on a clean corpus — the join then
+    // broadcasts a near-empty side instead of shuffling corpus×corpus)
     val labels = keyed
-      .join(groups, Seq("gk"))
+      .join(groups.filter(col("gn") >= 2).select(col("gk"), col("rep")),
+        Seq("gk"))
       .filter(col("vec_id") =!= col("rep"))
       .join(repLabels, Seq("rep"), "left")
       .select(col("vec_id"), coalesce(col("label"), col("rep")).as("label"))
