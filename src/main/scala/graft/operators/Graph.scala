@@ -212,9 +212,17 @@ object Graph {
   /** The co-purchase edge derivation — public to `private[graft]` so the
     * plan spec can assert its shape directly (the edges are consumed
     * inside connectedComponents' checkpoint loop, so the final frame's
-    * executed plan no longer shows them).
+    * executed plan no longer shows them). The release thunk drops the
+    * support-aggregate cache: the sup subtree feeds BOTH the mean stats
+    * branch and the filter branch of one materialization, and exchange
+    * reuse dedupes only the shuffle write — the final corpus-scale
+    * HashAggregate would otherwise re-run per branch.
     */
-  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coPurchaseEdgesReleasable(s, d)._1
+
+  private def coPurchaseEdgesReleasable(
+      s: SparkSession, d: String): (DataFrame, () => Unit) = {
     val li = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     // per-order pair generation via collect_list + combination explode —
@@ -235,6 +243,7 @@ object Graph {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .cache()
     // mean support as a 1-row broadcast stats frame, NOT a global
     // window: the pair set is corpus-scale here (unlike the
     // nation²-bounded [[significantEdges]]), and an unpartitioned
@@ -244,24 +253,23 @@ object Graph {
     // mass, so >mean keeps one giant component (98% of nodes at sf0.01);
     // 2× keeps only genuinely recurring pairs and the graph fragments
     // into the many small components a basket analysis actually mines
-    sup.crossJoin(broadcast(m))
+    val edges = sup.crossJoin(broadcast(m))
       .filter(col("support") > lit(2) * col("avg_s"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    (edges, () => { sup.unpersist(blocking = true); () })
   }
 
   private def components(s: SparkSession, d: String): DataFrame = {
-    // the edge frame is consumed entirely inside connectedComponents
-    // (its convergence loop checkpoints eagerly), and coPurchaseEdges
-    // reads its support aggregate twice (mean + filter) — cache the
-    // edges for the builder's own actions and release before returning,
-    // so the lineitem self-join runs once instead of twice
-    val pairs = coPurchaseEdges(s, d).cache()
+    // the edges are consumed entirely inside connectedComponents (its
+    // convergence loop checkpoints eagerly), so the support cache can be
+    // released before the lazy result frame is returned
+    val (pairs, release) = coPurchaseEdgesReleasable(s, d)
     try {
       Dedup.connectedComponents(pairs, maxRounds = 20)
         .groupBy(col("label").as("component"))
         .agg(count(lit(1)).cast("long").as("n_members"))
         .orderBy(col("component"))
-    } finally { pairs.unpersist(blocking = true); () }
+    } finally release()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -692,49 +692,55 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"))
     val sc = corpus.sparkSession.sparkContext
     val blocksBeforeCc = sc.getPersistentRDDs.keySet
-    val repLabels =
-      try Dedup.connectedComponents(pairs, maxRounds = 20)
+    // the builder-scoped caches and CC's checkpoint blocks must be
+    // released on ANY in-builder failure (CC divergence, an executor
+    // loss during the label checkpoint, the bound probe) — the returned
+    // frame reads only the eagerly-checkpointed labels and the caller's
+    // corpus, so by the success path's end they are dead too
+    try {
+      val repLabels = Dedup.connectedComponents(pairs, maxRounds = 20)
         .select(col("node").as("rep"), col("label"))
-      catch { case e: Throwable =>
-        reps.unpersist(blocking = true)
-        groups.unpersist(blocking = true)
-        throw e
-      }
-    val ccBlocks = sc.getPersistentRDDs.keySet.diff(blocksBeforeCc)
-    // Re-attach non-representative members (exactly the exact-duplicate
-    // rows, so this union stays DUPLICATE-sized like the pre-collapse
-    // labels were): a member's component label is its rep's CC label, or
-    // the rep itself when the rep sits in no cross-rep pair. Eager
-    // localCheckpoint so the bound probe below and the final label join
-    // both read materialized blocks instead of re-running the expansion
-    // shuffles (the blocks fall under the Caches.releaseAll contract,
-    // same as connectedComponents' final round).
-    // only multi-member groups can contribute non-representative rows, so
-    // the expansion joins the corpus-sized keyed frame against the
-    // DUPLICATE-GROUP subset (empty on a clean corpus — the join then
-    // broadcasts a near-empty side instead of shuffling corpus×corpus)
-    val labels = keyed
-      .join(groups.filter(col("gn") >= 2).select(col("gk"), col("rep")),
-        Seq("gk"))
-      .filter(col("vec_id") =!= col("rep"))
-      .join(repLabels, Seq("rep"), "left")
-      .select(col("vec_id"), coalesce(col("label"), col("rep")).as("label"))
-      .unionByName(repLabels.select(col("rep").as("vec_id"), col("label")))
-      .localCheckpoint(true)
-    // the expansion is materialized; CC's final-round blocks and the
-    // builder-scoped rep caches are now dead
-    ccBlocks.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
-    reps.unpersist(blocking = true)
-    groups.unpersist(blocking = true)
-    val labelSide =
-      if (labels.count() <= maxBroadcastLabels) broadcast(labels) else labels
-    corpus.select(col("vec_id"))
-      .join(labelSide, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("label"), col("vec_id")).as("cluster"),
-        (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("kept"))
-      .orderBy(col("vec_id"))
+      val ccBlocks = sc.getPersistentRDDs.keySet.diff(blocksBeforeCc)
+      def dropCc(): Unit = ccBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+      try {
+        // Re-attach non-representative members (exactly the
+        // exact-duplicate rows, so this union stays DUPLICATE-sized like
+        // the pre-collapse labels were): a member's component label is
+        // its rep's CC label, or the rep itself when the rep sits in no
+        // cross-rep pair. Only multi-member groups can contribute
+        // non-representative rows, so the expansion joins the
+        // corpus-sized keyed frame against the DUPLICATE-GROUP subset
+        // (empty on a clean corpus — the join then broadcasts a
+        // near-empty side instead of shuffling corpus×corpus). Eager
+        // localCheckpoint so the bound probe below and the final label
+        // join both read materialized blocks instead of re-running the
+        // expansion shuffles (the blocks fall under the
+        // Caches.releaseAll contract, same as CC's final round).
+        val labels = keyed
+          .join(groups.filter(col("gn") >= 2).select(col("gk"), col("rep")),
+            Seq("gk"))
+          .filter(col("vec_id") =!= col("rep"))
+          .join(repLabels, Seq("rep"), "left")
+          .select(col("vec_id"), coalesce(col("label"), col("rep")).as("label"))
+          .unionByName(repLabels.select(col("rep").as("vec_id"), col("label")))
+          .localCheckpoint(true)
+        // the expansion is materialized; CC's final-round blocks are dead
+        dropCc()
+        val labelSide =
+          if (labels.count() <= maxBroadcastLabels) broadcast(labels)
+          else labels
+        corpus.select(col("vec_id"))
+          .join(labelSide, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("label"), col("vec_id")).as("cluster"),
+            (coalesce(col("label"), col("vec_id")) === col("vec_id")).as("kept"))
+          .orderBy(col("vec_id"))
+      } catch { case e: Throwable => dropCc(); throw e }
+    } finally {
+      reps.unpersist(blocking = true)
+      groups.unpersist(blocking = true)
+    }
   }
 
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {

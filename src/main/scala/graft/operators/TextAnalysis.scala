@@ -71,6 +71,13 @@ object TextAnalysis {
   private val RagTerms = Seq("merge", "filter", "spark")
   private val RagK = 20
   private val RagBudget = 128
+  /** Chunk-key packing multiplier: supports docs up to 10⁶ chunks
+    * (≈24M whitespace tokens at the 24-token stride) before doc_id
+    * collision; the Spark side raises on violation rather than silently
+    * colliding (the oracle replays the same packing, so a collision
+    * would otherwise agree across engines and pass the gate).
+    */
+  private val RagKeyMult = 1000000L
 
   /** RAG retrieval + context assembly — the seventh composition row,
     * chaining the chunking tier into the retrieval stack the way a
@@ -83,9 +90,11 @@ object TextAnalysis {
     * [[RagBudget]]-token context window: cumulative token count in rank
     * order, cut at the budget — retrieval ends where the context window
     * fills, exactly the serving-side packing rule. Chunk identity rides a
-    * packed key (doc_id·1000 + chunk_id; chunk counts are ≤ ~40 at any
-    * fixture shape, bounded by max doc length / stride) and is decomposed
-    * back to (src_doc, chunk_id) provenance in the output. Scale shape:
+    * packed key (doc_id·[[RagKeyMult]] + chunk_id, with a raise_error
+    * guard on overflow — a silent collision would agree with the
+    * oracle's identical packing and PASS the gate, so the engine fails
+    * loudly instead) and is decomposed back to (src_doc, chunk_id)
+    * provenance in the output. Scale shape:
     * chunking is the map-only pass, BM25 is one corpus aggregate + a
     * top-k (TakeOrdered — never a global sort of the corpus), and the
     * budget window runs over K ≤ 20 rows. The oracle replays chunking
@@ -94,7 +103,12 @@ object TextAnalysis {
     */
   private def pipelineRag(s: SparkSession, d: String): DataFrame = {
     val chunkCorpus = chunkedDocs(s, d).select(
-      (col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+      when(col("chunk_id") < RagKeyMult,
+          col("doc_id") * RagKeyMult + col("chunk_id"))
+        .otherwise(raise_error(concat(
+          lit("pipeline_rag: doc "), col("doc_id").cast("string"),
+          lit(s" exceeds $RagKeyMult chunks — widen RagKeyMult"))))
+        .as("doc_id"),
       array_join(col("chunk"), " ").as("text"))
     val top = bm25TopK(chunkCorpus, RagTerms, RagK)
     val w = Window.orderBy(col("rnk"))
@@ -102,8 +116,8 @@ object TextAnalysis {
     top.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= RagBudget)
       .select(col("rnk"),
-        expr("doc_id div 1000").as("src_doc"),
-        (col("doc_id") % 1000).cast("int").as("chunk_id"),
+        expr(s"doc_id div $RagKeyMult").as("src_doc"),
+        (col("doc_id") % RagKeyMult).cast("int").as("chunk_id"),
         col("n_tokens"),
         col("cum_tokens").cast("long").as("cum_tokens"),
         col("bm25"))
@@ -3487,7 +3501,7 @@ object TextAnalysis {
         SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS chunk_id, w
         FROM toks),
       cdocs AS (
-        SELECT doc_id * 1000 + chunk_id AS doc_id,
+        SELECT doc_id * $RagKeyMult + chunk_id AS doc_id,
                array_to_string(
                  list_slice(w, chunk_id * $ChunkStride + 1,
                             chunk_id * $ChunkStride + $ChunkSize), ' ') AS text
@@ -3533,8 +3547,8 @@ object TextAnalysis {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_tokens
         FROM top)
-      SELECT rnk, doc_id // 1000 AS src_doc,
-             CAST(doc_id % 1000 AS INT) AS chunk_id,
+      SELECT rnk, doc_id // $RagKeyMult AS src_doc,
+             CAST(doc_id % $RagKeyMult AS INT) AS chunk_id,
              n_tokens, cum_tokens, bm25
       FROM cum WHERE cum_tokens <= $RagBudget ORDER BY rnk""",
     "text_bm25_topk" -> s"""
