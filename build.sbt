@@ -10,6 +10,17 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The bench harvester parses the LAST line of a ~2000-char combined tail.
+// sbt's default forked-run logger prefixes child stdout with "[info] " and
+// appends a "[success] Total time: ..." banner AFTER the bench JSON — 15
+// rounds of BENCH_r*.json came back "parsed": null because of those two
+// lines. Pass forked-process output through verbatim and drop the banner so
+// graft.Bench's compact JSON is the final stdout line sbt emits.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by a task — lintUnused
+// can't see that and would print a [warn] block into every run's tail
+Global / excludeLintKeys += showSuccess
 // suites share one SparkSession and HygieneSpec asserts GLOBAL storage
 // state (getPersistentRDDs empty after release) — concurrent suites would
 // race those assertions; Spark parallelizes within each job anyway
