@@ -218,10 +218,7 @@ object Graph {
     * reuse dedupes only the shuffle write — the final corpus-scale
     * HashAggregate would otherwise re-run per branch.
     */
-  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
-    coPurchaseEdgesReleasable(s, d)._1
-
-  private def coPurchaseEdgesReleasable(
+  private[graft] def coPurchaseEdgesReleasable(
       s: SparkSession, d: String): (DataFrame, () => Unit) = {
     val li = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

@@ -667,15 +667,37 @@ object Similarity {
     * in every band, cos = 1 ≥ t) are always found — components over the
     * full corpus are exactly the group-unions of components over reps
     * (spec-pinned against the uncollapsed reference on a replicated
-    * corpus).
+    * corpus). Zero-norm and NaN-containing vectors sit OUTSIDE the
+    * cos-exactly-1 argument and are excluded from the collapse — each
+    * stays its own singleton group and rides the banded machinery like
+    * any other rep. Zero-norm is the correctness case: cosine() maps it
+    * to 0.0, so identical zero vectors never verify as pairs and a
+    * collapse would wrongly merge them. NaN vectors pair promiscuously
+    * instead (Spark SQL orders NaN above every number, so a NaN verify
+    * score passes `>= t`) — identically with or without collapse, but
+    * excluding them keeps the equivalence proof on the cos=1 case alone.
     */
   def semanticDedupVerdicts(corpus: DataFrame,
                             t: Double = LshThreshold,
                             maxBroadcastLabels: Long = 5L * 1000 * 1000)
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    // Zero-norm and NaN-containing vectors are EXCLUDED from the collapse
+    // (keyed by vec_id — each its own singleton group, see the scaladoc):
+    // identical ZERO vectors never pair in the uncollapsed pipeline
+    // (cosine() maps zero-norm to 0.0), so a digest-keyed collapse would
+    // merge them and diverge from the oracle (ADVICE r15); NaN vectors
+    // are excluded to keep the equivalence argument on the cos=1 case.
+    // All-zero elements ⟺ zero norm here: the accumulation is double and
+    // the smallest nonzero float squares to ~2e-90, far above double
+    // underflow, so no nonzero element can vanish from the norm.
+    val collapsible = not(exists(col("v"), x => isnan(x))) &&
+      not(forall(col("v"), x => x === lit(0.0f)))
     val keyed = corpus
-      .select(col("vec_id"), md5(col("v").cast("string")).as("gk"))
+      .select(col("vec_id"),
+        when(collapsible, md5(col("v").cast("string")))
+          .otherwise(concat(lit("solo:"), col("vec_id").cast("string")))
+          .as("gk"))
     // groups and reps are each referenced several times by the banded
     // machinery below (band explode ×2, cosine-verify ×2, the member
     // expansion) and everything that reads them is materialized INSIDE

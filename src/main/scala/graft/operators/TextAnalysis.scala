@@ -102,12 +102,18 @@ object TextAnalysis {
     * fixed term order, and the cumulative budget cut.
     */
   private def pipelineRag(s: SparkSession, d: String): DataFrame = {
+    // both packing factors are guarded: chunk_id < RagKeyMult keeps the
+    // chunk slot in range, and doc_id <= Long.MaxValue / RagKeyMult keeps
+    // the product itself from wrapping under Spark's non-ANSI multiply
+    // (ADVICE r15 — the oracle side would raise where the engine wrapped)
     val chunkCorpus = chunkedDocs(s, d).select(
-      when(col("chunk_id") < RagKeyMult,
+      when(col("chunk_id") < RagKeyMult &&
+           col("doc_id") <= lit(Long.MaxValue / RagKeyMult),
           col("doc_id") * RagKeyMult + col("chunk_id"))
         .otherwise(raise_error(concat(
           lit("pipeline_rag: doc "), col("doc_id").cast("string"),
-          lit(s" exceeds $RagKeyMult chunks — widen RagKeyMult"))))
+          lit(s" exceeds $RagKeyMult chunks or the packed-key range — " +
+            "widen RagKeyMult"))))
         .as("doc_id"),
       array_join(col("chunk"), " ").as("text"))
     val top = bm25TopK(chunkCorpus, RagTerms, RagK)

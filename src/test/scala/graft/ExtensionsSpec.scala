@@ -659,7 +659,18 @@ class SimilaritySpec extends AnyFunSuite {
     // scaladoc made executable: banding is deterministic in the vector,
     // so rep pairs stand in for member pairs exactly.
     import operators.{Dedup, Similarity}
-    val base = Similarity.lshCorpus(spark, sfDir)
+    // plant duplicate ZERO and NaN vectors: cosine is 0.0/NaN on these,
+    // so the uncollapsed pipeline never pairs them (each stays its own
+    // singleton cluster) — the md5 pre-collapse must not merge them
+    // either (ADVICE r15: an unconditional collapse attached identical
+    // zero vectors to one rep's label, diverging from the oracle)
+    val dim = Similarity.lshCorpus(spark, sfDir)
+      .select(size(col("v"))).head().getInt(0)
+    val degenerate = spark.range(4).select(
+      (col("id") + 900000000L).as("vec_id"),
+      when(col("id") < 2, array_repeat(lit(0.0f), dim))
+        .otherwise(array_repeat(lit(Float.NaN), dim)).as("v"))
+    val base = Similarity.lshCorpus(spark, sfDir).unionByName(degenerate)
     val step = base.agg(max(col("vec_id"))).head().getLong(0) + 1
     val corpus = base
       .crossJoin(broadcast(spark.range(3).select(col("id").as("rep"))))
@@ -684,9 +695,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got.size == want.size, s"${got.size} vs ${want.size} verdicts")
       assert(got == want,
         "collapsed and uncollapsed semantic-dedup verdicts diverge")
-      // every replica group collapsed onto one keeper: survivors are at
-      // most one per distinct vector (= the unreplicated corpus size)
-      assert(got.count(_._3) <= base.count(),
+      // the planted ZERO vectors (2 × 3 replicas) must each stay their
+      // own singleton keeper: cosine() maps zero-norm inputs to 0.0, so
+      // the uncollapsed pipeline never pairs them — a collapse that
+      // merged them would label members with a rep's cluster id. The NaN
+      // vectors are NOT asserted singleton: under Spark SQL ordering NaN
+      // compares greater than any number, so `cosine >= t` holds for
+      // NaN-poisoned verify scores and NaN vectors attach to whatever
+      // they band-collide with — identically in both pipelines, which
+      // the got==want equality above already pins.
+      val zeroIds = (for { id <- 900000000L to 900000001L; r <- 0L to 2L }
+        yield id + r * step).toSet
+      val zeroGot = got.filter(t => zeroIds(t._1))
+      assert(zeroGot.size == 6 &&
+        zeroGot.forall(t => t._3 && t._2 == t._1),
+        s"zero-norm vectors must stay singleton keepers: $zeroGot")
+      // every replica group of DEFINED vectors collapsed onto one keeper:
+      // survivors are at most one per distinct defined vector plus the
+      // 12 never-collapsed degenerates
+      assert(got.count(_._3) <= base.count() - 4 + 12,
         "replicas not collapsed — more keepers than distinct vectors")
     } finally {
       corpus.unpersist(blocking = true)

@@ -759,9 +759,14 @@ class PlanSpec extends AnyFunSuite {
     // assert on the edge derivation directly: the edges are consumed
     // inside connectedComponents' checkpoint loop, so the final frame's
     // plan no longer shows the threshold join
-    val df = operators.Graph.coPurchaseEdges(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
-    val p = df.queryExecution.executedPlan.toString
+    // releasable form: the wrapper that discarded the release thunk left
+    // the support-aggregate cache persisted for the rest of the session
+    // (ADVICE r15) — release it once the plan is finalized
+    val (df, release) = operators.Graph.coPurchaseEdgesReleasable(spark, sfDir)
+    val p = try {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    } finally release()
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
     // the mean-support threshold must not be an unpartitioned window
     // (single-partition funnel on the corpus-scale pair set)
