@@ -623,6 +623,26 @@ object Similarity {
     hyperplaneLshPairs(lshCorpus(s, d), LshThreshold)
   }
 
+  /** Exact-duplicate collapse key: md5 of the vector's string form
+    * (shortest-roundtrip rendering — distinct bit patterns never collide
+    * textually; a false merge needs a 2^-128 digest collision). Zero-norm
+    * and NaN-containing vectors are singleton-keyed by id instead — each
+    * stays its own group (ADVICE r15): identical ZERO vectors never
+    * verify as pairs (cosine() maps zero-norm to 0.0), so a digest merge
+    * would diverge from the uncollapsed pipeline; NaN vectors are kept
+    * out to confine the equivalence argument to the cos-exactly-1 case.
+    * All-zero elements ⟺ zero norm: the accumulation is double and the
+    * smallest nonzero float squares to ~2e-90, far above double
+    * underflow, so no nonzero element can vanish from the norm. Shared by
+    * [[semanticDedupVerdicts]] and [[pipelineSemdedup]].
+    */
+  private def vecCollapseKey(vec: Column, id: Column): Column = {
+    val collapsible = not(exists(vec, x => isnan(x))) &&
+      not(forall(vec, x => x === lit(0.0d)))
+    when(collapsible, md5(vec.cast("string")))
+      .otherwise(concat(lit("solo:"), id.cast("string")))
+  }
+
   /** Semantic deduplication (SemDeDup-shape): collapse documents that are
     * near-duplicates in EMBEDDING space — paraphrases and re-encodings
     * that no lexical tier (shingles, minhash, simhash) can see — into one
@@ -682,22 +702,8 @@ object Similarity {
                             maxBroadcastLabels: Long = 5L * 1000 * 1000)
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    // Zero-norm and NaN-containing vectors are EXCLUDED from the collapse
-    // (keyed by vec_id — each its own singleton group, see the scaladoc):
-    // identical ZERO vectors never pair in the uncollapsed pipeline
-    // (cosine() maps zero-norm to 0.0), so a digest-keyed collapse would
-    // merge them and diverge from the oracle (ADVICE r15); NaN vectors
-    // are excluded to keep the equivalence argument on the cos=1 case.
-    // All-zero elements ⟺ zero norm here: the accumulation is double and
-    // the smallest nonzero float squares to ~2e-90, far above double
-    // underflow, so no nonzero element can vanish from the norm.
-    val collapsible = not(exists(col("v"), x => isnan(x))) &&
-      not(forall(col("v"), x => x === lit(0.0f)))
     val keyed = corpus
-      .select(col("vec_id"),
-        when(collapsible, md5(col("v").cast("string")))
-          .otherwise(concat(lit("solo:"), col("vec_id").cast("string")))
-          .as("gk"))
+      .select(col("vec_id"), vecCollapseKey(col("v"), col("vec_id")).as("gk"))
     // groups and reps are each referenced several times by the banded
     // machinery below (band explode ×2, cosine-verify ×2, the member
     // expansion) and everything that reads them is materialized INSIDE
@@ -781,7 +787,7 @@ object Similarity {
   private val KmIters = 2
 
   /** Quantization scale: dim value → ⌊x·1000⌋ (BIGINT). */
-  private val KmScale = 1000
+  private[graft] val KmScale = 1000
 
   /** Integer squared distance between a quantized vector column and a
     * literal quantized centroid: Σ(qᵢ−cᵢ)², folded in array order. All
@@ -798,7 +804,7 @@ object Similarity {
     * CASE chain (ties break to the smaller cluster id, same chain in the
     * oracle). Returns (vec_id, q, cluster, d2).
     */
-  private def kmAssign(qv: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
+  private[graft] def kmAssign(qv: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
     val dists = cents.zipWithIndex.map { case (c, i) => kmDist2(col("q"), c).as(s"d$i") }
     val k = cents.size
     val withD = qv.select(col("vec_id") +: col("q") +: dists: _*)
@@ -840,27 +846,39 @@ object Similarity {
     * (same convention as [[kmeansCentroids]]; the oracle mirrors it with
     * a LEFT JOIN + COALESCE).
     */
+  /** [[KmIters]] quantized Lloyd iterations over a (vec_id, q) frame:
+    * seeds from the [[KmK]] smallest vec_ids, map-only assignment, one
+    * partial-aggregated update shuffle per round, centroids as k×dim
+    * driver metadata throughout (the IVF precedent). Shared by the
+    * standalone [[clusterKmeans]] row and the [[pipelineSemdedup]]
+    * composition, which fits the same kernel over the planted corpus.
+    */
+  private[graft] def kmFit(qv: DataFrame): Seq[Seq[Long]] = {
+    var cents: Seq[Seq[Long]] = qv.orderBy(col("vec_id")).limit(KmK)
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    for (_ <- 1 to KmIters) {
+      val next = kmAssign(qv, cents)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1))).as("cx"))
+        .collect()
+      val byCluster = next.groupBy(_.getInt(0)).map { case (c, rows) =>
+        (c, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        byCluster.getOrElse(c, prev)
+      }
+    }
+    cents
+  }
+
   private[graft] def clusterKmeans(s: SparkSession, d: String): DataFrame = {
     val qv = emb(s, d)
       .select(col("vec_id"),
         transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
       .cache()
     try {
-      var cents: Seq[Seq[Long]] = qv.orderBy(col("vec_id")).limit(KmK)
-        .collect().map(_.getSeq[Long](1).toSeq).toSeq
-      for (_ <- 1 to KmIters) {
-        val next = kmAssign(qv, cents)
-          .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
-          .groupBy(col("cluster"), col("pos"))
-          .agg(floor(sum(col("x")).cast(DoubleType) / count(lit(1))).as("cx"))
-          .collect()
-        val byCluster = next.groupBy(_.getInt(0)).map { case (c, rows) =>
-          (c, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
-        }
-        cents = cents.zipWithIndex.map { case (prev, c) =>
-          byCluster.getOrElse(c, prev)
-        }
-      }
+      val cents = kmFit(qv)
       val assigned = kmAssign(qv, cents)
         .select(col("vec_id"), col("cluster"), col("d2"))
       val sizes = assigned.groupBy(col("cluster"))
@@ -869,6 +887,134 @@ object Similarity {
         .select(col("vec_id"), col("cluster"), col("d2"), col("n_members"))
         .orderBy(col("vec_id"))
     } finally { qv.unpersist(blocking = true); () }
+  }
+
+  /** SemDeDup end-to-end (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — the
+    * canonical LLM-pipeline composition over the embedding tier: k-means
+    * cluster the corpus, then near-dup WITHIN each cluster only (the
+    * clustering bounds the candidate set without LSH recall loss — the
+    * whole point of SemDeDup), keep one representative per duplicate
+    * set, and report the per-cluster keep/drop funnel.
+    *
+    * Stages, each reusing a proven kernel:
+    *  1. the planted near-dup corpus ([[lshCorpus]] — the raw fixture's
+    *     max pair cos ≈ 0.51, so the oracle-checked corpus plants one
+    *     ≈0.977 copy per vector, the same geometry the LSH tier is gated
+    *     on);
+    *  2. ENGINE-EXACT quantized k-means ([[kmFit]]/[[kmAssign]] — the
+    *     [[clusterKmeans]] kernel, integer-exact so DuckDB replays both
+    *     Lloyd rounds relationally and the assignment hash-matches);
+    *  3. exact-duplicate pre-collapse ([[vecCollapseKey]]): identical
+    *     vectors quantize identically, so they land in the same cluster
+    *     and pair at cos = 1 — the banded tier's collapse argument
+    *     specializes to the greedy rule (proof below), and on a
+    *     replica-heavy corpus it takes the within-cluster pair join from
+    *     r²·Σ|c|² to Σ|c_distinct|²;
+    *  4. within-cluster greedy dedup at cos ≥ [[LshThreshold]]: rep b
+    *     drops iff some rep a < b in the same cluster has
+    *     cos(a,b) ≥ t — SemDeDup's keep-one-per-duplicate-set rule in
+    *     its deterministic lowest-id form (the paper keeps a random/
+    *     farthest member; min-id is the engine-replayable choice);
+    *  5. funnel: per cluster, members / dropped / kept.
+    *
+    * Collapse ⟺ greedy equivalence: cluster() and cos() are functions of
+    * the vector VALUE, and rep = min(group). A non-rep member m always
+    * has its rep < m, cos(rep,m) = 1 ≥ t, same cluster → m drops. A rep
+    * b has an uncollapsed witness a < b (same cluster, cos ≥ t) iff the
+    * group holding a has min(group) < b with the same cosine against b —
+    * i.e. iff a REP witness exists. So dropped(full) = non-rep members ∪
+    * dropped(reps), which is exactly what stages 3-4 compute. Zero-norm/
+    * NaN vectors are singleton-keyed (never collapsed), so the argument
+    * never touches the cos-undefined cases.
+    *
+    * Scale shape: the Lloyd passes are map-only + one partitions×k×dim
+    * update exchange per round; the pair stage is an EQUI-join on the
+    * cluster key whose cost is Σ|cluster|² — bounded by choosing k so
+    * clusters stay ~constant-sized (SemDeDup runs k ≈ n/‹target size›;
+    * the fixture row pins k = [[KmK]] for the oracle replay, and
+    * [[kmAssign]]'s literal-centroid path hands off to the broadcast-join
+    * argmax above [[AssignLiteralMaxK]] for production k). The dropped
+    * set is materialized once (duplicate-sized, eager localCheckpoint —
+    * released under the Caches.releaseAll contract) so the returned
+    * frame re-reads only one map-only assignment pass. The funnel output
+    * is k rows.
+    */
+  /** Stages 2-4 of [[pipelineSemdedup]] with the builder caches exposed
+    * as a release thunk: returns (assigned, dropped, release) where
+    * `assigned` is the map-only (vec_id, cluster) frame, `dropped` is the
+    * LAZY union of greedy-dropped reps and collapsed members, and
+    * `release` unpersists the corpus/quantized/group caches. Callers
+    * must materialize everything they need from `dropped` before
+    * releasing (the funnel localCheckpoints it); the spec uses this form
+    * to plan-assert the pair stage directly.
+    */
+  private[graft] def semdedupDroppedReleasable(corpus: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cached = corpus.select(col("vec_id"), col("v")).cache()
+    val qv = cached.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(KmScale))).as("q")).cache()
+    val keyed = cached
+      .select(col("vec_id"), vecCollapseKey(col("v"), col("vec_id")).as("gk"))
+    val groups = keyed.groupBy(col("gk"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("gn"))
+      .cache()
+    val release = () => {
+      groups.unpersist(blocking = true)
+      qv.unpersist(blocking = true)
+      cached.unpersist(blocking = true)
+      ()
+    }
+    try {
+      val cents = kmFit(qv)
+      val assigned = kmAssign(qv, cents).select(col("vec_id"), col("cluster"))
+      val reps = cached
+        .join(groups.select(col("rep").as("vec_id")), Seq("vec_id"))
+        .join(assigned, Seq("vec_id"))
+      val lhs = reps.select(col("cluster"), col("vec_id").as("ida"),
+        col("v").as("va"))
+      val rhs = reps.select(col("cluster"), col("vec_id").as("idb"),
+        col("v").as("vb"))
+      val droppedReps = lhs.join(rhs, Seq("cluster"))
+        .filter(col("ida") < col("idb"))
+        .filter(GraftFunctions.cosine_sim(col("va"), col("vb")) >= LshThreshold)
+        .select(col("idb").as("vec_id"))
+      val droppedMembers = keyed
+        .join(groups.filter(col("gn") >= 2).select(col("gk"), col("rep")),
+          Seq("gk"))
+        .filter(col("vec_id") =!= col("rep"))
+        .select(col("vec_id"))
+      (assigned, droppedReps.unionByName(droppedMembers).distinct(), release)
+    } catch { case e: Throwable => release(); throw e }
+  }
+
+  /** The full funnel over any (vec_id, v) corpus — [[pipelineSemdedup]]
+    * applies it to the planted corpus; the spec applies it to a
+    * replicated one to pin the collapse ⟺ greedy equivalence with the
+    * member-expansion path actually exercised.
+    */
+  private[graft] def semdedupFunnel(corpus: DataFrame): DataFrame = {
+    val (assigned, droppedLazy, release) = semdedupDroppedReleasable(corpus)
+    try {
+      // duplicate-sized; eager so the builder caches can be released
+      // before the lazy funnel frame is returned (the checkpoint blocks
+      // fall under the Caches.releaseAll contract)
+      val dropped = droppedLazy.withColumn("is_dropped", lit(true))
+        .localCheckpoint(true)
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"))
+        .select(col("cluster"), col("n_members"), col("n_dropped"),
+          (col("n_members") - col("n_dropped")).as("n_kept"))
+        .orderBy(col("cluster"))
+    } finally release()
+  }
+
+  private[graft] def pipelineSemdedup(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    semdedupFunnel(lshCorpus(s, d))
   }
 
   /** Scalar int8 quantization of the embedding corpus — the storage
@@ -1070,7 +1216,8 @@ object Similarity {
     "ann_pq_full_rerank" -> pqFullRerank _,
     "dedup_embedding_threshold" -> embeddingThreshold _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _,
-    "dedup_semantic" -> dedupSemantic _
+    "dedup_semantic" -> dedupSemantic _,
+    "pipeline_semdedup" -> (pipelineSemdedup _)
   )
 
   /** Exact cosine top-k in DuckDB — the oracle for the brute row AND for
@@ -1213,6 +1360,55 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "cluster_kmeans" -> KmOracleSql,
+    // the planted corpus rebuilt, the SAME quantized Lloyd replay as
+    // cluster_kmeans fitted over it, then the UNCOLLAPSED greedy
+    // within-cluster drop rule (b drops iff any a < b in its cluster has
+    // cos >= t — the engine's rep-collapse is output-equivalent, see the
+    // pipelineSemdedup scaladoc) and the per-cluster funnel. n² oracle:
+    // the within-cluster pair set is explicit here; the engine side
+    // stays collapse-bounded.
+    "pipeline_semdedup" -> s"""
+      WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      copies AS (
+        SELECT vec_id + $LshCopyOffset AS vec_id,
+               [v[i]*0.9 + v[len(v)-i+1]*0.1 FOR i IN range(1, len(v)+1)] AS v
+        FROM base),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+      qv AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * $KmScale) AS BIGINT)) AS q
+        FROM corpus),
+      e AS (
+        SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS x
+        FROM qv),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q
+        FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $KmK)),
+      s0 AS (
+        SELECT c, generate_subscripts(q, 1) AS pos, unnest(q) AS cx
+        FROM seeds),
+      ${kmRoundSql(1, "s0")},
+      ${kmUpdateSql(1, 1, "s0")},
+      ${kmRoundSql(2, "s1")},
+      ${kmUpdateSql(2, 2, "s1")},
+      ${kmRoundSql(3, "s2")},
+      dropped AS (
+        SELECT DISTINCT cb.vec_id AS vec_id
+        FROM corpus a
+        JOIN a3 ca ON ca.vec_id = a.vec_id
+        JOIN a3 cb ON cb.cluster = ca.cluster AND cb.vec_id > ca.vec_id
+        JOIN corpus b ON b.vec_id = cb.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= $LshThreshold)
+      SELECT CAST(a3.cluster AS INT) AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+             CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1
+                                      ELSE 0 END) AS BIGINT) AS n_kept
+      FROM a3 LEFT JOIN dropped d ON a3.vec_id = d.vec_id
+      GROUP BY a3.cluster
+      ORDER BY cluster""",
     "emb_pca_power" -> s"""
       $PcaCteSql
       SELECT CAST(v2.pi AS INT) AS pos,

@@ -721,6 +721,64 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_semdedup: collapse equals the uncollapsed greedy rule on a replicated corpus") {
+    // SemDeDup's rep-collapse made executable: on a 3×-replicated corpus
+    // the member-expansion path (never exercised at sf0.01, where every
+    // vector is distinct) must reproduce the UNCOLLAPSED greedy funnel —
+    // b drops iff any a < b in its cluster has cos >= t over the FULL
+    // corpus — cluster for cluster.
+    import operators.Similarity
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val base = Similarity.lshCorpus(spark, sfDir)
+    val step = base.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val corpus = base
+      .crossJoin(broadcast(spark.range(3).select(col("id").as("rep"))))
+      .withColumn("vec_id", col("vec_id") + col("rep") * step)
+      .drop("rep").cache()
+    try {
+      val got = Similarity.semdedupFunnel(corpus).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val qv = corpus.select(col("vec_id"),
+        transform(col("v"), x => floor(x * lit(Similarity.KmScale))).as("q"))
+      val cents = Similarity.kmFit(qv)
+      val assigned = Similarity.kmAssign(qv, cents)
+        .select(col("vec_id"), col("cluster"))
+      val withV = corpus.join(assigned, Seq("vec_id"))
+      val lhs = withV.select(col("cluster"), col("vec_id").as("ida"),
+        col("v").as("va"))
+      val rhs = withV.select(col("cluster"), col("vec_id").as("idb"),
+        col("v").as("vb"))
+      val dropped = lhs.join(rhs, Seq("cluster"))
+        .filter(col("ida") < col("idb"))
+        .filter(GraftFunctions.cosine_sim(col("va"), col("vb"))
+          >= Similarity.LshThreshold)
+        .select(col("idb").as("vec_id")).distinct()
+        .withColumn("dd", lit(true))
+      val want = assigned.join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("dd"), 1L).otherwise(0L)).as("n_dropped"))
+        .select(col("cluster"), col("n_members"), col("n_dropped"),
+          (col("n_members") - col("n_dropped")).as("n_kept"))
+        .orderBy(col("cluster")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == want, s"collapsed funnel diverges:\n$got\nvs\n$want")
+      // the replicas and planted copies actually dedup: every original
+      // keeps at most one survivor out of its 6 variants (3 replicas ×
+      // {base, planted copy}), so at least 2/3 of the corpus drops
+      val n = corpus.count()
+      assert(got.map(_._3).sum >= n * 2 / 3,
+        s"only ${got.map(_._3).sum} of $n dropped — replicas not deduped")
+      assert(got.map(_._2).sum == n, "funnel members must cover the corpus")
+    } finally {
+      corpus.unpersist(blocking = true)
+      Caches.releaseAll(spark)
+    }
+  }
+
   test("broadcast argmax assignment at k=64 equals the literal path exactly") {
     import operators.Similarity
     // k=64 is above AssignLiteralMaxK, so production dispatch (kmeans,

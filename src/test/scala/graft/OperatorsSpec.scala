@@ -755,6 +755,27 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"stats frame not broadcast:\n$p")
   }
 
+  test("pipeline_semdedup pairs within clusters via an equi-join, never a cartesian") {
+    // the SemDeDup contract: clustering BOUNDS the candidate set — the
+    // pair stage must be an equi-join on the cluster key, and the full
+    // funnel frame must stay cartesian-free
+    val corpus = operators.Similarity.lshCorpus(spark, sfDir)
+    val (_, dropped, release) =
+      operators.Similarity.semdedupDroppedReleasable(corpus)
+    try {
+      dropped.write.format("noop").mode("overwrite").save()
+      val p = dropped.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian pair stage:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"non-equi pair join:\n$p")
+    } finally release()
+    val funnel = SparkEntry.queries("pipeline_semdedup")(spark, sfDir)
+    funnel.write.format("noop").mode("overwrite").save()
+    val fp = funnel.queryExecution.executedPlan.toString
+    assert(!fp.contains("CartesianProduct"), s"cartesian in funnel:\n$fp")
+    Caches.releaseAll(spark)
+  }
+
   test("graph_components thresholds via a broadcast stats frame, not a global window") {
     // assert on the edge derivation directly: the edges are consumed
     // inside connectedComponents' checkpoint loop, so the final frame's

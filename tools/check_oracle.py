@@ -24,7 +24,7 @@ N2_ORACLES = {
     "dedup_clusters", "dedup_keep", "dedup_incremental",
     "pipeline_streaming_ingest",
     "dedup_embedding_threshold", "dedup_embedding_cos", "dedup_embedding_lsh",
-    "dedup_semantic",
+    "dedup_semantic", "pipeline_semdedup",
     "text_decontaminate", "text_decontaminate_bloom",
     "ann_brute_topk", "ann_ivf_full_probe", "ann_pq_full_rerank",
 }
