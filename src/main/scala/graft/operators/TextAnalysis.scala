@@ -101,12 +101,15 @@ object TextAnalysis {
     * (generate_series/list_slice), the full BM25 arithmetic in the same
     * fixed term order, and the cumulative budget cut.
     */
-  private def pipelineRag(s: SparkSession, d: String): DataFrame = {
-    // both packing factors are guarded: chunk_id < RagKeyMult keeps the
-    // chunk slot in range, and doc_id <= Long.MaxValue / RagKeyMult keeps
-    // the product itself from wrapping under Spark's non-ANSI multiply
-    // (ADVICE r15 — the oracle side would raise where the engine wrapped)
-    val chunkCorpus = chunkedDocs(s, d).select(
+  /** Packed-key chunk corpus shared by the RAG rows: chunk identity rides
+    * doc_id·[[RagKeyMult]] + chunk_id. Both packing factors are guarded:
+    * chunk_id < RagKeyMult keeps the chunk slot in range, and
+    * doc_id <= Long.MaxValue / RagKeyMult keeps the product itself from
+    * wrapping under Spark's non-ANSI multiply (ADVICE r15 — the oracle
+    * side would raise where the engine wrapped).
+    */
+  private def ragChunkCorpus(s: SparkSession, d: String): DataFrame =
+    chunkedDocs(s, d).select(
       when(col("chunk_id") < RagKeyMult &&
            col("doc_id") <= lit(Long.MaxValue / RagKeyMult),
           col("doc_id") * RagKeyMult + col("chunk_id"))
@@ -116,7 +119,9 @@ object TextAnalysis {
             "widen RagKeyMult"))))
         .as("doc_id"),
       array_join(col("chunk"), " ").as("text"))
-    val top = bm25TopK(chunkCorpus, RagTerms, RagK)
+
+  private def pipelineRag(s: SparkSession, d: String): DataFrame = {
+    val top = bm25TopK(ragChunkCorpus(s, d), RagTerms, RagK)
     val w = Window.orderBy(col("rnk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -128,6 +133,151 @@ object TextAnalysis {
         col("cum_tokens").cast("long").as("cum_tokens"),
         col("bm25"))
       .orderBy(col("rnk"))
+  }
+
+  /** The retrieval batch for [[pipelineRagBatch]]: real RAG serving
+    * scores a query BATCH per corpus pass, not one query at a time. Term
+    * lists deliberately overlap so the shared-tf-pass path (the distinct
+    * term UNION) is exercised.
+    */
+  private[graft] val RagBatch: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("merge", "filter", "spark"),
+    2 -> Seq("vector", "stream"),
+    3 -> Seq("customer", "merge"))
+
+  /** Per-query results kept by [[pipelineRagBatch]]. */
+  private val RagBatchK = 5
+
+  /** Batched chunk-level BM25 retrieval — [[pipelineRag]]'s grouped
+    * sibling (VERDICT r15 item 8): ONE tf pass over the distinct term
+    * union of the whole batch, one corpus-stats aggregate (n, sumlen,
+    * per-term df), then every query's score in a single projection and
+    * per-query top-k via the rank-filter group-limit idiom. Scale shape:
+    * the tf pass is map-only (|union| tf columns, each a filtered size
+    * over the already-split word array); the stats frame is 1 row,
+    * broadcast; per-query scores fan out as an explode of |batch|
+    * structs per chunk, and the row_number ≤ k filter plans as
+    * WindowGroupLimit (Spark 3.5+): each map partition keeps only its
+    * own top-k per query BEFORE the exchange, so the query_id shuffle
+    * carries ≤ partitions·|batch|·k rows — never the |batch|·corpus
+    * fan-out — and the final per-group limit runs on that bounded set.
+    * Per-term addition order inside a score is the query's own term
+    * order (reduceLeft ⟷ the oracle's left-assoc +), so the doubles
+    * match bit for bit.
+    */
+  private[graft] def pipelineRagBatch(s: SparkSession, d: String): DataFrame = {
+    val allTerms = RagBatch.flatMap(_._2).distinct
+    val idx = allTerms.zipWithIndex.toMap
+    val withTf = allTerms.zipWithIndex.foldLeft(
+      ragChunkCorpus(s, d)
+        .select(col("doc_id"), TF.words(col("text")).as("ws"))
+        .withColumn("len", size(col("ws")).cast("long"))) {
+      case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("ws"), x => x === lit(t))).cast("long"))
+    }.drop("ws")
+    val stats = withTf.agg(
+      count(lit(1)).as("n"),
+      sum(col("len")).as("sumlen") +:
+        allTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val avglen = col("sumlen").cast("double") / col("n").cast("double")
+    val norm = lit(0.25) + lit(0.75) * (col("len").cast("double") / avglen)
+    def term(i: Int): Column = {
+      val tfD = col(s"tf$i").cast("double")
+      val idf = ((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * ((tfD * lit(2.5)) / (tfD + lit(1.5) * norm))
+    }
+    val scored = withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        explode(array(RagBatch.map { case (qid, terms) =>
+          struct(lit(qid).as("query_id"),
+            terms.map(t => term(idx(t))).reduceLeft(_ + _).as("s"))
+        }: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("n_tokens"), col("q.s").as("s"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= RagBatchK)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        expr(s"doc_id div $RagKeyMult").as("src_doc"),
+        (col("doc_id") % RagKeyMult).cast("int").as("chunk_id"),
+        col("n_tokens"), round(col("s"), 6).as("bm25"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** One BM25 term's score SQL, step-for-step [[pipelineRagBatch]]'s
+    * `term(i)` (same association order — every op an exactly-rounded
+    * IEEE step, so the doubles are bit-identical).
+    */
+  private def bm25TermSql(i: Int): String =
+    s"""(CAST(st.n - st.df$i AS DOUBLE) + 0.5) / (CAST(st.df$i AS DOUBLE) + 0.5)
+            * ((CAST(tf$i AS DOUBLE) * 2.5) / (CAST(tf$i AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(t.len AS DOUBLE)
+                 / (CAST(st.sumlen AS DOUBLE) / CAST(st.n AS DOUBLE))))))"""
+
+  /** Generated oracle for [[pipelineRagBatch]]: the chunk corpus CTEs,
+    * tf/df over the batch's distinct term union (same indexes as the
+    * engine side), one UNION ALL branch per query, rank-filtered top-k.
+    */
+  private def ragBatchOracleSql: String = {
+    val allTerms = RagBatch.flatMap(_._2).distinct
+    val idx = allTerms.zipWithIndex.toMap
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n               ")
+    val dfCols = allTerms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n               ")
+    val branches = RagBatch.map { case (qid, terms) =>
+      val score = terms.map(t => bm25TermSql(idx(t))).mkString("\n          + ")
+      s"""SELECT $qid AS query_id, t.doc_id, t.len AS n_tokens,
+          $score AS s
+        FROM t, st"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               1 + CAST((greatest(len(string_split_regex(trim(text), '\\s+'))
+                                    - $ChunkSize, 0)
+                         + ${ChunkStride - 1}) // $ChunkStride AS INT)
+                 AS nchunks
+        FROM documents),
+      ch AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS chunk_id, w
+        FROM toks),
+      cdocs AS (
+        SELECT doc_id * $RagKeyMult + chunk_id AS doc_id,
+               array_to_string(
+                 list_slice(w, chunk_id * $ChunkStride + 1,
+                            chunk_id * $ChunkStride + $ChunkSize), ' ') AS text
+        FROM ch),
+      w AS (
+        SELECT doc_id, string_split($NormSql, ' ') AS ws FROM cdocs),
+      t AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+               $tfCols
+        FROM w),
+      st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len) AS BIGINT) AS sumlen,
+               $dfCols
+        FROM t),
+      sc AS (
+        $branches),
+      ranked AS (
+        SELECT query_id, doc_id, n_tokens, s,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY s DESC, doc_id) AS rnk
+        FROM sc)
+      SELECT CAST(query_id AS INT) AS query_id, CAST(rnk AS INT) AS rnk,
+             doc_id // $RagKeyMult AS src_doc,
+             CAST(doc_id % $RagKeyMult AS INT) AS chunk_id,
+             n_tokens, round(s, 6) AS bm25
+      FROM ranked WHERE rnk <= $RagBatchK
+      ORDER BY query_id, rnk"""
   }
 
   /** Quality scoring: length / punctuation / stopword / word-shape ratios. */
@@ -2584,6 +2734,7 @@ object TextAnalysis {
     "pipeline_curation" -> pipelineCuration _,
     "pipeline_eval_harness" -> pipelineEvalHarness _,
     "pipeline_rag" -> pipelineRag _,
+    "pipeline_rag_batch" -> pipelineRagBatch _,
     "sample_hash" -> sampleHash _,
     "sample_stratified" -> sampleStratified _,
     "sample_split_grouped" -> sampleSplitGrouped _,
@@ -3557,6 +3708,10 @@ object TextAnalysis {
              CAST(doc_id % $RagKeyMult AS INT) AS chunk_id,
              n_tokens, cum_tokens, bm25
       FROM cum WHERE cum_tokens <= $RagBudget ORDER BY rnk""",
+    // generated over the SAME RagBatch/union-term indexes as the engine
+    // side, one score branch per query summing its terms in query order
+    // (left-assoc + ⟷ reduceLeft), per-query top-k via rank filter
+    "pipeline_rag_batch" -> ragBatchOracleSql,
     "text_bm25_topk" -> s"""
       WITH w AS (
         SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

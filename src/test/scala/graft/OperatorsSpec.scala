@@ -755,6 +755,19 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"stats frame not broadcast:\n$p")
   }
 
+  test("pipeline_rag_batch limits per query via WindowGroupLimit, stats broadcast") {
+    // the batch row's scale contract: the rank <= k filter must plan as
+    // WindowGroupLimit so each map partition keeps only its own top-k
+    // per query BEFORE the query_id exchange — the alternative ships the
+    // full |batch|x|chunks| fan-out through the shuffle
+    val p = planOf("pipeline_rag_batch")
+    assert(p.contains("WindowGroupLimit"), s"rank filter not group-limited:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the corpus-wide stats frame joins broadcast (1 row)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"stats frame not broadcast:\n$p")
+  }
+
   test("pipeline_semdedup pairs within clusters via an equi-join, never a cartesian") {
     // the SemDeDup contract: clustering BOUNDS the candidate set — the
     // pair stage must be an equi-join on the cluster key, and the full
