@@ -296,6 +296,13 @@ object Bench {
     // explode is output-sized, BM25 over 10× chunks stays one aggregate
     // + TakeOrdered, and the context window stays K-bounded
     "sf1_pipeline_rag" -> "pipeline_rag",
+    // round-16 rows: SemDeDup at 10× identical replicas — the exact-dup
+    // collapse must bound the within-cluster pair join at the DISTINCT
+    // vector count while the map-only Lloyd passes scale linearly
+    "sf1_pipeline_semdedup" -> "pipeline_semdedup",
+    // batched retrieval at 10× chunks: the WindowGroupLimit partial
+    // limit must keep the query_id exchange at partitions×|batch|×k rows
+    "sf1_pipeline_rag_batch" -> "pipeline_rag_batch",
     // co-purchase CC at 10×: replicas carry NEW order keys but the SAME
     // part keys, so every pair's support and the mean scale together ×10
     // — the filtered edge set (and the CC loop) must stay size-invariant
@@ -325,6 +332,33 @@ object Bench {
       val idx = Sf1Points.indexWhere(_._1 == key)
       idx % Sf1RotationGroups == sf1Rotation
     }
+
+  /** Suite rows that EXECUTE real streaming machinery every round
+    * (checkpointed micro-batches, kill-and-restart drills, RocksDB
+    * transformWithState) — ~31 s of single-run steady-state cost that
+    * gates engine behavior changing only when the streaming code
+    * changes (VERDICT r15 item 6). They rotate in thirds on the same
+    * 6-hour epoch bucket as the sf1 canaries; rotated-out rows are
+    * recorded under "stream_rotation_skipped" and excluded from the
+    * run's name set (the headline "value" sums the rows that RAN — same
+    * convention as a deadline-truncated suite, except here the artifact
+    * says exactly which rows rotated out and why). The driver's
+    * CORRECTNESS gate still runs every row every round — rotation only
+    * trims re-TIMING them.
+    */
+  private[graft] val StreamRotationRows: Seq[String] = Seq(
+    "pipeline_streaming_ingest", "stream_exec_anomaly",
+    "stream_exec_ckpt_restart", "stream_exec_custom_state",
+    "stream_exec_dedup", "stream_exec_foreach_batch",
+    "stream_exec_interval_join", "stream_exec_interval_join_outer",
+    "stream_exec_multi_batch", "stream_exec_session",
+    "stream_exec_sliding_agg", "stream_exec_static_join",
+    "stream_exec_tws_session", "stream_exec_union",
+    "stream_exec_window_agg")
+  private def streamActive(name: String): Boolean = {
+    val idx = StreamRotationRows.indexOf(name)
+    idx < 0 || idx % Sf1RotationGroups == sf1Rotation
+  }
 
   /** 1-minute system load average, or -1 where the JMX bean lacks it —
     * recorded at both ends of the run so machine-wide contention (r7: the
@@ -698,8 +732,14 @@ object Bench {
     // fresh SparkContext (the spill point stopped the last one): one
     // untimed pass absorbs context startup before the first timed row
     runOnce(spark2, "tpch_q6", sfDir)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // streaming-exec rotation: skipped only on un-filtered full runs (a
+    // dev BENCH_ONLY filter runs exactly what it names)
+    val streamRotatedOut: Seq[String] =
+      if (only.isDefined) Seq.empty
+      else allNames.filterNot(streamActive)
+    val names = allNames.filterNot(streamRotatedOut.toSet)
     // the suite itself also spends against the deadline: if a future
     // suite outgrows even the single-pass budget, the remaining rows are
     // recorded under "deadline_skipped" and every later phase still
@@ -776,12 +816,39 @@ object Bench {
     // work (r11 stamps read 16-22 purely self-inflicted); before/after
     // bracketing separates external contention (high BEFORE) from
     // self-load (high AFTER only).
+    // contention CONTROL for each requery batch (VERDICT r15 item 3: the
+    // sf1 requery gate expired its bounded wait at load 3.14 and
+    // published sf1_events_anomaly 2.8× WORSE than suite under a
+    // "quiesced" label — and HOST-level contention is invisible to the
+    // VM's loadavg entirely): a cheap fixed row (tpch_q1) is timed at the
+    // head of the batch and judged against its committed baseline. If the
+    // control reads > 1.5× baseline the box is NOT quiet no matter what
+    // loadavg says, and the whole batch is skipped and recorded as
+    // contended — suite numbers stand, min-merge keeps them honest.
+    // (control_s, baseline_s, ok) per batch, null when the batch didn't
+    // run or had no control baseline.
+    var requeryControl: Option[(Double, Double, Boolean)] = None
+    var sf1RequeryControl: Option[(Double, Double, Boolean)] = None
+    def controlOk(s: SparkSession, dir: String, baseKey: String,
+                  record: ((Double, Double, Boolean)) => Unit): Boolean =
+      baseline.get(baseKey) match {
+        case Some(b) =>
+          val t = runOnce(s, "tpch_q1", dir).toOption.getOrElse(Double.MaxValue)
+          val ok = t <= 1.5 * b
+          record((r3(t), b, ok))
+          ok
+        case None => true
+      }
     val requeried: Map[String, (Double, Double, Double, Double)] =
       if (outliers.isEmpty) Map.empty
       else {
         Caches.releaseAll(spark2)
         System.gc()
         Thread.sleep(1000)
+        if (!controlOk(spark2, sfDir, "tpch_q1", c => requeryControl = Some(c))) {
+          contentionSkipped += "requery_control"
+          Map.empty
+        } else {
         val acc = scala.collection.mutable
           .Map.empty[String, (Double, Double, Double, Double)]
         var truncated = false
@@ -799,6 +866,7 @@ object Bench {
           }
         }
         acc.toMap
+        }
       }
     val finalTime: Map[String, Either[String, Double]] = results.map {
       case (k, Right(t)) =>
@@ -923,6 +991,15 @@ object Bench {
         // untimed warmup: the restarted JVM's first query otherwise eats
         // codegen/JIT/classload cold-start — the r11 fake-4.75× mechanism
         runOnce(s3, "tpch_q6", sfDir)
+        // same control discipline as the suite batch, judged on the SF≈1
+        // fixture against the sf1_q1 baseline (the r15 failure was
+        // exactly here: gate expired, tail published as "quiesced")
+        val sf1CtlOk = sf1Dir.toOption.forall(dir =>
+          controlOk(s3, dir, "sf1_q1", c => sf1RequeryControl = Some(c)))
+        if (!sf1CtlOk) {
+          contentionSkipped += "sf1_requery_control"
+          Map.empty[String, (Double, Double, Double, Double)]
+        } else {
         val acc = scala.collection.mutable
           .Map.empty[String, (Double, Double, Double, Double)]
         var truncated = false
@@ -944,16 +1021,44 @@ object Bench {
           }
         }
         acc.toMap
+        }
       }
     }
     // the 10× media-corpus cap is an sf1-phase-only fixture knob; clear it
     // so anything else later in this JVM touching ensureMediaTable sees
     // the default corpus again
     if (anyRot) System.clearProperty("graft.mm.mediaDocs")
+    // run-end re-read of the BASELINE.md acceptance points (VERDICT r15
+    // item 4: the acceptance phase runs FIRST by design so it can never
+    // wait out a loaded start — r15's sf1_q1 read 2.905 s un-gated vs
+    // 1.52-1.64 s quiet). One extra single run each at run end; the
+    // published number is the min of the two honest readings (a reading
+    // can be contention-inflated, never deflated), both kept in the
+    // artifact under "accept_recheck".
+    markPhase("accept_recheck_start")
+    val acceptRecheckKeys = Seq("sf1_q1", "sf1_q18")
+    val acceptRecheck: Map[String, Double] =
+      if (contended || timeLeft < 90) Map.empty
+      else sf1Dir.toOption.map { dir =>
+        Caches.releaseAll(sparkLive)
+        acceptRecheckKeys.flatMap { k =>
+          val ranFirst = sf1Raw.exists {
+            case (`k`, Some(Right(_))) => true
+            case _ => false
+          }
+          if (!ranFirst || timeLeft < baseline.getOrElse(k, 3.0) * 2 + 20)
+            None
+          else
+            runOnce(sparkLive, Sf1Points.toMap.apply(k), dir)
+              .toOption.map(t => k -> t)
+        }.toMap
+      }.getOrElse(Map.empty)
     val sf1: Seq[(String, Option[Either[String, Double]])] = sf1Raw.map {
       case (k, Some(Right(t))) =>
-        k -> Some(Right(sf1Requeried.get(k)
-          .map { case (s, q, _, _) => math.min(s, q) }.getOrElse(t)))
+        val requeriedMin = sf1Requeried.get(k)
+          .map { case (s, q, _, _) => math.min(s, q) }.getOrElse(t)
+        k -> Some(Right(acceptRecheck.get(k)
+          .map(r => math.min(requeriedMin, r)).getOrElse(requeriedMin)))
       case kv => kv
     }
     val sf1Json = sf1.map {
@@ -1000,6 +1105,22 @@ object Bench {
         s""""sf1_requery_load_gate":{"load":$l,"waited_s":$w}"""
       case None => s""""sf1_requery_load_gate":null"""
     })
+    // requery-batch control verdicts + the run-end acceptance re-reads +
+    // which streaming-exec rows rotated out of this run's timing
+    def ctlJson(o: Option[(Double, Double, Boolean)]): String = o match {
+      case Some((t, b, ok)) => s"""{"control_s":$t,"baseline_s":$b,"ok":$ok}"""
+      case None => "null"
+    }
+    val controlJson =
+      s""""requery_control":${ctlJson(requeryControl)},""" +
+      s""""sf1_requery_control":${ctlJson(sf1RequeryControl)}"""
+    val acceptRecheckJson =
+      if (acceptRecheck.isEmpty) s""""accept_recheck":null"""
+      else acceptRecheck.toSeq.sortBy(_._1)
+        .map { case (k, t) => s""""$k":${r3(t)}""" }
+        .mkString(""""accept_recheck":{""", ",", "}")
+    val rotationJson = s""""stream_rotation_skipped":${streamRotatedOut
+      .map(s => s""""$s"""").mkString("[", ",", "]")}"""
     val phasesJson = phaseMarks.map { case (n, l, p) =>
       s"""{"phase":"$n","load":$l,"probe_s":$p}"""
     }.mkString("[", ",", "]")
@@ -1037,7 +1158,8 @@ object Bench {
     val line =
       s"""{"metric":"total",$headlineJson,"unit":"sec",$adaptiveJson,""" +
       s""""cpus":"$cpus","queries":$qs,"failed":$failed,""" +
-      s""""requeried":$requeriedJson,$sf1Json,$spillJson,$loadJson,""" +
+      s""""requeried":$requeriedJson,$controlJson,$acceptRecheckJson,""" +
+      s"""$rotationJson,$sf1Json,$spillJson,$loadJson,""" +
       s"""$budgetJson,"sf":"$sfDir"}"""
     atomicWriteArtifact(line)
 
@@ -1090,8 +1212,9 @@ object Bench {
       s"""{"metric":"total",$headlineJson,"unit":"sec",$adaptiveCompact,""" +
       s""""cpus":"$cpus","queries":$topQs,"queries_total":${names.size},""" +
       s""""full":"$outPathStr","failed":$failed,""" +
-      s""""requeried":$requeriedCompact,$sf1Compact,$spillJson,""" +
-      s"""$loadCompact,$budgetCompact,"sf":"$sfDir"}"""
+      s""""requeried":$requeriedCompact,$acceptRecheckJson,""" +
+      s""""stream_rotated_n":${streamRotatedOut.size},$sf1Compact,""" +
+      s"""$spillJson,$loadCompact,$budgetCompact,"sf":"$sfDir"}"""
     val slowest = names.filter(measured)
       .flatMap(k => finalTime(k).toOption.map(k -> _))
       .sortBy(-_._2)

@@ -305,6 +305,17 @@ class BenchBudgetSpec extends AnyFunSuite {
       }.sum
     }.max * itersEach
 
+  test("stream-rotation rows name real queries and never headline points") {
+    val qs = SparkEntry.queries.keySet
+    val unknown = Bench.StreamRotationRows.filterNot(qs)
+    assert(unknown.isEmpty, s"rotation names unknown rows: $unknown")
+    // rotation is a suite-row concept; an sf1 headline key here would
+    // silently drop an acceptance number from the run
+    val clash = Bench.StreamRotationRows.toSet
+      .intersect(Bench.Sf1Points.map(_._1).toSet)
+    assert(clash.isEmpty, s"rotation rows clash with sf1 keys: $clash")
+  }
+
   test("estimated bench wall time fits the self-deadline with margin") {
     // quiet machine, full rigor: 1 adaptive run per suite row plus 50%
     // slack for rows that trip the 1.3× gate and pay the remaining
