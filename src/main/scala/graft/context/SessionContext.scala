@@ -19,7 +19,11 @@ final case class CsvOptions(
   * benchmark writer (reference: rust/benchmarks/tpch/src/main.rs:233-253:
   * none/snappy/brotli/gzip/lz4/lzo/zstd). Spark's parquet writer accepts the
   * same names; availability of brotli/lzo depends on native codec jars, the
-  * rest are built in.
+  * rest are built in. Vendoring checked r16: no brotli4j/hadoop-lzo jar
+  * exists in the pinned classpath, the offline coursier cache, or anywhere
+  * on the image (only conda's native libbrotli, unusable from parquet-mr
+  * without the JNI wrapper jar), so the two stay declared-but-gated; the
+  * CodecContractSpec fails loudly if the classpath ever gains them ungated.
   */
 object Compression extends Enumeration {
   val None_, Snappy, Brotli, Gzip, Lz4, Lzo, Zstd = Value
