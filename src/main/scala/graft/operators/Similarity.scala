@@ -932,9 +932,11 @@ object Similarity {
     * update exchange per round; the pair stage is an EQUI-join on the
     * cluster key whose cost is Σ|cluster|² — bounded by choosing k so
     * clusters stay ~constant-sized (SemDeDup runs k ≈ n/‹target size›;
-    * the fixture row pins k = [[KmK]] for the oracle replay, and
-    * [[kmAssign]]'s literal-centroid path hands off to the broadcast-join
-    * argmax above [[AssignLiteralMaxK]] for production k). The dropped
+    * the fixture row pins k = [[KmK]] for the oracle replay — at
+    * production k the literal-centroid argmin embeds k·dim doubles in
+    * the plan and would swap for the broadcast-join argmax the IVF tier
+    * already dispatches to above [[AssignLiteralMaxK]], the only change
+    * this composition would need). The dropped
     * set is materialized once (duplicate-sized, eager localCheckpoint —
     * released under the Caches.releaseAll contract) so the returned
     * frame re-reads only one map-only assignment pass. The funnel output
