@@ -833,10 +833,20 @@ object Bench {
                   record: ((Double, Double, Boolean)) => Unit): Boolean =
       baseline.get(baseKey) match {
         case Some(b) =>
-          val t = runOnce(s, "tpch_q1", dir).toOption.getOrElse(Double.MaxValue)
-          val ok = t <= 1.5 * b
-          record((r3(t), b, ok))
-          ok
+          runOnce(s, "tpch_q1", dir) match {
+            case Right(t) =>
+              val ok = t <= 1.5 * b
+              record((r3(t), b, ok))
+              ok
+            case Left(_) =>
+              // a control that can't even RUN must not poison the JSON
+              // with a non-finite sentinel (Infinity is not valid JSON —
+              // the parsed:null failure mode); -1 + ok:false records the
+              // anomaly and conservatively skips the batch. A genuine
+              // tpch_q1 breakage is already visible as a suite failure.
+              record((-1.0, b, false))
+              false
+          }
         case None => true
       }
     val requeried: Map[String, (Double, Double, Double, Double)] =
@@ -1034,7 +1044,12 @@ object Bench {
     // 1.52-1.64 s quiet). One extra single run each at run end; the
     // published number is the min of the two honest readings (a reading
     // can be contention-inflated, never deflated), both kept in the
-    // artifact under "accept_recheck".
+    // artifact under "accept_recheck". Warmth asymmetry acknowledged: the
+    // recheck runs in a long-warm JVM where the acceptance pass ran near
+    // start — but the committed bench_baseline minima ALREADY come from
+    // warm suite/requery readings (sf1_q1's published floor predates this
+    // recheck), so min-merging a warm reading follows the established
+    // convention rather than introducing a new bias.
     markPhase("accept_recheck_start")
     val acceptRecheckKeys = Seq("sf1_q1", "sf1_q18")
     val acceptRecheck: Map[String, Double] =

@@ -631,16 +631,32 @@ object Similarity {
     * verify as pairs (cosine() maps zero-norm to 0.0), so a digest merge
     * would diverge from the uncollapsed pipeline; NaN vectors are kept
     * out to confine the equivalence argument to the cos-exactly-1 case.
-    * All-zero elements ⟺ zero norm: the accumulation is double and the
-    * smallest nonzero float squares to ~2e-90, far above double
-    * underflow, so no nonzero element can vanish from the norm. Shared by
-    * [[semanticDedupVerdicts]] and [[pipelineSemdedup]].
+    * Zero norm is detected by the SAME left-to-right Σx² double
+    * accumulation the cosine kernel runs, so the exclusion matches the
+    * verify kernel exactly — including inputs whose tiny elements square
+    * into double underflow (|x| < ~1e-161; impossible for float-derived
+    * fixture data, reachable through the public corpus-generic API, a
+    * review catch). Shared by [[semanticDedupVerdicts]] and
+    * [[pipelineSemdedup]].
     */
   private def vecCollapseKey(vec: Column, id: Column): Column = {
     val collapsible = not(exists(vec, x => isnan(x))) &&
-      not(forall(vec, x => x === lit(0.0d)))
+      aggregate(vec, lit(0.0d), (acc, x) => acc + x * x) =!= lit(0.0d)
     when(collapsible, md5(vec.cast("string")))
       .otherwise(concat(lit("solo:"), id.cast("string")))
+  }
+
+  /** The exact-duplicate collapse frames over a (vec_id, v) corpus:
+    * `keyed` = (vec_id, gk) under [[vecCollapseKey]], `groups` =
+    * (gk, rep = min vec_id, gn). Callers cache `groups` themselves (the
+    * two call sites scope the cache differently).
+    */
+  private def collapseGroups(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = corpus
+      .select(col("vec_id"), vecCollapseKey(col("v"), col("vec_id")).as("gk"))
+    val groups = keyed.groupBy(col("gk"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("gn"))
+    (keyed, groups)
   }
 
   /** Semantic deduplication (SemDeDup-shape): collapse documents that are
@@ -702,17 +718,14 @@ object Similarity {
                             maxBroadcastLabels: Long = 5L * 1000 * 1000)
       : DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val keyed = corpus
-      .select(col("vec_id"), vecCollapseKey(col("v"), col("vec_id")).as("gk"))
     // groups and reps are each referenced several times by the banded
     // machinery below (band explode ×2, cosine-verify ×2, the member
     // expansion) and everything that reads them is materialized INSIDE
     // this builder (CC's convergence loop, the labels checkpoint) — so
     // cache for the builder's own actions and unpersist before returning;
     // without this every reference re-runs the md5 groupBy shuffle.
-    val groups = keyed.groupBy(col("gk"))
-      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("gn"))
-      .cache()
+    val (keyed, groupsRaw) = collapseGroups(corpus)
+    val groups = groupsRaw.cache()
     val reps = corpus
       .join(groups.select(col("rep").as("vec_id")), Seq("vec_id"))
       .cache()
@@ -957,11 +970,8 @@ object Similarity {
     val cached = corpus.select(col("vec_id"), col("v")).cache()
     val qv = cached.select(col("vec_id"),
       transform(col("v"), x => floor(x * lit(KmScale))).as("q")).cache()
-    val keyed = cached
-      .select(col("vec_id"), vecCollapseKey(col("v"), col("vec_id")).as("gk"))
-    val groups = keyed.groupBy(col("gk"))
-      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("gn"))
-      .cache()
+    val (keyed, groupsRaw) = collapseGroups(cached)
+    val groups = groupsRaw.cache()
     val release = () => {
       groups.unpersist(blocking = true)
       qv.unpersist(blocking = true)

@@ -104,14 +104,16 @@ object TextAnalysis {
   /** Packed-key chunk corpus shared by the RAG rows: chunk identity rides
     * doc_id·[[RagKeyMult]] + chunk_id. Both packing factors are guarded:
     * chunk_id < RagKeyMult keeps the chunk slot in range, and
-    * doc_id <= Long.MaxValue / RagKeyMult keeps the product itself from
-    * wrapping under Spark's non-ANSI multiply (ADVICE r15 — the oracle
-    * side would raise where the engine wrapped).
+    * doc_id STRICTLY BELOW Long.MaxValue / RagKeyMult keeps the product
+    * PLUS the chunk addend from wrapping under Spark's non-ANSI multiply
+    * (ADVICE r15; strict because at equality the product alone fits but
+    * product + chunk_id can still exceed Long.MaxValue): the max packed
+    * key is then (Max/M - 1)*M + (M - 1) = (Max/M)*M - 1 <= Max.
     */
   private def ragChunkCorpus(s: SparkSession, d: String): DataFrame =
     chunkedDocs(s, d).select(
       when(col("chunk_id") < RagKeyMult &&
-           col("doc_id") <= lit(Long.MaxValue / RagKeyMult),
+           col("doc_id") < lit(Long.MaxValue / RagKeyMult),
           col("doc_id") * RagKeyMult + col("chunk_id"))
         .otherwise(raise_error(concat(
           lit("pipeline_rag: doc "), col("doc_id").cast("string"),

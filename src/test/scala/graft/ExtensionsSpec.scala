@@ -659,17 +659,19 @@ class SimilaritySpec extends AnyFunSuite {
     // scaladoc made executable: banding is deterministic in the vector,
     // so rep pairs stand in for member pairs exactly.
     import operators.{Dedup, Similarity}
-    // plant duplicate ZERO and NaN vectors: cosine is 0.0/NaN on these,
-    // so the uncollapsed pipeline never pairs them (each stays its own
-    // singleton cluster) — the md5 pre-collapse must not merge them
-    // either (ADVICE r15: an unconditional collapse attached identical
-    // zero vectors to one rep's label, diverging from the oracle)
+    // plant duplicate ZERO, NaN, and SUBNORMAL-UNDERFLOW vectors: the
+    // zero-norm classes (all-zero AND 1e-200, whose squares underflow so
+    // the Σx² norm reads 0.0 exactly as the cosine kernel computes it)
+    // never pair in the uncollapsed pipeline — the md5 pre-collapse must
+    // not merge them either (ADVICE r15 + the r16 review catch on the
+    // underflow class)
     val dim = Similarity.lshCorpus(spark, sfDir)
       .select(size(col("v"))).head().getInt(0)
-    val degenerate = spark.range(4).select(
+    val degenerate = spark.range(6).select(
       (col("id") + 900000000L).as("vec_id"),
-      when(col("id") < 2, array_repeat(lit(0.0f), dim))
-        .otherwise(array_repeat(lit(Float.NaN), dim)).as("v"))
+      when(col("id") < 2, array_repeat(lit(0.0d), dim))
+        .when(col("id") < 4, array_repeat(lit(Double.NaN), dim))
+        .otherwise(array_repeat(lit(1e-200d), dim)).as("v"))
     val base = Similarity.lshCorpus(spark, sfDir).unionByName(degenerate)
     val step = base.agg(max(col("vec_id"))).head().getLong(0) + 1
     val corpus = base
@@ -704,16 +706,18 @@ class SimilaritySpec extends AnyFunSuite {
       // NaN-poisoned verify scores and NaN vectors attach to whatever
       // they band-collide with — identically in both pipelines, which
       // the got==want equality above already pins.
-      val zeroIds = (for { id <- 900000000L to 900000001L; r <- 0L to 2L }
-        yield id + r * step).toSet
+      val zeroIds = (for {
+        id <- Seq(900000000L, 900000001L, 900000004L, 900000005L)
+        r <- 0L to 2L
+      } yield id + r * step).toSet
       val zeroGot = got.filter(t => zeroIds(t._1))
-      assert(zeroGot.size == 6 &&
+      assert(zeroGot.size == 12 &&
         zeroGot.forall(t => t._3 && t._2 == t._1),
         s"zero-norm vectors must stay singleton keepers: $zeroGot")
       // every replica group of DEFINED vectors collapsed onto one keeper:
       // survivors are at most one per distinct defined vector plus the
-      // 12 never-collapsed degenerates
-      assert(got.count(_._3) <= base.count() - 4 + 12,
+      // 18 never-collapsed degenerates
+      assert(got.count(_._3) <= base.count() - 6 + 18,
         "replicas not collapsed — more keepers than distinct vectors")
     } finally {
       corpus.unpersist(blocking = true)
