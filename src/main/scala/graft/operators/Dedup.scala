@@ -174,13 +174,6 @@ object Dedup {
   private val MinhashK = 64
   private val Bands = 32 // r = 2 rows per band
 
-  /** Verified near-dup pairs via MinHash banding + exact Jaccard check —
-    * shared by [[minhashLsh]] (the pair query) and [[dedupClusters]].
-    * Also returns a release thunk that (blocking-)unpersists the shared
-    * shingle cache; callers that drive actions eagerly (dedupClusters)
-    * invoke it the moment their derived data is materialized, lazy callers
-    * leave release to the session owner ([[graft.Caches.releaseAll]]).
-    */
   /** (doc_id, band, h1, h2) band-bucket keys of each document's MinHash
     * signature — shared by the self-join pair query and the asymmetric
     * incremental query.
@@ -197,6 +190,13 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
   }
 
+  /** Verified near-dup pairs via MinHash banding + exact Jaccard check —
+    * shared by [[minhashLsh]] (the pair query) and [[dedupClusters]].
+    * Also returns a release thunk that (blocking-)unpersists the shared
+    * shingle cache; callers that drive actions eagerly (dedupClusters)
+    * invoke it the moment their derived data is materialized, lazy callers
+    * leave release to the session owner ([[graft.Caches.releaseAll]]).
+    */
   private def minhashVerifiedPairsReleasable(
       s: SparkSession, d: String): (DataFrame, () => Unit) = {
     GraftFunctions.register(s)
@@ -263,17 +263,39 @@ object Dedup {
     * tiers: MinHash band candidates, then EXACT `levenshtein ≤ K` verify
     * with the `|len(a)−len(b)| ≤ K` lower bound screened first (edit
     * distance can never beat the length gap, and the length compare is
-    * O(1) against the O(n·m) DP). Recall argument is [[minhashLsh]]'s:
-    * lev ≤ K on these lengths forces near-identical shingle sets, so a
-    * banding miss needs a ~1e-14 coincidence; the oracle recomputes the
-    * pair set exactly from the length-screened cross join. At 100 TB the
-    * banding does what it does for Jaccard — candidates, never pairs².
+    * O(1) against the O(n·m) DP).
+    *
+    * Recall, stated honestly (an r16 review tightened the original
+    * blanket "near-identical shingle sets" claim): e word-level edits
+    * change ≤ 3e of a doc's m 3-shingles per side, so the pair's Jaccard
+    * is ≥ (m−3e)/(m+3e) and the 32×2 banding misses with probability
+    * (1−J²)³² — ≤1e-23 at the fixture's observed J ≥ 0.9, but NOT small
+    * when m itself is small: on a 10-shingle doc a single edit already
+    * drops J toward 0.5, and disjoint-shingle short pairs would never
+    * band at all. The SHORT-SHINGLED stratum (1 ≤ m ≤ [[EditShortMaxSh]])
+    * therefore bypasses banding entirely: exact length-screened pairing
+    * against every shingled doc, the [[dedupEditDistance]] tiny branch's
+    * shape one stratum up. Banding serves only LONG×LONG pairs, where
+    * the bound above is strong for the clustered-edit geometry this
+    * operator targets (scattered adversarial edits on barely-long docs
+    * remain a documented recall contract of the banding tier — the fully
+    * exact alternative is a char-q-gram PPJoin, the overlap bound
+    * |Q|−K·q, if a corpus ever needs it). The three branches partition
+    * the pair space (tiny×any / short×shingled / long×long), so the
+    * union never double-counts. The oracle recomputes the pair set
+    * exactly from the length-screened cross join. At 100 TB the banding
+    * does what it does for Jaccard — candidates, never pairs²; the
+    * tiny/short strata are broadcast-sized there because quality gates
+    * upstream of dedup drop sub-sentence docs.
     */
+  /** Max shingle count of the exact-paired short stratum (words ≤ 12). */
+  private val EditShortMaxSh = 10
+
   private def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
     val K = 10
     GraftFunctions.register(s)
     val shAll = shingleSets(s, d)
-    val sh = shAll.filter(size(col("sh")) > 0)
+    val sh = shAll.filter(size(col("sh")) > EditShortMaxSh)
     val bands = bandKeys(sh)
     val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
         col("h1"), col("h2"))
@@ -310,7 +332,30 @@ object Dedup {
               greatest(col("ida"), col("idb")).as("doc_b"),
               col("edit_dist"))
       .distinct()
-    banded.unionByName(tinyPairs)
+    // SHORT-SHINGLED stratum (see the recall note in the scaladoc): the
+    // banding bound is weak at small m, so these pair exactly against
+    // every SHINGLED doc (tiny×any lives in the tiny branch — right side
+    // restricted to shingled docs keeps the two branches disjoint; a
+    // short×short pair arrives in both orderings, distinct collapses it;
+    // short×long appears only here because the banded branch is now
+    // long×long only)
+    val short = shAll
+      .filter(size(col("sh")).between(1, EditShortMaxSh))
+      .select(col("doc_id")).join(n, Seq("doc_id"))
+    val shingledN = shAll.filter(size(col("sh")) >= 1)
+      .select(col("doc_id")).join(n, Seq("doc_id"))
+    val shortPairs = broadcast(
+        short.select(col("doc_id").as("ida"), col("norm").as("na")))
+      .join(shingledN.select(col("doc_id").as("idb"), col("norm").as("nb")),
+        col("ida") =!= col("idb") &&
+          abs(length(col("na")) - length(col("nb"))) <= K)
+      .withColumn("edit_dist", levenshtein(col("na"), col("nb")))
+      .filter(col("edit_dist") <= K)
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"),
+              col("edit_dist"))
+      .distinct()
+    banded.unionByName(tinyPairs).unionByName(shortPairs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -351,10 +396,22 @@ object Dedup {
     // even though the data is tiny. Checkpointing truncates lineage to the
     // materialized partitions; tracking the block ids around the call is
     // what lets a later round unpersist exactly its predecessor's blocks.
+    // Only LOCALLY-CHECKPOINTED new blocks belong to the round tracking:
+    // the checkpoint job is often the first action over the caller's
+    // lazily-cached inputs (pairs/shingle/edge caches), whose cache RDDs
+    // register mid-job and would land in a bare keySet diff — round 1's
+    // drop would then blocking-unpersist the caller's caches and every
+    // later round would recompute the whole upstream pipeline (r16
+    // review). isCheckpointed (true immediately after the EAGER local
+    // checkpoint, false for plain cache RDDs) marks exactly the blocks
+    // this function itself created.
     def tracked(df: DataFrame): (DataFrame, collection.Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.diff(before))
+      (out, sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) && rdd.isCheckpointed =>
+          id
+      }.toSet)
     }
     def drop(ids: collection.Set[Int]): Unit = ids.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
@@ -430,10 +487,21 @@ object Dedup {
     * collapse — every document except non-keeper cluster members (keeper =
     * component min doc_id). This is the operator a training-data pipeline
     * actually materializes; pairs and clusters are its intermediates.
-    * Scale shape: the dropped set is duplicate-sized (≪ corpus), so the
-    * anti-join broadcasts it against the full corpus scan — no corpus
-    * shuffle at all.
+    * Scale shape: the dropped set is duplicate-sized — small on a clean
+    * corpus, so the anti-join broadcasts it against the full corpus scan
+    * with no corpus shuffle at all; but CORPUS-scale on a dup-heavy one
+    * (real crawls run 30-50% dup — the workload this operator exists
+    * for), where an unconditional broadcast hint dies on the 8 GB
+    * broadcast limit before a shuffled anti-join would even be slow. So
+    * the hint rides the measured checked bound (the
+    * [[graft.operators.Similarity.semanticDedupVerdicts]] label-join
+    * pattern; the count is a metadata-cheap read off the already
+    * checkpoint-materialized labels), degrading to the ordinary shuffled
+    * anti-join past [[MaxBroadcastDropped]] — the right plan when the
+    * "small" side is not (r16 review).
     */
+  private val MaxBroadcastDropped = 5L * 1000 * 1000
+
   private def dedupKeep(s: SparkSession, d: String): DataFrame = {
     val (vp, release) = minhashVerifiedPairsReleasable(s, d)
     val pairs = vp.select(col("doc_a"), col("doc_b")).cache()
@@ -441,11 +509,15 @@ object Dedup {
       val labels = connectedComponents(pairs, maxRounds = 20)
       val dropped = labels.filter(col("label") =!= col("node"))
         .select(col("node").as("doc_id"))
-      // explicit broadcast: the labels RDD carries no stats, so without
-      // the hint Catalyst would plan a sort-merge anti-join that shuffles
-      // the whole corpus on doc_id
+      // explicit checked-bound broadcast: the labels RDD carries no
+      // stats, so without the hint Catalyst would plan a sort-merge
+      // anti-join that shuffles the whole corpus on doc_id; past the
+      // bound the shuffle IS the right plan (see the scaladoc)
+      val dropSide =
+        if (dropped.count() <= MaxBroadcastDropped) broadcast(dropped)
+        else dropped
       docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .join(dropSide, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     } finally { pairs.unpersist(blocking = true); release() }
   }
@@ -568,8 +640,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(IntegerType)
           .as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is a pure function of the
+      // pair, so dropping chance quarter-collisions (~n²/2¹⁶ of them on a
+      // large corpus) map-side costs no recall and keeps them out of the
+      // dedup shuffle (r16 review)
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -893,8 +969,13 @@ object Dedup {
       md5(col("shf").cast("string")).as("fgk"))
     val fGroups = fKeyed.groupBy(col("fgk")).agg(min(col("frag_id")).as("frep"))
     val fMembers = fKeyed.join(fGroups, Seq("fgk"))
+    // cached like the symmetric corpus side below: frags feeds both the
+    // prefix index and the verify join, and without the cache each use
+    // re-splits and re-shingles the fragment slice (r16 review); released
+    // by the session owner via Caches.releaseAll
     val frags = fragsAll
       .join(fGroups.select(col("frep").as("frag_id")), Seq("frag_id"), "left_semi")
+      .cache()
     val cKeyed = docs(s, d).select(col("doc_id"),
       md5(TF.normText(col("text"))).as("cgk"))
     val cGroups = cKeyed.groupBy(col("cgk")).agg(min(col("doc_id")).as("crep"))

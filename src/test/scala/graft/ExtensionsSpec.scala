@@ -231,6 +231,32 @@ class DedupSpec extends AnyFunSuite {
     assert(byComp.keySet == Set(0L, 10L))
     assert(byComp(0L).map(_._1).toSet == Set(0L, 1L, 2L))
     assert(byComp(10L).map(_._1).toSet == Set(10L, 11L))
+    Caches.releaseAll(spark)
+  }
+
+  test("connectedComponents round-drop never unpersists caller caches") {
+    import spark.implicits._
+    // the r16 review catch: a caller cache whose FIRST materialization
+    // happens inside CC's init checkpoint job used to land in the bare
+    // block-id diff, and round 1's drop would blocking-unpersist it —
+    // every later round then recomputed the caller's whole upstream
+    // pipeline. The tracking now keys on isCheckpointed, so only CC's
+    // own checkpoint blocks are ever dropped. A 64-node chain forces
+    // multiple rounds; the pairs cache is deliberately NOT materialized
+    // before the call.
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .cache()
+    try {
+      val labels = operators.Dedup.connectedComponents(pairs, maxRounds = 20)
+      labels.write.format("noop").mode("overwrite").save()
+      val cachedLive = spark.sparkContext.getPersistentRDDs.values
+        .exists(r => !r.isCheckpointed)
+      assert(cachedLive,
+        "the caller's pairs cache was unpersisted by CC's round tracking")
+    } finally {
+      pairs.unpersist(blocking = true)
+      Caches.releaseAll(spark)
+    }
   }
 
   test("connectedComponents equals driver-side union-find on random graphs") {
