@@ -294,7 +294,20 @@ object Dedup {
   private def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
     val K = 10
     GraftFunctions.register(s)
-    val shAll = shingleSets(s, d)
+    // Exact-duplicate pre-collapse (the jaccard/minhash tier contract,
+    // completed here by the r16 review): lev is a function of the
+    // NORMALIZED text, so identical-norm docs form an equivalence class —
+    // one rep per class rides the banding/short/tiny machinery below,
+    // cross-class member pairs inherit their rep pair's distance, and
+    // intra-class pairs are lev = 0 ≤ K by definition. On an r-replica
+    // corpus this divides every band bucket and both exact strata's
+    // broadcast sides by r and the verify work by r².
+    val keyed = docs(s, d).select(col("doc_id"),
+      md5(TF.normText(col("text"))).as("gk"))
+    val groups = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
+    val members = keyed.join(groups, Seq("gk"))
+    val repIds = groups.select(col("rep").as("doc_id"))
+    val shAll = shingleSets(s, d).join(repIds, Seq("doc_id"), "left_semi")
     val sh = shAll.filter(size(col("sh")) > EditShortMaxSh)
     val bands = bandKeys(sh)
     val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
@@ -304,6 +317,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val n = docs(s, d).select(col("doc_id"), TF.normText(col("text")).as("norm"))
+      .join(repIds, Seq("doc_id"), "left_semi")
     val banded = candidates
       .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
       .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
@@ -355,7 +369,23 @@ object Dedup {
               greatest(col("ida"), col("idb")).as("doc_b"),
               col("edit_dist"))
       .distinct()
-    banded.unionByName(tinyPairs).unionByName(shortPairs)
+    val repPairs = banded.unionByName(tinyPairs).unionByName(shortPairs)
+    // re-expand representative pairs to member pairs (disjoint groups, so
+    // least/greatest never double-counts) and add the intra-class pairs
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("ida")),
+        Seq("doc_a"))
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("idb")),
+        Seq("doc_b"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"),
+              col("edit_dist"))
+    val intra = members.select(col("gk"), col("doc_id").as("ida"))
+      .join(members.select(col("gk"), col("doc_id").as("idb")), Seq("gk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        lit(0).as("edit_dist"))
+    cross.unionByName(intra)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
