@@ -258,6 +258,9 @@ object Dedup {
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashVerifiedPairsReleasable(s, d)._1.orderBy(col("doc_a"), col("doc_b"))
 
+  /** Max shingle count of the exact-paired short stratum (words ≤ 12). */
+  private val EditShortMaxSh = 10
+
   /** Edit-distance near-dup pairs — the character-level distance family
     * (OCR noise, small in-place edits) next to the set-based Jaccard
     * tiers: MinHash band candidates, then EXACT `levenshtein ≤ K` verify
@@ -285,12 +288,10 @@ object Dedup {
     * union never double-counts. The oracle recomputes the pair set
     * exactly from the length-screened cross join. At 100 TB the banding
     * does what it does for Jaccard — candidates, never pairs²; the
-    * tiny/short strata are broadcast-sized there because quality gates
-    * upstream of dedup drop sub-sentence docs.
+    * tiny/short strata stay blocking-bounded there (the bucket join
+    * shuffles; nothing stratum-sized is ever broadcast unconditionally —
+    * AQE converts when the stratum is actually small).
     */
-  /** Max shingle count of the exact-paired short stratum (words ≤ 12). */
-  private val EditShortMaxSh = 10
-
   private def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
     val K = 10
     GraftFunctions.register(s)
@@ -304,10 +305,18 @@ object Dedup {
     // broadcast sides by r and the verify work by r².
     val keyed = docs(s, d).select(col("doc_id"),
       md5(TF.normText(col("text"))).as("gk"))
+    // shared subtrees are cached like every sibling tier's (the lazy-
+    // builder contract — released by the session owner via
+    // Caches.releaseAll): groups feeds the semi-joins AND both expansion
+    // joins, members is read 4×, shAll drives three strata, and n backs
+    // every verify side — uncached, each reference re-runs the corpus
+    // scan + normText/md5/shingle kernels (r16 review)
     val groups = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
-    val members = keyed.join(groups, Seq("gk"))
+      .cache()
+    val members = keyed.join(groups, Seq("gk")).cache()
     val repIds = groups.select(col("rep").as("doc_id"))
     val shAll = shingleSets(s, d).join(repIds, Seq("doc_id"), "left_semi")
+      .cache()
     val sh = shAll.filter(size(col("sh")) > EditShortMaxSh)
     val bands = bandKeys(sh)
     val candidates = bands.select(col("doc_id").as("doc_a"), col("band"),
@@ -318,6 +327,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     val n = docs(s, d).select(col("doc_id"), TF.normText(col("text")).as("norm"))
       .join(repIds, Seq("doc_id"), "left_semi")
+      .cache()
     val banded = candidates
       .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
       .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
@@ -338,18 +348,22 @@ object Dedup {
     // a BroadcastNestedLoopJoin's condition and may order it BEFORE the
     // O(1) length screen, making every |stratum|×|corpus| pair pay a full
     // DP (measured 126 s vs sub-second at sf0.1, r16). Bucketing on
-    // ⌊len/K⌋ with the 3 neighbor buckets on the broadcast side is
+    // ⌊len/K⌋ with the 3 neighbor buckets exploded on the stratum side is
     // complete for the |Δlen| <= K window (lb ∈ [la−K, la+K] ⇒ ⌊lb/K⌋ ∈
-    // {⌊la/K⌋−1, ⌊la/K⌋, ⌊la/K⌋+1}) and turns the join into a
-    // BroadcastHashJoin whose residual condition — levenshtein included —
-    // runs only on bucket-matched pairs.
+    // {⌊la/K⌋−1, ⌊la/K⌋, ⌊la/K⌋+1}) and makes the join EQUI, so the
+    // residual condition — levenshtein included — runs only on
+    // bucket-matched pairs. No broadcast hint: a short-doc-heavy corpus
+    // (titles, query logs) has a corpus-scale stratum that an
+    // unconditional broadcast would ship whole (the dedupKeep lesson);
+    // AQE converts the shuffled join to broadcast when the stratum is
+    // actually small, which is the fixture case.
     def lenBlockedPairs(left: DataFrame, right: DataFrame): DataFrame = {
       val lb = left.select(col("doc_id").as("ida"), col("norm").as("na"))
         .withColumn("lbk", explode(array((-1 to 1).map(o =>
           (length(col("na")).cast("long") / K).cast("long") + o): _*)))
       val rb = right.select(col("doc_id").as("idb"), col("norm").as("nb"),
         (length(col("nb")).cast("long") / K).cast("long").as("lbk"))
-      broadcast(lb).join(rb, Seq("lbk"))
+      lb.join(rb, Seq("lbk"))
         .filter(col("ida") =!= col("idb") &&
           abs(length(col("na")) - length(col("nb"))) <= K)
         .withColumn("edit_dist", levenshtein(col("na"), col("nb")))

@@ -244,13 +244,20 @@ class DedupSpec extends AnyFunSuite {
     // own checkpoint blocks are ever dropped. A 64-node chain forces
     // multiple rounds; the pairs cache is deliberately NOT materialized
     // before the call.
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
       .cache()
     try {
       val labels = operators.Dedup.connectedComponents(pairs, maxRounds = 20)
       labels.write.format("noop").mode("overwrite").save()
-      val cachedLive = spark.sparkContext.getPersistentRDDs.values
-        .exists(r => !r.isCheckpointed)
+      // precisely the RDDs this call created that are NOT CC's own
+      // checkpoints — i.e. the pairs cache (and CC's internal edge
+      // cache, also non-checkpointed, released by CC's own finally);
+      // a leaked cache from an earlier test can't satisfy this (r16
+      // review: a bare exists() over ALL persistent RDDs could pass
+      // spuriously)
+      val cachedLive = spark.sparkContext.getPersistentRDDs
+        .exists { case (id, r) => !preexisting(id) && !r.isCheckpointed }
       assert(cachedLive,
         "the caller's pairs cache was unpersisted by CC's round tracking")
     } finally {
