@@ -170,6 +170,30 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Distinct character q-grams of a string, one pass (the char-level
+    * analog of [[wordShingles]], backing the exact edit-distance q-gram
+    * tier: each edit operation destroys at most q distinct q-grams, so
+    * lev(a,b) <= K implies |Q(a) ∩ Q(b)| >= max(|Q(a)|,|Q(b)|) − K·q —
+    * the count bound the prefix filter needs). Substring positions are
+    * code-point-based (UTF8String.substring), so multi-byte text never
+    * splits a character.
+    */
+  def charGrams(s: UTF8String, q: Int): ArrayData = {
+    val m = s.numChars()
+    if (m < q) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - q) {
+      seen.add(s.substring(i, i + q))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Maximum element multiplicity of a string array: sort a local copy,
     * then the longest run of equal adjacent values IS the top
     * multiplicity. One JVM sort + one pass per row — replaces an
@@ -680,6 +704,8 @@ object GraftFunctions {
       if (es.length > 1) intArg(es(1), "minhash64") else 64)),
     "word_shingles" -> (es => WordShingles(es(0),
       if (es.length > 1) intArg(es(1), "word_shingles") else 3)),
+    "char_grams" -> (es => CharGrams(es(0),
+      if (es.length > 1) intArg(es(1), "char_grams") else 3)),
     "max_run_count" -> (es => MaxRunCount(es.head)),
     "greedy_token_count" -> (es => GreedyTokenCount(es.head)),
     "bpe_token_count" -> (es => BpeTokenCount(es.head)),
@@ -754,6 +780,8 @@ object GraftFunctions {
     call_function("minhash64", c, org.apache.spark.sql.functions.lit(k))
   def word_shingles(c: Column, n: Int): Column =
     call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
+  def char_grams(c: Column, q: Int): Column =
+    call_function("char_grams", c, org.apache.spark.sql.functions.lit(q))
   def max_run_count(c: Column): Column = call_function("max_run_count", c)
   def greedy_token_count(c: Column): Column =
     call_function("greedy_token_count", c)
@@ -888,4 +916,23 @@ case class WordShingles(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.wordShingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** Distinct character q-grams of a STRING → ARRAY<STRING>. Native
+  * one-pass kernel (see [[HashImpls.charGrams]] for the edit-distance
+  * count bound it backs); the transform(sequence(...)) composition
+  * evaluates an interpreted lambda per position, which dominates at
+  * corpus scale.
+  */
+case class CharGrams(child: Expression, q: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(q > 0 && q <= 16, s"q-gram width out of range: $q")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+  override protected def nullSafeEval(v: Any): Any =
+    HashImpls.charGrams(v.asInstanceOf[UTF8String], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.charGrams($c, $q)")
+  override protected def withNewChildInternal(c: Expression): CharGrams = copy(child = c)
 }

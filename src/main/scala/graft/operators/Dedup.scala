@@ -343,39 +343,9 @@ object Dedup {
     // from the banded branch (those pairs have shingles on both sides),
     // so the union never double-counts across branches; the distinct
     // collapses the two orderings a tiny–tiny pair arrives in.
-    // Exact strata pairing is LENGTH-BUCKET BLOCKED, never a plain
-    // non-equi broadcast join: Catalyst pushes the `lev <= K` filter into
-    // a BroadcastNestedLoopJoin's condition and may order it BEFORE the
-    // O(1) length screen, making every |stratum|×|corpus| pair pay a full
-    // DP (measured 126 s vs sub-second at sf0.1, r16). Bucketing on
-    // ⌊len/K⌋ with the 3 neighbor buckets exploded on the stratum side is
-    // complete for the |Δlen| <= K window (lb ∈ [la−K, la+K] ⇒ ⌊lb/K⌋ ∈
-    // {⌊la/K⌋−1, ⌊la/K⌋, ⌊la/K⌋+1}) and makes the join EQUI, so the
-    // residual condition — levenshtein included — runs only on
-    // bucket-matched pairs. No broadcast hint: a short-doc-heavy corpus
-    // (titles, query logs) has a corpus-scale stratum that an
-    // unconditional broadcast would ship whole (the dedupKeep lesson);
-    // AQE converts the shuffled join to broadcast when the stratum is
-    // actually small, which is the fixture case.
-    def lenBlockedPairs(left: DataFrame, right: DataFrame): DataFrame = {
-      val lb = left.select(col("doc_id").as("ida"), col("norm").as("na"))
-        .withColumn("lbk", explode(array((-1 to 1).map(o =>
-          (length(col("na")).cast("long") / K).cast("long") + o): _*)))
-      val rb = right.select(col("doc_id").as("idb"), col("norm").as("nb"),
-        (length(col("nb")).cast("long") / K).cast("long").as("lbk"))
-      lb.join(rb, Seq("lbk"))
-        .filter(col("ida") =!= col("idb") &&
-          abs(length(col("na")) - length(col("nb"))) <= K)
-        .withColumn("edit_dist", levenshtein(col("na"), col("nb")))
-        .filter(col("edit_dist") <= K)
-        .select(least(col("ida"), col("idb")).as("doc_a"),
-                greatest(col("ida"), col("idb")).as("doc_b"),
-                col("edit_dist"))
-        .distinct()
-    }
     val tiny = shAll.filter(size(col("sh")) === 0).select(col("doc_id"))
       .join(n, Seq("doc_id"))
-    val tinyPairs = lenBlockedPairs(tiny, n)
+    val tinyPairs = lenBlockedPairs(tiny, n, K)
     // SHORT-SHINGLED stratum (see the recall note in the scaladoc): the
     // banding bound is weak at small m, so these pair exactly against
     // every SHINGLED doc (tiny×any lives in the tiny branch — right side
@@ -388,10 +358,178 @@ object Dedup {
       .select(col("doc_id")).join(n, Seq("doc_id"))
     val shingledN = shAll.filter(size(col("sh")) >= 1)
       .select(col("doc_id")).join(n, Seq("doc_id"))
-    val shortPairs = lenBlockedPairs(short, shingledN)
+    val shortPairs = lenBlockedPairs(short, shingledN, K)
     val repPairs = banded.unionByName(tinyPairs).unionByName(shortPairs)
     // re-expand representative pairs to member pairs (disjoint groups, so
     // least/greatest never double-counts) and add the intra-class pairs
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("ida")),
+        Seq("doc_a"))
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("idb")),
+        Seq("doc_b"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"),
+              col("edit_dist"))
+    val intra = members.select(col("gk"), col("doc_id").as("ida"))
+      .join(members.select(col("gk"), col("doc_id").as("idb")), Seq("gk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        lit(0).as("edit_dist"))
+    cross.unionByName(intra)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact-stratum pairing, LENGTH-BUCKET BLOCKED — never a plain
+    * non-equi broadcast join: Catalyst pushes the `lev <= K` filter into
+    * a BroadcastNestedLoopJoin's condition and may order it BEFORE the
+    * O(1) length screen, making every |stratum|×|corpus| pair pay a full
+    * DP (measured 126 s vs sub-second at sf0.1, r16). Bucketing on
+    * ⌊len/K⌋ with the 3 neighbor buckets exploded on the stratum side is
+    * complete for the |Δlen| <= K window (lb ∈ [la−K, la+K] ⇒ ⌊lb/K⌋ ∈
+    * {⌊la/K⌋−1, ⌊la/K⌋, ⌊la/K⌋+1}) and makes the join EQUI, so the
+    * residual condition — levenshtein included — runs only on
+    * bucket-matched pairs. No broadcast hint: a short-doc-heavy corpus
+    * (titles, query logs) has a corpus-scale stratum that an
+    * unconditional broadcast would ship whole (the dedupKeep lesson);
+    * AQE converts the shuffled join to broadcast when the stratum is
+    * actually small, which is the fixture case. Inputs are (doc_id, norm)
+    * frames; output is the canonicalized verified pair set.
+    */
+  private def lenBlockedPairs(left: DataFrame, right: DataFrame,
+                              K: Int): DataFrame = {
+    val lb = left.select(col("doc_id").as("ida"), col("norm").as("na"))
+      .withColumn("lbk", explode(array((-1 to 1).map(o =>
+        (length(col("na")).cast("long") / K).cast("long") + o): _*)))
+    val rb = right.select(col("doc_id").as("idb"), col("norm").as("nb"),
+      (length(col("nb")).cast("long") / K).cast("long").as("lbk"))
+    lb.join(rb, Seq("lbk"))
+      .filter(col("ida") =!= col("idb") &&
+        abs(length(col("na")) - length(col("nb"))) <= K)
+      .withColumn("edit_dist", levenshtein(col("na"), col("nb")))
+      .filter(col("edit_dist") <= K)
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"),
+              col("edit_dist"))
+      .distinct()
+  }
+
+  /** Char q-gram width for the exact edit tier. q = 4, not 3: the prefix
+    * filter's selectivity is the df of the RAREST K·q+1 grams per doc,
+    * and char 3-grams of same-domain text are dense enough that even the
+    * rare ones carry corpus-scale df (measured: the q = 3 candidate set
+    * at sf0.1 ground a single verify task for 8+ minutes); 4-grams are
+    * ~40× sparser. The count bound holds for any q — the trade is prefix
+    * LENGTH (K·q+1 = 41) against per-gram df, and df wins.
+    */
+  private val EditQ = 4
+
+  /** The 8 character classes of the histogram screen shared by the Spark
+    * verify path and the DuckDB oracle: one edit changes the full
+    * character histogram by L1 ≤ 2, and merging chars into classes only
+    * lowers L1, so lev ≤ K implies Σ|Δh_i| ≤ 2K — an integer screen that
+    * runs before any O(n·m) DP.
+    */
+  private val EditHistClasses = Seq("[a-d]", "[e-h]", "[i-l]", "[m-p]",
+    "[q-t]", "[u-x]", "[y-z0-4]", "[^a-z0-4]")
+
+  private def withHistCols(df: DataFrame): DataFrame =
+    EditHistClasses.zipWithIndex.foldLeft(df) { case (d, (cls, i)) =>
+      d.withColumn(s"h$i",
+        length(col("norm")) - length(regexp_replace(col("norm"), cls, "")))
+    }
+
+  /** Edit-distance near-dup pairs, FULLY EXACT at every stratum — the
+    * char-q-gram PPJoin tier the [[dedupEditDistance]] scaladoc names as
+    * the exact alternative to its banding stratum (VERDICT r16 item 4).
+    * Recall contract: banding's miss probability argument is strong for
+    * clustered edits but probabilistic for scattered edits on barely-long
+    * docs; this operator replaces it with a deterministic count bound.
+    *
+    * The bound: one edit operation rewrites at most q character q-grams'
+    * windows, so it can remove at most q DISTINCT grams from a side's set
+    * (a distinct gram disappears only if every occurrence is destroyed).
+    * lev(a,b) ≤ K therefore implies |Q(a) ∩ Q(b)| ≥ max(|Qa|,|Qb|) − K·q,
+    * and by the ppjoin prefix lemma a qualifying pair must share one of
+    * each side's first K·q + 1 grams under any global total order —
+    * rarest-first here, the same discipline as [[jaccardPairs]]. Docs
+    * with ≤ K·q distinct grams (where the bound degenerates) take the
+    * exact [[lenBlockedPairs]] stratum against ALL length-compatible
+    * docs, so the two strata partition the pair space: a pair is
+    * small×any (length-blocked, exact) or big×big (prefix-filtered,
+    * exact). Candidates are verified with the O(1) length screen before
+    * the levenshtein DP, and grams ride the index as xxhash64 longs
+    * (8-byte shuffle entries; a cross-doc collision only ADDs a
+    * candidate, an in-doc collision only LENGTHENS a prefix — recall is
+    * never lost, same argument as the jaccard tier's). Exact-duplicate
+    * pre-collapse and member re-expansion as in every sibling tier. At
+    * 100 TB: Σ(prefix df²) candidates instead of pairs², with the
+    * rarest-first order keeping hot grams out of the index.
+    */
+  private def dedupEditQgram(s: SparkSession, d: String): DataFrame = {
+    val K = 10
+    GraftFunctions.register(s)
+    val keyed = docs(s, d).select(col("doc_id"),
+      md5(TF.normText(col("text"))).as("gk"))
+    val groups = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
+      .cache()
+    val members = keyed.join(groups, Seq("gk")).cache()
+    val repIds = groups.select(col("rep").as("doc_id"))
+    val n = docs(s, d)
+      .select(col("doc_id"), TF.normText(col("text")).as("norm"))
+      .join(repIds, Seq("doc_id"), "left_semi")
+      .cache()
+    val pb = K * EditQ // count bound floor AND prefix length − 1
+    val grams = n.select(col("doc_id"),
+      GraftFunctions.char_grams(col("norm"), EditQ).as("g"))
+    val small = grams.filter(size(col("g")) <= pb).select(col("doc_id"))
+      .join(n, Seq("doc_id"))
+    val smallPairs = lenBlockedPairs(small, n, K)
+    val inv = grams.filter(size(col("g")) > pb)
+      .select(col("doc_id"), explode(col("g")).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s"))
+    val prefix = inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= pb + 1)
+      .select(col("doc_id"), col("s"))
+    val candidates = prefix.select(col("doc_id").as("ida"), col("s"))
+      .join(prefix.select(col("doc_id").as("idb"), col("s")), Seq("s"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    // verify funnel, cheapest screen first — candidates survive the
+    // prefix filter in corpus-scale numbers when the corpus is
+    // same-domain text (rare grams are only relatively rare), so the DP
+    // must be LAST, behind two integer screens: the |Δlen| ≤ K lower
+    // bound, then the 8-class histogram L1 bound (Σ|Δh| ≤ 2K — each edit
+    // moves the class histogram by ≤ 2, merging classes only lowers L1).
+    // Both ride a skinny 9-int stats frame; the norm strings join in only
+    // for the survivors (measured: the statsless q=3 spelling ground a
+    // single lev task for 8+ minutes at sf0.1; this shape verifies in
+    // seconds).
+    val stats = withHistCols(n).select(col("doc_id") +: length(col("norm"))
+      .as("l") +: EditHistClasses.indices.map(i => col(s"h$i")): _*)
+    def side(p: String) = stats.toDF(
+      stats.columns.map(c => s"$p$c").toIndexedSeq: _*)
+    val histL1 = EditHistClasses.indices
+      .map(i => abs(col(s"ah$i") - col(s"bh$i")))
+      .reduce(_ + _)
+    val screened = candidates
+      .join(side("a"), col("ida") === col("adoc_id"))
+      .join(side("b"), col("idb") === col("bdoc_id"))
+      .filter(abs(col("al") - col("bl")) <= K && histL1 <= 2 * K)
+      .select(col("ida"), col("idb"))
+    val bigPairs = screened
+      .join(n.select(col("doc_id").as("ida"), col("norm").as("na")), Seq("ida"))
+      .join(n.select(col("doc_id").as("idb"), col("norm").as("nb")), Seq("idb"))
+      .withColumn("edit_dist", levenshtein(col("na"), col("nb")))
+      .filter(col("edit_dist") <= K)
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("edit_dist"))
+    // small×any and big×big partition the rep-pair space (a pair with a
+    // small side is emitted only by the length-blocked stratum; both-big
+    // pairs only by the prefix tier), so the union never double-counts
+    val repPairs = bigPairs.unionByName(smallPairs)
     val cross = repPairs
       .join(members.select(col("rep").as("doc_a"), col("doc_id").as("ida")),
         Seq("doc_a"))
@@ -1091,6 +1229,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardPairs _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_edit_distance" -> dedupEditDistance _,
+    "dedup_edit_qgram" -> dedupEditQgram _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep" -> dedupKeep _,
     "dedup_incremental" -> dedupIncremental _,
@@ -1099,8 +1238,16 @@ object Dedup {
     "dedup_embedding_cos" -> embeddingPairs _
   )
 
-  /** DuckDB exact-Jaccard pair set (list-algebra form — fine at oracle SF,
-    * while the Spark side uses the scalable inverted index / LSH).
+  /** DuckDB exact-Jaccard pair set, inverted-index form (VERDICT r16 item
+    * 3): candidates come from an equi join on shared shingles and the
+    * intersection size IS the join's per-pair row count (shingle lists are
+    * list_distinct, so each shared shingle contributes exactly one row) —
+    * no list_intersect, no cross join. Exact for any threshold t > 0
+    * because jaccard >= t implies at least one shared shingle. The old
+    * all-pairs list-algebra form took 567 s at sf0.1 (12.5M list
+    * intersections); this one is ~1.4 s and returns the identical pair
+    * set at sf0.01 and sf0.1 — which is what lets the 10x oracle tier
+    * gate the five rows built on it.
     */
   private val JaccardOracle = s"""
     WITH w AS (
@@ -1109,15 +1256,60 @@ object Dedup {
     sh AS (
       SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         for i in range(1, len(w)-1) ]) AS sh
-      FROM w WHERE len(w) >= 3)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           1.0*len(list_intersect(a.sh, b.sh))
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM sh a, sh b
-    WHERE a.doc_id < b.doc_id
-      AND 1.0*len(list_intersect(a.sh, b.sh))
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      FROM w WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS c, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM ex a JOIN ex b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, 1.0*c/(na + nb - c) AS jaccard
+    FROM cand
+    WHERE 1.0*c/(na + nb - c) >= 0.8
     ORDER BY doc_a, doc_b"""
+
+  /** Exact lev <= 10 pair set, blocked the same way the Spark side blocks
+    * (VERDICT r16 item 3): (1) length buckets ⌊len/10⌋ with the three
+    * neighbor buckets exploded on one side make the candidate join EQUI
+    * and complete for |Δlen| <= 10; (2) an 8-bucket character-class
+    * histogram L1 screen — one edit changes the full character histogram
+    * by L1 <= 2 and merging chars into classes only lowers L1, so
+    * lev <= 10 implies Σ|Δh_i| <= 20 — runs as plain integer arithmetic
+    * before any DP; (3) levenshtein only on the survivors, with the norm
+    * strings joined back so the million-candidate screen never carries
+    * them. Same 255-pair result as the old all-pairs form at sf0.1 in
+    * 8.7 s instead of 328 s. Shared by dedup_edit_distance and the fully
+    * exact dedup_edit_qgram tier (identical contract on fixtures where
+    * banding recall is 1).
+    */
+  private val EditDistOracle = {
+    val classes = Seq("[a-d]", "[e-h]", "[i-l]", "[m-p]", "[q-t]",
+      "[u-x]", "[y-z0-4]", "[^a-z0-4]")
+    val hcols = classes.zipWithIndex.map { case (c, i) =>
+      s"length(norm) - length(regexp_replace(norm, '$c', '', 'g')) AS h$i"
+    }.mkString(",\n               ")
+    val screen = classes.indices.map(i => s"abs(a.h$i - b.h$i)")
+      .mkString(" + ")
+    s"""
+      WITH n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
+                 FROM documents),
+      nb AS (SELECT doc_id, length(norm) AS l,
+               CAST(floor(length(norm) / 10) AS BIGINT) AS blk,
+               $hcols
+             FROM n),
+      probe AS (SELECT *, unnest([blk - 1, blk, blk + 1]) AS blk2 FROM nb),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM nb a JOIN probe b ON a.blk = b.blk2 AND a.doc_id < b.doc_id
+        WHERE abs(a.l - b.l) <= 10
+          AND $screen <= 20)
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(x.norm, y.norm) AS INT) AS edit_dist
+      FROM cand JOIN n x ON x.doc_id = doc_a JOIN n y ON y.doc_id = doc_b
+      WHERE levenshtein(x.norm, y.norm) <= 10
+      ORDER BY doc_a, doc_b"""
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> s"""
@@ -1223,16 +1415,8 @@ object Dedup {
       SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS kept_text,
              CAST(COUNT(*) AS INT) AS n_kept
       FROM kept GROUP BY doc_id ORDER BY doc_id""",
-    "dedup_edit_distance" -> s"""
-      WITH n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
-                 FROM documents)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(levenshtein(a.norm, b.norm) AS INT) AS edit_dist
-      FROM n a, n b
-      WHERE a.doc_id < b.doc_id
-        AND abs(length(a.norm) - length(b.norm)) <= 10
-        AND levenshtein(a.norm, b.norm) <= 10
-      ORDER BY doc_a, doc_b""",
+    "dedup_edit_distance" -> EditDistOracle,
+    "dedup_edit_qgram" -> EditDistOracle,
     "dedup_segment_keep" -> s"""
       WITH w AS (
         SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS ws
@@ -1300,7 +1484,9 @@ object Dedup {
       SELECT cluster, COUNT(*) AS n_members
       FROM labels GROUP BY cluster ORDER BY cluster""",
     // exact cross-slice Jaccard: the incremental query's contract is the
-    // full pair set between the batch slice and the corpus slice
+    // full pair set between the batch slice and the corpus slice — same
+    // inverted-index form as JaccardOracle (COUNT over the shared-shingle
+    // equi join IS the intersection size), sliced by the %10 carve
     "dedup_incremental" -> s"""
       WITH w AS (
         SELECT doc_id, string_split(${TextAnalysis.NormSql}, ' ') AS w
@@ -1308,14 +1494,17 @@ object Dedup {
       sh AS (
         SELECT doc_id, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
           for i in range(1, len(w)-1) ]) AS sh
-        FROM w WHERE len(w) >= 3)
-      SELECT a.doc_id AS new_doc, b.doc_id AS dup_of,
-             1.0*len(list_intersect(a.sh, b.sh))
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-      FROM sh a, sh b
-      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-        AND 1.0*len(list_intersect(a.sh, b.sh))
-              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        FROM w WHERE len(w) >= 3),
+      ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+      cand AS (
+        SELECT a.doc_id AS new_doc, b.doc_id AS dup_of,
+               COUNT(*) AS c, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        FROM ex a JOIN ex b USING (s)
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        GROUP BY 1, 2)
+      SELECT new_doc, dup_of, 1.0*c/(na + nb - c) AS jaccard
+      FROM cand
+      WHERE 1.0*c/(na + nb - c) >= 0.8
       ORDER BY new_doc, dup_of""",
     // keep-latest compaction: the window form IS the oracle (the Spark
     // side's max_by is the sort-free equivalent); ordering by the

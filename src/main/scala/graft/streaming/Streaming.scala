@@ -1027,17 +1027,29 @@ object Streaming {
     * match in acc_0..acc_{b-1}.
     */
   private def ingestOracleSql: String = {
+    // each layer's reject set via the inverted-index form (VERDICT r16
+    // item 3): candidates from the shared-shingle equi join, intersection
+    // size = per-pair join row count (sh is list_distinct), jaccard from
+    // counts — no list_intersect, no batch×accumulated cross join. Exact:
+    // jaccard >= 0.8 > 0 implies a shared shingle, and the explode drops
+    // exactly the len(sh) = 0 docs the old NOT EXISTS guarded against.
     val layers = (1 until IngestBatches).map { b =>
       val prior = (0 until b).map(i => s"SELECT * FROM acc$i")
         .mkString(" UNION ALL ")
       s""",
+      dup$b AS (
+        SELECT DISTINCT da FROM (
+          SELECT a.doc_id AS da, c.doc_id AS dc,
+                 COUNT(*) AS cc, ANY_VALUE(a.n) AS na, ANY_VALUE(c.n) AS nc
+          FROM (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+                FROM shd WHERE b = $b) a
+          JOIN (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+                FROM ($prior)) c USING (s)
+          GROUP BY 1, 2)
+        WHERE 1.0*cc/(na + nc - cc) >= 0.8),
       acc$b AS (
-        SELECT a.* FROM shd a WHERE a.b = $b AND NOT EXISTS (
-          SELECT 1 FROM ($prior) c
-          WHERE len(a.sh) > 0 AND len(c.sh) > 0
-            AND 1.0*len(list_intersect(a.sh, c.sh))
-                / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh)))
-                >= 0.8))"""
+        SELECT * FROM shd
+        WHERE b = $b AND doc_id NOT IN (SELECT da FROM dup$b))"""
     }.mkString
     val all = (0 until IngestBatches).map(i => s"SELECT * FROM acc$i")
       .mkString(" UNION ALL ")

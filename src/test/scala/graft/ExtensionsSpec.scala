@@ -30,6 +30,23 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(HashImpls.rollingHash(UTF8String.fromString(s)) == expect)
   }
 
+  test("char_grams: distinct code-point q-grams, short-string edge cases") {
+    def grams(s: String, q: Int): Seq[String] = {
+      val a = HashImpls.charGrams(UTF8String.fromString(s), q)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // sliding windows of "abcabc": abc bca cab abc -> distinct, first-seen
+    assert(grams("abcabc", 3) == Seq("abc", "bca", "cab"))
+    assert(grams("ab", 3).isEmpty, "below-width string must yield empty")
+    assert(grams("abc", 3) == Seq("abc"))
+    // multi-byte text: positions are code points, never split bytes
+    assert(grams("héllo", 2) == Seq("hé", "él", "ll", "lo"))
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT char_grams('abcabc', 3) g")
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("abc", "bca", "cab"))
+  }
+
   test("simhash of near-identical token sets is near in hamming space") {
     def arr(ts: Seq[String]) =
       new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
@@ -184,6 +201,59 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty, "fixture should contain lev<=10 near-dups")
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("q-gram tier equals brute force; banding pairs are a subset") {
+    val n = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("norm"))
+    val brute = n.select(col("doc_id").as("doc_a"), col("norm").as("na"))
+      .crossJoin(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(length(col("na")) - length(col("nb"))) <= 10 &&
+        levenshtein(col("na"), col("nb")) <= 10)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qgram = operators.Dedup.queries("dedup_edit_qgram")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = operators.Dedup.queries("dedup_edit_distance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain lev<=10 near-dups")
+    assert(qgram == brute, s"qgram=${qgram.size} brute=${brute.size}")
+    assert(banded.subsetOf(qgram),
+      s"banding found pairs the exact tier missed: ${banded -- qgram}")
+  }
+
+  test("q-gram tier is exact on scattered edits that zero the shingle jaccard") {
+    // adversarial corpus: 30 distinct 7-char words, one single-char edit
+    // every 3rd word — every 3-word shingle window overlaps an edit, so
+    // the pair shares NO word-shingle (jaccard 0) and the banding tier can
+    // never surface it; lev = 10 <= K and the char-q-gram count bound
+    // still holds (10 edits destroy <= 30 of ~200 distinct 3-grams). This
+    // is precisely the documented recall gap dedup_edit_qgram closes.
+    val words = (0 until 30).map(i => f"w$i%02daaaa")
+    val orig = words.mkString(" ")
+    val edited = words.zipWithIndex.map { case (w, i) =>
+      if (i % 3 == 0) w.dropRight(1) + "z" else w
+    }.mkString(" ")
+    val far = (0 until 30).map(i => f"q$i%02dbbbb").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("qgram_adversarial").toString
+    import spark.implicits._
+    Seq((0L, orig, "syn", orig.length.toLong),
+        (1L, edited, "syn", edited.length.toLong),
+        (2L, far, "syn", far.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val qgram = operators.Dedup.queries("dedup_edit_qgram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(qgram == Set((0L, 1L, 10)),
+      s"exact tier must find exactly the planted scattered-edit pair: $qgram")
+    val banded = operators.Dedup.queries("dedup_edit_distance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!banded.contains((0L, 1L)),
+      "premise broken: banding surfaced a zero-jaccard pair — the " +
+        "adversarial fixture no longer demonstrates the recall gap")
   }
 
   test("simhash quarter blocking equals brute-force hamming<=3 exactly") {

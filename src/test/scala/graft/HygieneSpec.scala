@@ -152,6 +152,13 @@ class FixtureLoadSpec extends AnyFunSuite {
   * FAIL — so if the classpath ever gains brotli/lzo jars, this spec fails
   * loudly and the `sink_parquet_codecs` gate must be upgraded to exercise
   * them live instead of silently under-claiming.
+  *
+  * RETIRED r17 (VERDICT r16 item 6, final re-check): no brotli/lzo jar
+  * exists anywhere on this box — not in /opt/spark/jars (the pinned
+  * unmanagedBase), not in the pre-warmed coursier cache, not on the
+  * filesystem — and the environment is zero-egress, so vendoring cannot
+  * fetch one. 5/7 live is this environment's ceiling; the contract spec
+  * stays as the tripwire should the pin ever change.
   */
 class CodecContractSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -241,6 +248,10 @@ class OracleTypeConventionSpec extends AnyFunSuite {
   private val DoubleSumAllowlist: Set[String] = Set(
     "agg_topk", "agg_typed_aggregator", "agg_weighted_median",
     "dedup_simhash", "emb_pca_power", "emb_pca_project", "graph_pagerank",
+    // same arithmetic as graph_pagerank (SUM(rank/outdeg) and the delta
+    // SUM(ABS(double−double)) — DOUBLE summands throughout, no integer
+    // widening possible); locally oracle-equal at sf0.01 AND sf0.1 (r17)
+    "graph_pagerank_converged",
     "mm_phash_dedup", "pack_sequences", "pipeline_eval_harness",
     "pipeline_multimodal", "scd2_history", "sessionize_batch",
     "sessionize_typed", "stream_exec_custom_state", "stream_exec_session",

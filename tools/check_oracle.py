@@ -16,18 +16,16 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# oracle SQL (not Spark) is n^2 in the corpus: exact jaccard / lev /
-# cosine pair sets, recursive closure over the pair graph, and the
-# brute-force ANN ranking the recall gates reuse
-N2_ORACLES = {
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_edit_distance",
-    "dedup_clusters", "dedup_keep", "dedup_incremental",
-    "pipeline_streaming_ingest",
-    "dedup_embedding_threshold", "dedup_embedding_cos", "dedup_embedding_lsh",
-    "dedup_semantic", "pipeline_semdedup",
-    "text_decontaminate", "text_decontaminate_bloom",
-    "ann_brute_topk", "ann_ivf_full_probe", "ann_pq_full_rerank",
-}
+# EMPTY since r17 (VERDICT r16 item 3): the jaccard-family oracles were
+# rewritten in inverted-index form (intersection size = shared-shingle
+# equi-join row count — 567 s -> 1.4 s at sf0.1), the edit-distance
+# oracle length-bucket + char-histogram blocked (328 s -> 8.7 s), the
+# streaming-ingest accept chain's NOT EXISTS layers count-joined, and
+# the remaining ten rows (embedding/ANN/decontaminate) measured
+# sub-3 s at sf0.1 as they stood. The full 267-row set now gates at
+# sf0.1: 267/267 pass, 0 skipped. --skip-n2 is kept as a no-op flag so
+# documented invocations keep working.
+N2_ORACLES = set()
 
 
 def canon(rows, cols):
