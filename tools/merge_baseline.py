@@ -18,7 +18,9 @@ artifact's or the merge refuses (numbers from a different scale or core
 count are not comparable).
 """
 import json
+import os
 import sys
+import tempfile
 
 
 def main(artifact_path, baseline_path="bench_baseline.json"):
@@ -43,7 +45,14 @@ def main(artifact_path, baseline_path="bench_baseline.json"):
             if not isinstance(old, (int, float)) or v < old:
                 base[k] = v
                 merged += 1
-    json.dump(base, open(baseline_path, "w"))
+    # write-temp-then-rename (ADVICE r16): an in-place json.dump truncates
+    # first, so a crash mid-write would corrupt the committed baseline
+    # every adaptive/requery gate keys off
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(
+        baseline_path)) or ".", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(base, f)
+    os.replace(tmp, baseline_path)
     suite = sum(v for v in base["queries"].values()
                 if isinstance(v, (int, float)))
     print(f"merged {merged} lower readings; suite floor now {suite:.1f}s "
