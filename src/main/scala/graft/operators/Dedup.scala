@@ -282,8 +282,10 @@ object Dedup {
     * the bound above is strong for the clustered-edit geometry this
     * operator targets (scattered adversarial edits on barely-long docs
     * remain a documented recall contract of the banding tier — the fully
-    * exact alternative is a char-q-gram PPJoin, the overlap bound
-    * |Q|−K·q, if a corpus ever needs it). The three branches partition
+    * exact alternative, the char-q-gram PPJoin with overlap bound
+    * |Q|−K·q, ships as [[dedupEditQgram]] since r17; its spec exhibits a
+    * zero-shingle-jaccard pair this tier provably misses and the q-gram
+    * tier finds). The three branches partition
     * the pair space (tiny×any / short×shingled / long×long), so the
     * union never double-counts. The oracle recomputes the pair set
     * exactly from the length-screened cross join. At 100 TB the banding
@@ -479,46 +481,77 @@ object Dedup {
       .join(repIds, Seq("doc_id"), "left_semi")
       .cache()
     val pb = K * EditQ // count bound floor AND prefix length − 1
-    val grams = n.select(col("doc_id"),
-      GraftFunctions.char_grams(col("norm"), EditQ).as("g"))
-    val small = grams.filter(size(col("g")) <= pb).select(col("doc_id"))
-      .join(n, Seq("doc_id"))
-    val smallPairs = lenBlockedPairs(small, n, K)
-    val inv = grams.filter(size(col("g")) > pb)
-      .select(col("doc_id"), explode(col("g")).as("g0"))
+    // one char_grams kernel pass total: the exploded hashed index is
+    // cached and BOTH strata memberships and the df order derive from it
+    // (the spelled-out small/big filters re-evaluated the kernel per
+    // consumer — 3 corpus passes at ~7 s each at sf0.1). |D| per doc is
+    // the index's per-doc row count (char_grams is distinct), so the
+    // stratum split needs no array sizes; dfreq over ALL docs is an
+    // equally valid global total order (recall needs only that both join
+    // sides rank by the SAME deterministic order).
+    val invAll = n.select(col("doc_id"),
+        explode(GraftFunctions.char_grams(col("norm"), EditQ)).as("g0"))
       .select(col("doc_id"), xxhash64(col("g0")).as("s"))
-    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .cache()
+    val bigIds = invAll.groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > pb).select(col("doc_id"))
+    // small = everything not big, INCLUDING gram-less docs shorter than
+    // the gram width (they have no invAll rows at all)
+    val small = n.join(bigIds, Seq("doc_id"), "left_anti")
+    val smallPairs = lenBlockedPairs(small, n, K)
+    val inv = invAll.join(bigIds, Seq("doc_id"), "left_semi")
+    val dfreq = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s"))
     val prefix = inv.join(dfreq, Seq("s"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= pb + 1)
       .select(col("doc_id"), col("s"))
-    val candidates = prefix.select(col("doc_id").as("ida"), col("s"))
-      .join(prefix.select(col("doc_id").as("idb"), col("s")), Seq("s"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb")).distinct()
-    // verify funnel, cheapest screen first — candidates survive the
-    // prefix filter in corpus-scale numbers when the corpus is
-    // same-domain text (rare grams are only relatively rare), so the DP
-    // must be LAST, behind two integer screens: the |Δlen| ≤ K lower
-    // bound, then the 8-class histogram L1 bound (Σ|Δh| ≤ 2K — each edit
-    // moves the class histogram by ≤ 2, merging classes only lowers L1).
-    // Both ride a skinny 9-int stats frame; the norm strings join in only
-    // for the survivors (measured: the statsless q=3 spelling ground a
-    // single lev task for 8+ minutes at sf0.1; this shape verifies in
-    // seconds).
+    // Candidate join keyed on (gram, LENGTH BUCKET), not gram alone, with
+    // the verify screens INSIDE the join ahead of the distinct. Two
+    // measured lessons folded together (44 s → seconds at sf0.1):
+    //  - same-domain text keeps even the rarest-41 grams at corpus-scale
+    //    df, so the bare gram self-join is Σdf² on hot postings; adding
+    //    the ⌊len/K⌋ bucket to the key (3-bucket explode on one side,
+    //    complete for |Δlen| ≤ K exactly as in [[lenBlockedPairs]])
+    //    splits every posting list across the corpus's length spread
+    //    before any pair materializes;
+    //  - the |Δlen| ≤ K and 8-class histogram L1 ≤ 2K integer screens
+    //    (each edit moves the class histogram by ≤ 2; merging classes
+    //    only lowers L1) run as join residuals on a 9-int payload, so
+    //    the distinct and everything after it see only near-qualifying
+    //    pairs, and the O(n·m) DP is last, on survivors with the norm
+    //    strings joined back (the statsless q=3 spelling ground a single
+    //    lev task for 8+ minutes).
     val stats = withHistCols(n).select(col("doc_id") +: length(col("norm"))
       .as("l") +: EditHistClasses.indices.map(i => col(s"h$i")): _*)
-    def side(p: String) = stats.toDF(
-      stats.columns.map(c => s"$p$c").toIndexedSeq: _*)
+    val prefixS = prefix.join(stats, Seq("doc_id"))
+    def side(p: String, df: DataFrame) = df.toDF(
+      df.columns.map(c => if (c == "s" || c == "blk") c else s"$p$c")
+        .toIndexedSeq: _*)
+    val lbk = (col("l").cast("long") / K).cast("long")
+    val la = side("a", prefixS
+      .withColumn("blk", explode(array((-1 to 1).map(o => lbk + o): _*))))
+    val rb = side("b", prefixS.withColumn("blk", lbk))
     val histL1 = EditHistClasses.indices
       .map(i => abs(col(s"ah$i") - col(s"bh$i")))
       .reduce(_ + _)
-    val screened = candidates
-      .join(side("a"), col("ida") === col("adoc_id"))
-      .join(side("b"), col("idb") === col("bdoc_id"))
-      .filter(abs(col("al") - col("bl")) <= K && histL1 <= 2 * K)
-      .select(col("ida"), col("idb"))
+    // EXPLICIT-width spread BEFORE the distinct, keyed on the pair: the
+    // screened pair set is tiny in BYTES (two longs a row), so left to
+    // itself AQE coalesces the distinct's exchange to ~3 partitions and
+    // the broadcast-joined levenshtein stage fused on top runs 93k DPs
+    // on 3 threads with 29 idle (measured 14 s per pass at sf0.1). Row
+    // count, not byte count, is this stage's cost model — each row is
+    // an O(n·m) DP. A user repartition with an explicit N is never
+    // AQE-coalesced, and HashPartitioning(ida, idb, N) satisfies the
+    // distinct's clustering requirement, so the distinct plans WITHOUT
+    // its own (coalescible) exchange on top.
+    val screened = la.join(rb, Seq("s", "blk"))
+      .filter(col("adoc_id") < col("bdoc_id") &&
+        abs(col("al") - col("bl")) <= K && histL1 <= 2 * K)
+      .select(col("adoc_id").as("ida"), col("bdoc_id").as("idb"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("ida"), col("idb"))
+      .distinct()
     val bigPairs = screened
       .join(n.select(col("doc_id").as("ida"), col("norm").as("na")), Seq("ida"))
       .join(n.select(col("doc_id").as("idb"), col("norm").as("nb")), Seq("idb"))
@@ -526,6 +559,17 @@ object Dedup {
       .filter(col("edit_dist") <= K)
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
         col("edit_dist"))
+      // the verified pair set is output-sized (hundreds of rows) but its
+      // lineage holds the whole DP funnel, and the final orderBy's range
+      // sampling executes the plan a SECOND time past the last reusable
+      // exchange — materialize ONCE so both passes pay the levenshtein
+      // stage once. Eager localCheckpoint, not cache: a lazy cache makes
+      // a re-run of the same frame a warm no-op (bench iterations would
+      // publish cache-read times for an operator whose cost IS the
+      // funnel), while the checkpoint re-materializes per construction
+      // and its blocks still release under the Caches.releaseAll
+      // session contract.
+      .localCheckpoint(true)
     // small×any and big×big partition the rep-pair space (a pair with a
     // small side is emitted only by the length-blocked stratum; both-big
     // pairs only by the prefix tier), so the union never double-counts

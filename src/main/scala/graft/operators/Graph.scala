@@ -132,12 +132,24 @@ object Graph {
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .coalesce(1).localCheckpoint(true)
     val nodes = nation.select(col("n_nationkey").as("node"))
     val n = nodes.count().toDouble
     var (ranks, blocks) =
       tracked(nodes.withColumn("rank", lit(1.0 / n)))
     var iter = 0
     var delta = Double.MaxValue
+    // Per-round cost here is pure ORCHESTRATION, so every round's frame
+    // is coalesce(1)'d before its checkpoint: the iterate is node-count-
+    // sized by construction (25 rows), and without the coalesce each
+    // round's checkpoint + delta jobs schedule 32 shuffle-partition
+    // tasks of nothing — measured 6.4 s for 22 rounds at sf0.1, almost
+    // all of it task-scheduling overhead. (A lazy G-round batch variant
+    // measured WORSE — 17.8 s — because each un-checkpointed round
+    // re-plans its predecessors' shuffles G²/2-fold and exchange reuse
+    // does not collapse them across the probe union.) deg is derived
+    // once from the checkpointed edges and checkpointed itself for the
+    // same reason: uncheckpointed it re-runs its shuffle every round.
     while (delta >= ConvEps && iter < ConvMaxIters) {
       iter += 1
       val contrib = edges.join(deg, "src")
@@ -148,7 +160,8 @@ object Graph {
         nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(Teleport / n) +
-              lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("rank")))
+              lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+          .coalesce(1))
       delta = next
         .join(ranks.select(col("node"), col("rank").as("prev")), "node")
         .agg(sum(abs(col("rank") - col("prev"))).as("d"))
