@@ -256,6 +256,38 @@ class DedupSpec extends AnyFunSuite {
         "adversarial fixture no longer demonstrates the recall gap")
   }
 
+  test("q-gram tier: exact-dup collapse expands to the full pair set") {
+    // 3x-replicated adversarial corpus (the semdedup replication-spec
+    // convention): the rep machinery must see ONE doc per distinct text
+    // and the member re-expansion must emit every intra pair (lev 0) and
+    // every cross pair (lev 10), r^2 of the rep pair
+    val words = (0 until 30).map(i => f"w$i%02daaaa")
+    val orig = words.mkString(" ")
+    val edited = words.zipWithIndex.map { case (w, i) =>
+      if (i % 3 == 0) w.dropRight(1) + "z" else w
+    }.mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("qgram_replicated").toString
+    import spark.implicits._
+    (0 until 3).flatMap(r => Seq(
+        (r * 10L, orig, "syn", orig.length.toLong),
+        (r * 10L + 1, edited, "syn", edited.length.toLong)))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.queries("dedup_edit_qgram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val origIds = Seq(0L, 10L, 20L)
+    val editIds = Seq(1L, 11L, 21L)
+    def intra(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b, 0)
+    val cross = for { a <- origIds; b <- editIds } yield
+      (math.min(a, b), math.max(a, b), 10)
+    val want = (intra(origIds) ++ intra(editIds) ++ cross).toSet
+    assert(got == want,
+      s"missing=${want -- got} spurious=${got -- want}")
+  }
+
   test("simhash quarter blocking equals brute-force hamming<=3 exactly") {
     // pigeonhole blocking is provably exact for hamming<=3 on 4 quarters —
     // assert set equality against an all-pairs scan of the same (portable

@@ -1723,6 +1723,28 @@ class PlanSpec extends AnyFunSuite {
       "every node keeps at least the teleport share")
   }
 
+  test("graph_pagerank_converged: exact stop, iter count, block hygiene") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = SparkEntry.queries("graph_pagerank_converged")(spark, sfDir)
+    // the convergence loop ran eagerly at construction; only the terminal
+    // state may remain persistent (edges + deg + final ranks) — every
+    // superseded round's checkpoint blocks must already be dropped, or a
+    // 60-round corpus run pins 60 rounds of blocks
+    val live = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(live.size <= 3,
+      s"converged pagerank leaked ${live.size} persistent RDDs (expect " +
+        "edges + deg + final ranks at most)")
+    val rows = df.collect()
+    val iters = rows.map(_.getAs[Int]("n_iters")).distinct
+    assert(iters.length == 1, s"n_iters must be constant: ${iters.toSeq}")
+    assert(iters.head >= 2 && iters.head < operators.Graph.ConvMaxIters,
+      s"fixture should converge non-trivially under the cap: ${iters.head}")
+    // converged ranks: one more Jacobi step moves total mass < n*eps
+    val total = rows.map(_.getAs[Double]("pagerank")).sum
+    assert(total > 0.15 && total <= 1.0 + 1e-9, s"rank mass: $total")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("graph_components equals driver-side union-find on the co-purchase graph") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("graph_components")(spark, sfDir).collect()
