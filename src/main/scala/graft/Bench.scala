@@ -317,7 +317,13 @@ object Bench {
     // part keys, so every pair's support and the mean scale together ×10
     // — the filtered edge set (and the CC loop) must stay size-invariant
     // while the self-join input grows 10×
-    "sf1_graph_components" -> "graph_components")
+    "sf1_graph_components" -> "graph_components",
+    // round-17 row: the exact q-gram edit tier at 10× identical replicas
+    // — the exact-dup collapse must bound the char-gram index, the
+    // prefix self-join, AND both exact strata at the DISTINCT doc count
+    // (everything rides rep semi-joins), leaving only the output-sized
+    // member re-expansion to scale with the corpus
+    "sf1_dedup_edit_qgram" -> "dedup_edit_qgram")
 
   /** Always-run sf1 points — the ACCEPTANCE PHASE set, measured before
     * anything else in the fresh JVM: the BASELINE.md-comparable headliners
