@@ -1006,6 +1006,69 @@ object Dedup {
   private def dedupSegment(s: SparkSession, d: String): DataFrame =
     segmentDedupCounts(docs(s, d), 3)
 
+  /** CONTENT-DEFINED chunking dedup — the insertion-robust sibling of
+    * [[dedupSegment]]'s fixed word grid (the storage-dedup/CDC idea —
+    * Muthitacharoen et al., LBFS SOSP'01 — applied at corpus scale): cut
+    * positions are a FUNCTION OF THE TEXT (here: the char position where
+    * an 8-char window's md5 starts with hex '0', expected chunk ≈ 16
+    * chars), so a copy of a passage shifted by an insertion re-
+    * synchronizes at the next content cut and every chunk after it
+    * dedups again. A fixed grid loses EVERY segment after a 1-char
+    * insertion — the spec demonstrates exactly that split. No minimum
+    * chunk bound, documented: adjacent cuts may emit 1-char chunks (the
+    * fixture's hash density makes them rare, and a bound would add a
+    * stateful scan for no oracle value).
+    *
+    * Scale shape, same discipline as the segment tier: the cut scan is
+    * one pass (len−7 windows per doc, a partition of the corpus after
+    * chunking — the explode is corpus-sized, not n×); keeper per
+    * distinct chunk is the skew-immune two-phase min-struct aggregate
+    * (never a per-group window sort); the doc rollup joins two
+    * doc-keyed aggregates. The md5 window probe runs inside a transform
+    * lambda (interpreted per element) — acceptable because the window
+    * is 8 chars and the probe is one pass; a native rolling-hash
+    * expression ([[graft.functions.HashExpressions]]'s RollingHash) is
+    * the drop-in upgrade if the probe ever dominates. Both engines
+    * compute cuts from the same md5 arithmetic, so the oracle replays
+    * the chunking bit-identically.
+    */
+  private def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val n = docs(s, d)
+      .select(col("doc_id"), TF.normText(col("text")).as("norm"))
+      .filter(length(col("norm")) > 0)
+    val chunks = n
+      .withColumn("cuts",
+        when(length(col("norm")) >= 8, expr(
+          """filter(transform(sequence(1, length(norm) - 7),
+                    p -> CASE WHEN substring(md5(substring(norm, p, 8)), 1, 1)
+                              = '0' THEN p + 7 ELSE -1 END),
+                    x -> x > 0)"""))
+          .otherwise(expr("array()").cast("array<int>")))
+      .withColumn("starts",
+        expr("concat(array(1), transform(cuts, c -> c + 1))"))
+      .withColumn("ends",
+        expr("concat(cuts, array(int(length(norm))))"))
+      .select(col("doc_id"), col("norm"),
+        posexplode(expr(
+          "filter(zip_with(starts, ends, (s, e) -> struct(s AS s, e AS e))," +
+            " x -> x.e >= x.s)")).as(Seq("chunk_idx", "se")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("substring(norm, se.s, se.e - se.s + 1)").as("chunk"))
+    val keepers = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_kept"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"))
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0))).cast("int")
+          .as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The materialized output of [[dedupSegment]] — the deduplicated corpus
     * itself (what Lee et al. actually train on): every document rebuilt
     * from only the segments whose globally-first occurrence it owns.
@@ -1274,6 +1337,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_edit_distance" -> dedupEditDistance _,
     "dedup_edit_qgram" -> dedupEditQgram _,
+    "dedup_cdc_chunks" -> dedupCdcChunks _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep" -> dedupKeep _,
     "dedup_incremental" -> dedupIncremental _,
@@ -1482,6 +1546,40 @@ object Dedup {
       FROM r WHERE rn = 1
       GROUP BY doc_id ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> JaccardOracle,
+    // CDC replayed bit-identically: same md5-window cut rule, chunks via
+    // zipped parallel unnests (the dedup_segment oracle's pattern),
+    // keeper = first (doc, chunk_idx) occurrence per distinct chunk
+    "dedup_cdc_chunks" -> s"""
+      WITH n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
+                 FROM documents
+                 WHERE length(${TextAnalysis.NormSql}) > 0),
+      c AS (SELECT doc_id, norm,
+              CASE WHEN length(norm) >= 8 THEN
+                [ p + 7 for p in range(1, length(norm) - 6)
+                  if substr(md5(substr(norm, p, 8)), 1, 1) = '0' ]
+              ELSE [] END AS cuts
+            FROM n),
+      se AS (SELECT doc_id, norm,
+               list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+               list_append(cuts, CAST(length(norm) AS BIGINT)) AS ends
+             FROM c),
+      ex AS (SELECT doc_id,
+               unnest([ i for i in range(1, len(starts) + 1)
+                        if ends[i] >= starts[i] ]) AS chunk_idx,
+               unnest([ substr(norm, CAST(starts[i] AS INT),
+                               CAST(ends[i] - starts[i] + 1 AS INT))
+                        for i in range(1, len(starts) + 1)
+                        if ends[i] >= starts[i] ]) AS chunk
+             FROM se),
+      r AS (SELECT doc_id, chunk,
+              ROW_NUMBER() OVER (PARTITION BY chunk
+                                 ORDER BY doc_id, chunk_idx) AS rn
+            FROM ex)
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT)
+               AS n_dropped
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
     // the same fragment plant (first-half word span of doc_id % 29 == 0),
     // brute-force containment — exact at oracle SF while the Spark side
     // runs the asymmetric prefix-filtered probe

@@ -288,6 +288,38 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${want -- got} spurious=${got -- want}")
   }
 
+  test("cdc chunking re-syncs after an insertion where the fixed grid loses all") {
+    // deterministic ~1300-char doc (40 md5 words) and a copy with one
+    // word INSERTED at the front: the fixed 3-word segment grid shifts
+    // every segment (zero dedup), while content-defined cuts re-
+    // synchronize at the first cut inside the shared suffix and the
+    // copy's chunks dedup against the original from there on
+    val words = (0 until 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdc-fixture-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    val orig = words.mkString(" ")
+    val shifted = "zzzzz " + orig
+    val dir = java.nio.file.Files.createTempDirectory("cdc_shift").toString
+    import spark.implicits._
+    Seq((0L, orig, "syn", orig.length.toLong),
+        (1L, shifted, "syn", shifted.length.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cdc = operators.Dedup.queries("dedup_cdc_chunks")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val (nc, _, nd) = cdc(1L)
+    assert(nd >= (0.7 * nc).toInt,
+      s"CDC failed to re-sync after the insertion: $nd of $nc dropped")
+    val seg = operators.Dedup
+      .segmentDedupCounts(Tables.load(spark, dir, "documents"), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(seg(1L) == 0,
+      "premise broken: the fixed grid deduped the shifted copy — the " +
+        s"fixture no longer demonstrates CDC's advantage (${seg(1L)})")
+  }
+
   test("simhash quarter blocking equals brute-force hamming<=3 exactly") {
     // pigeonhole blocking is provably exact for hamming<=3 on 4 quarters —
     // assert set equality against an all-pairs scan of the same (portable
