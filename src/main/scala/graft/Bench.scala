@@ -323,7 +323,12 @@ object Bench {
     // prefix self-join, AND both exact strata at the DISTINCT doc count
     // (everything rides rep semi-joins), leaving only the output-sized
     // member re-expansion to scale with the corpus
-    "sf1_dedup_edit_qgram" -> "dedup_edit_qgram")
+    "sf1_dedup_edit_qgram" -> "dedup_edit_qgram",
+    // round-17 row: CDC at 10× identical replicas — every chunk's df
+    // multiplies by 10, the hot-key worst case the min-struct keeper
+    // aggregate exists for (one candidate per map split, never a
+    // per-chunk window sort); the cut scan itself must scale linearly
+    "sf1_dedup_cdc_chunks" -> "dedup_cdc_chunks")
 
   /** Always-run sf1 points — the ACCEPTANCE PHASE set, measured before
     * anything else in the fresh JVM: the BASELINE.md-comparable headliners
