@@ -1032,11 +1032,14 @@ object Dedup {
     * compute cuts from the same md5 arithmetic, so the oracle replays
     * the chunking bit-identically.
     */
-  private def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
-    val n = docs(s, d)
+  /** Reusable CDC chunk table: (`doc_id`, `chunk_idx`, `chunk`) — the
+    * content-defined partition of each normalized document (see
+    * [[dedupCdcChunks]] for the cut rule and its rationale).
+    */
+  private def cdcChunkTable(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), TF.normText(col("text")).as("norm"))
       .filter(length(col("norm")) > 0)
-    val chunks = n
       .withColumn("cuts",
         when(length(col("norm")) >= 8, expr(
           """filter(transform(sequence(1, length(norm) - 7),
@@ -1054,10 +1057,21 @@ object Dedup {
             " x -> x.e >= x.s)")).as(Seq("chunk_idx", "se")))
       .select(col("doc_id"), col("chunk_idx"),
         expr("substring(norm, se.s, se.e - se.s + 1)").as("chunk"))
-    val keepers = chunks
+
+  /** One row per DISTINCT chunk with its globally-first occurrence — the
+    * min-struct keeper over [[cdcChunkTable]] (skew-immune, see
+    * [[segmentKeepers]]).
+    */
+  private def cdcKeepers(docsDf: DataFrame): DataFrame =
+    cdcChunkTable(docsDf)
       .groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
-      .select(col("first.doc_id").as("doc_id"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.chunk_idx").as("chunk_idx"), col("chunk"))
+
+  private def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    val chunks = cdcChunkTable(docs(s, d))
+    val keepers = cdcKeepers(docs(s, d))
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_kept"))
     chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_chunks"))
@@ -1068,6 +1082,26 @@ object Dedup {
           .as("n_dropped"))
       .orderBy(col("doc_id"))
   }
+
+  /** The materialized output of [[dedupCdcChunks]] — each document
+    * rebuilt from only the chunks whose globally-first occurrence it
+    * owns (the [[dedupSegmentKeep]] contract at the content-defined
+    * grain): the keeper aggregate already IS the kept set, so the
+    * rebuild is one doc-grain aggregate with an order-preserving
+    * `array_sort` over (chunk_idx, chunk) structs — chunks partition the
+    * normalized text, so the empty-separator concat restores the kept
+    * character subsequence exactly. Fully-duplicated documents vanish,
+    * like the oracle.
+    */
+  private def dedupCdcKeep(s: SparkSession, d: String): DataFrame =
+    cdcKeepers(docs(s, d))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("kept_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+      .orderBy(col("doc_id"))
 
   /** The materialized output of [[dedupSegment]] — the deduplicated corpus
     * itself (what Lee et al. actually train on): every document rebuilt
@@ -1338,6 +1372,7 @@ object Dedup {
     "dedup_edit_distance" -> dedupEditDistance _,
     "dedup_edit_qgram" -> dedupEditQgram _,
     "dedup_cdc_chunks" -> dedupCdcChunks _,
+    "dedup_cdc_keep" -> dedupCdcKeep _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep" -> dedupKeep _,
     "dedup_incremental" -> dedupIncremental _,
@@ -1418,6 +1453,33 @@ object Dedup {
       WHERE levenshtein(x.norm, y.norm) <= 10
       ORDER BY doc_a, doc_b"""
   }
+
+  /** Shared DuckDB CTE chain replaying [[cdcChunkTable]] bit-identically:
+    * norm → md5-window cuts → start/end spans → (doc_id, chunk_idx,
+    * chunk) via zipped parallel unnests.
+    */
+  private val CdcChunkCtes = s"""
+      n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
+                 FROM documents
+                 WHERE length(${TextAnalysis.NormSql}) > 0),
+      c AS (SELECT doc_id, norm,
+              CASE WHEN length(norm) >= 8 THEN
+                [ p + 7 for p in range(1, length(norm) - 6)
+                  if substr(md5(substr(norm, p, 8)), 1, 1) = '0' ]
+              ELSE [] END AS cuts
+            FROM n),
+      se AS (SELECT doc_id, norm,
+               list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+               list_append(cuts, CAST(length(norm) AS BIGINT)) AS ends
+             FROM c),
+      ex AS (SELECT doc_id,
+               unnest([ i for i in range(1, len(starts) + 1)
+                        if ends[i] >= starts[i] ]) AS chunk_idx,
+               unnest([ substr(norm, CAST(starts[i] AS INT),
+                               CAST(ends[i] - starts[i] + 1 AS INT))
+                        for i in range(1, len(starts) + 1)
+                        if ends[i] >= starts[i] ]) AS chunk
+             FROM se)"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> s"""
@@ -1550,27 +1612,7 @@ object Dedup {
     // zipped parallel unnests (the dedup_segment oracle's pattern),
     // keeper = first (doc, chunk_idx) occurrence per distinct chunk
     "dedup_cdc_chunks" -> s"""
-      WITH n AS (SELECT doc_id, ${TextAnalysis.NormSql} AS norm
-                 FROM documents
-                 WHERE length(${TextAnalysis.NormSql}) > 0),
-      c AS (SELECT doc_id, norm,
-              CASE WHEN length(norm) >= 8 THEN
-                [ p + 7 for p in range(1, length(norm) - 6)
-                  if substr(md5(substr(norm, p, 8)), 1, 1) = '0' ]
-              ELSE [] END AS cuts
-            FROM n),
-      se AS (SELECT doc_id, norm,
-               list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
-               list_append(cuts, CAST(length(norm) AS BIGINT)) AS ends
-             FROM c),
-      ex AS (SELECT doc_id,
-               unnest([ i for i in range(1, len(starts) + 1)
-                        if ends[i] >= starts[i] ]) AS chunk_idx,
-               unnest([ substr(norm, CAST(starts[i] AS INT),
-                               CAST(ends[i] - starts[i] + 1 AS INT))
-                        for i in range(1, len(starts) + 1)
-                        if ends[i] >= starts[i] ]) AS chunk
-             FROM se),
+      WITH $CdcChunkCtes,
       r AS (SELECT doc_id, chunk,
               ROW_NUMBER() OVER (PARTITION BY chunk
                                  ORDER BY doc_id, chunk_idx) AS rn
@@ -1580,6 +1622,19 @@ object Dedup {
              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT)
                AS n_dropped
       FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // the materialized CDC-deduped corpus: keeper occurrences only,
+    // rebuilt in chunk order with the empty separator (chunks partition
+    // the normalized text)
+    "dedup_cdc_keep" -> s"""
+      WITH $CdcChunkCtes,
+      r AS (SELECT doc_id, chunk_idx, chunk,
+              ROW_NUMBER() OVER (PARTITION BY chunk
+                                 ORDER BY doc_id, chunk_idx) AS rn
+            FROM ex)
+      SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_idx) AS kept_text,
+             CAST(COUNT(*) AS INT) AS n_kept
+      FROM r WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id""",
     // the same fragment plant (first-half word span of doc_id % 29 == 0),
     // brute-force containment — exact at oracle SF while the Spark side
     // runs the asymmetric prefix-filtered probe
