@@ -445,12 +445,18 @@ object Bench {
         if (loadStart <= ContentionLoadGate &&
             probeStart <= ContentionProbeGateS) false
         else {
+          // the probe is IN the wait condition (ADVICE r17): probe-only
+          // contention (host throttling loadavg can't see) must also get
+          // the bounded decay wait, not a single immediate re-probe
           var waited = 0
-          while (osLoadAvg > ContentionLoadGate && waited < 180) {
+          var loadAfter = osLoadAvg
+          var probeAfter = speedProbe
+          while ((loadAfter > ContentionLoadGate ||
+                  probeAfter > ContentionProbeGateS) && waited < 180) {
             Thread.sleep(15000); waited += 15
+            loadAfter = osLoadAvg
+            probeAfter = speedProbe
           }
-          val loadAfter = osLoadAvg
-          val probeAfter = speedProbe
           preQuiesce = Some((waited, loadAfter, probeAfter))
           loadAfter > ContentionLoadGate || probeAfter > ContentionProbeGateS
         }
@@ -539,13 +545,18 @@ object Bench {
     val minimaJson: String =
       if (baseline.isEmpty) """"minima":null"""
       else {
-        val floors = Seq("sf1_q1", "sf1_q18", "sf1_dedup_semantic")
-          .flatMap(k => baseline.get(k).map(v =>
-            s""""$k":${math.rint(v * 1000) / 1000}"""))
-        val tot = baselineSuiteFloor
-          .map(t => s""""suite_total":$t,""").getOrElse("")
-        s""""minima":{$tot${floors.mkString(",")},""" +
-          s""""src":"bench_baseline.json"}"""
+        // assembled from a Seq of complete fragments (ADVICE r17 medium):
+        // the comma-suffixed-prefix form emitted {"suite_total":X,,...}
+        // or {,"src":...} whenever the matched baseline carried none of
+        // the floor keys — malformed JSON in BOTH artifacts, the exact
+        // parsed:null failure mode this code exists to prevent
+        val fields =
+          baselineSuiteFloor.map(t => s""""suite_total":$t""").toSeq ++
+          Seq("sf1_q1", "sf1_q18", "sf1_dedup_semantic")
+            .flatMap(k => baseline.get(k).map(v =>
+              s""""$k":${math.rint(v * 1000) / 1000}""")) :+
+          """"src":"bench_baseline.json""""
+        s""""minima":${fields.mkString("{", ",", "}")}"""
       }
 
     var fullIterRows = 0
@@ -787,14 +798,27 @@ object Bench {
         } catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
         }
-        // listener events drain asynchronously; give the bus a moment
+        // listener events drain asynchronously, and a fixed grace window
+        // can under-wait (ADVICE r17: events draining past it were
+        // attributed to the NEXT point's counters). The bus itself is
+        // private[spark], so wait for the observable equivalent: both
+        // counters stable across consecutive reads (a late event with
+        // zero spill can't contaminate anything), bounded at 5 s.
         Thread.sleep(500)
+        var prev = (-1L, -1L)
+        var cur = (spilledMem.get, spilledDisk.get)
+        var drained = 0
+        while (cur != prev && drained < 5000) {
+          Thread.sleep(250); drained += 250
+          prev = cur
+          cur = (spilledMem.get, spilledDisk.get)
+        }
         res match {
           case Right(t) =>
             s""""$key":{"query":"$query","sec":${r3(t)},""" +
-              s""""memory_spilled_bytes":${spilledMem.get},""" +
-              s""""disk_spilled_bytes":${spilledDisk.get},""" +
-              s""""spilled":${spilledDisk.get > 0}}"""
+              s""""memory_spilled_bytes":${cur._1},""" +
+              s""""disk_spilled_bytes":${cur._2},""" +
+              s""""spilled":${cur._2 > 0}}"""
           case Left(e) =>
             s""""$key":{"query":"$query","sec":null,""" +
               s""""error":"${Json.escape(e)}"}"""
@@ -1236,11 +1260,26 @@ object Bench {
         .mkString(""""accept_recheck":{""", ",", "}")
     val rotationJson = s""""stream_rotation_skipped":${streamRotatedOut
       .map(s => s""""$s"""").mkString("[", ",", "]")}"""
+    // per-phase contended verdict + suite-total-vs-committed-floor ratio
+    // (VERDICT r17 #4): the r17 window's 468 s raw suite total vs the
+    // 215 s floor needed bench_runs/ archaeology to attribute to
+    // mid-window load — now each phase boundary carries its own gate
+    // verdict and the artifact states the ratio itself. The ratio
+    // compares ONLY rows present in both this run and the committed
+    // baseline (rotation drops rows; new rows have no floor yet).
+    def phaseContended(l: Double, p: Double): Boolean =
+      l > ContentionLoadGate || p > ContentionProbeGateS
     val phasesJson = phaseMarks.map { case (n, l, p) =>
-      s"""{"phase":"$n","load":$l,"probe_s":$p}"""
+      s"""{"phase":"$n","load":$l,"probe_s":$p,"contended":${phaseContended(l, p)}}"""
     }.mkString("[", ",", "]")
+    val floorPairs = names.filter(measured).flatMap(k =>
+      for (t <- finalTime(k).toOption; b <- baseline.get(k)) yield (t, b))
+    val suiteVsFloor =
+      if (floorPairs.isEmpty || floorPairs.map(_._2).sum <= 0) "null"
+      else r3(floorPairs.map(_._1).sum / floorPairs.map(_._2).sum).toString
     val loadJson =
       s""""load_avg":{"start":$loadStart,"end":$loadEnd},""" +
+      s""""suite_vs_floor":$suiteVsFloor,""" +
       s""""phases":$phasesJson,$gateJson"""
     // actual measurement rigor (ADVICE r14: a flat "iters":3 hid that the
     // adaptive path accepts most rows from one run): how many rows took
@@ -1314,12 +1353,14 @@ object Bench {
       case "" => s""""sf1_ran":0"""
       case s => s
     }
-    // phases as compact triples [name, load, probe_s] — keys dropped
+    // phases as compact quads [name, load, probe_s, contended 0/1] — keys
+    // dropped, gate verdict as an int to spare the char budget
     val phasesCompact = phaseMarks.map { case (n, l, p) =>
-      s"""["$n",$l,$p]"""
+      s"""["$n",$l,$p,${if (phaseContended(l, p)) 1 else 0}]"""
     }.mkString("[", ",", "]")
     val loadCompact =
       s""""load_avg":{"start":$loadStart,"end":$loadEnd},""" +
+      s""""suite_vs_floor":$suiteVsFloor,""" +
       s""""phases":$phasesCompact,$gateJson"""
     val adaptiveCompact =
       s""""adaptive":{"single_run":$singleRunRows,""" +

@@ -1024,13 +1024,14 @@ object Dedup {
     * chunking — the explode is corpus-sized, not n×); keeper per
     * distinct chunk is the skew-immune two-phase min-struct aggregate
     * (never a per-group window sort); the doc rollup joins two
-    * doc-keyed aggregates. The md5 window probe runs inside a transform
-    * lambda (interpreted per element) — acceptable because the window
-    * is 8 chars and the probe is one pass; a native rolling-hash
-    * expression ([[graft.functions.HashExpressions]]'s RollingHash) is
-    * the drop-in upgrade if the probe ever dominates. Both engines
-    * compute cuts from the same md5 arithmetic, so the oracle replays
-    * the chunking bit-identically.
+    * doc-keyed aggregates. The md5 window probe is the native codegen'd
+    * [[graft.functions.CdcCuts]] kernel (r18; was an interpreted
+    * transform lambda dispatching a fresh MessageDigest + hex encode per
+    * character position — the r17 verdict's one interpreted hot loop):
+    * one no-allocation pass per document, cut rule bit-identical (see
+    * the kernel's scaladoc for the identity), so the DuckDB oracle's
+    * replay is untouched. The downstream starts/ends lambdas stay
+    * declarative — they run per CUT (≈ len/16), not per character.
     */
   /** Reusable CDC chunk table: (`doc_id`, `chunk_idx`, `chunk`) — the
     * content-defined partition of each normalized document (see
@@ -1040,13 +1041,7 @@ object Dedup {
     docsDf
       .select(col("doc_id"), TF.normText(col("text")).as("norm"))
       .filter(length(col("norm")) > 0)
-      .withColumn("cuts",
-        when(length(col("norm")) >= 8, expr(
-          """filter(transform(sequence(1, length(norm) - 7),
-                    p -> CASE WHEN substring(md5(substring(norm, p, 8)), 1, 1)
-                              = '0' THEN p + 7 ELSE -1 END),
-                    x -> x > 0)"""))
-          .otherwise(expr("array()").cast("array<int>")))
+      .withColumn("cuts", GraftFunctions.cdc_cuts(col("norm"), 8))
       .withColumn("starts",
         expr("concat(array(1), transform(cuts, c -> c + 1))"))
       .withColumn("ends",
@@ -1059,19 +1054,26 @@ object Dedup {
         expr("substring(norm, se.s, se.e - se.s + 1)").as("chunk"))
 
   /** One row per DISTINCT chunk with its globally-first occurrence — the
-    * min-struct keeper over [[cdcChunkTable]] (skew-immune, see
-    * [[segmentKeepers]]).
+    * min-struct keeper over a [[cdcChunkTable]] frame (skew-immune, see
+    * [[segmentKeepers]]). Takes the chunk frame, not the docs frame, so
+    * callers that also need per-doc chunk counts share ONE cut scan
+    * (ADVICE r17: the probe is the operator's dominant cost — evaluating
+    * the chunk table once per consumer doubled it).
     */
-  private def cdcKeepers(docsDf: DataFrame): DataFrame =
-    cdcChunkTable(docsDf)
+  private def cdcKeepers(chunks: DataFrame): DataFrame =
+    chunks
       .groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
       .select(col("first.doc_id").as("doc_id"),
         col("first.chunk_idx").as("chunk_idx"), col("chunk"))
 
   private def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
-    val chunks = cdcChunkTable(docs(s, d))
-    val keepers = cdcKeepers(docs(s, d))
+    GraftFunctions.register(s)
+    // cached: feeds both the per-doc chunk counts and the keeper
+    // aggregate — one cut scan, two consumers (released by the session
+    // owner via Caches.releaseAll, same contract as substringDups)
+    val chunks = cdcChunkTable(docs(s, d)).cache()
+    val keepers = cdcKeepers(chunks)
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_kept"))
     chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_chunks"))
@@ -1093,8 +1095,9 @@ object Dedup {
     * character subsequence exactly. Fully-duplicated documents vanish,
     * like the oracle.
     */
-  private def dedupCdcKeep(s: SparkSession, d: String): DataFrame =
-    cdcKeepers(docs(s, d))
+  private def dedupCdcKeep(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    cdcKeepers(cdcChunkTable(docs(s, d)))
       .groupBy(col("doc_id"))
       .agg(
         concat_ws("", transform(
@@ -1102,6 +1105,7 @@ object Dedup {
           x => x.getField("chunk"))).as("kept_text"),
         count(lit(1)).cast("int").as("n_kept"))
       .orderBy(col("doc_id"))
+  }
 
   /** The materialized output of [[dedupSegment]] — the deduplicated corpus
     * itself (what Lee et al. actually train on): every document rebuilt

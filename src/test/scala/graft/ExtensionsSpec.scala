@@ -47,6 +47,36 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(viaSql == Seq("abc", "bca", "cab"))
   }
 
+  test("cdc_cuts matches the declarative md5-window form in-engine") {
+    // pins the r18 native kernel to the exact lambda composition it
+    // replaced (Dedup's CDC cut rule) THROUGH the engine — codegen path,
+    // Spark's md5/substring semantics — not just the JVM reference the
+    // scalacheck property uses. Cases: a long ASCII doc (real cuts), a
+    // multi-byte doc (code-point windows), below-width, empty, and an
+    // astral pair (one code point, two Java chars).
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      ("the quick brown fox jumps over the lazy dog " * 20).trim,
+      "héllo wörld ünd möré téxt " * 10 + "中文字符串 " * 8,
+      "short", "", "a😀b😀" + "padding to reach window width").toDF("s")
+    val both = docs.select(
+      GraftFunctions.cdc_cuts(col("s"), 8).as("kernel"),
+      when(length(col("s")) >= 8, expr(
+        """filter(transform(sequence(1, length(s) - 7),
+                  p -> CASE WHEN substring(md5(substring(s, p, 8)), 1, 1)
+                            = '0' THEN p + 7 ELSE -1 END),
+                  x -> x > 0)"""))
+        .otherwise(expr("array()").cast("array<int>")).as("lambda"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"kernel ${r.getSeq[Int](0)} != lambda ${r.getSeq[Int](1)}")
+    }
+    // at least one case must actually produce cuts or the test is vacuous
+    assert(both.exists(_.getSeq[Int](0).nonEmpty))
+  }
+
   test("simhash of near-identical token sets is near in hamming space") {
     def arr(ts: Seq[String]) =
       new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])

@@ -51,6 +51,33 @@ object KernelProperties extends Properties("graft.kernels") {
           HashImpls.maxRunCount(arr(ts)) == want
     }
 
+  property("cdcCuts equals the naive md5-window cut rule (code-point windows)") = {
+    // the JVM restatement of the declarative form cdcCuts replaced
+    // (r18): md5 over the UTF-8 bytes of each w-code-point window, cut
+    // at p+w-1 when the hex digest leads with '0' (== zero top nibble)
+    def naive(str: String, w: Int): Seq[Int] = {
+      val cps = str.codePoints().toArray
+      val m = cps.length
+      (1 to m - w + 1).filter { p =>
+        val win = new String(cps, p - 1, w)
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(win.getBytes("UTF-8"))
+        (d(0) & 0xf0) == 0
+      }.map(_ + w - 1)
+    }
+    val charGen = Gen.frequency(
+      12 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      2 -> Gen.oneOf('é', 'ß', '中', 'λ')) // multi-byte: slice != bytes
+    forAll(Gen.listOf(charGen).map(_.mkString), Gen.choose(2, 12)) {
+      (s, w) =>
+        val got = {
+          val a = HashImpls.cdcCuts(UTF8String.fromString(s), w)
+          (0 until a.numElements()).map(a.getInt)
+        }
+        got == naive(s, w)
+    }
+  }
+
   property("greedyTokenCount equals a naive scan-the-whole-vocab reference") = {
     val fixtureWords = Gen.oneOf("table", "value", "customer", "sort",
       "the", "query", "window", "stream", "zzz", "qux", "a", "xylophone")

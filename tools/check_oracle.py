@@ -22,9 +22,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # oracle length-bucket + char-histogram blocked (328 s -> 8.7 s), the
 # streaming-ingest accept chain's NOT EXISTS layers count-joined, and
 # the remaining ten rows (embedding/ANN/decontaminate) measured
-# sub-3 s at sf0.1 as they stood. The full 267-row set now gates at
-# sf0.1: 267/267 pass, 0 skipped. --skip-n2 is kept as a no-op flag so
-# documented invocations keep working.
+# sub-3 s at sf0.1 as they stood. The FULL row set (271 as of r17; see
+# README's gate history for the current count) gates at sf0.1 with 0
+# skipped. --skip-n2 is kept as a no-op flag so documented invocations
+# keep working.
 N2_ORACLES = set()
 
 

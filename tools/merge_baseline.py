@@ -45,16 +45,21 @@ def main(artifact_path, baseline_path="bench_baseline.json"):
             if not isinstance(old, (int, float)) or v < old:
                 base[k] = v
                 merged += 1
-    # write-temp-then-rename (ADVICE r16): an in-place json.dump truncates
-    # first, so a crash mid-write would corrupt the committed baseline
-    # every adaptive/requery gate keys off
+    # the top-level "value" is the committed suite floor — recompute it
+    # from the queries sum on EVERY merge (VERDICT r17 #2: row additions
+    # moved the sum while "value" kept an older total, leaving the file
+    # self-inconsistent), then write-temp-then-rename (ADVICE r16: an
+    # in-place json.dump truncates first, so a crash mid-write would
+    # corrupt the committed baseline every adaptive/requery gate keys off)
+    suite = sum(v for v in base["queries"].values()
+                if isinstance(v, (int, float)))
+    base["value"] = round(suite, 3)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(
         baseline_path)) or ".", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(base, f)
     os.replace(tmp, baseline_path)
-    suite = sum(v for v in base["queries"].values()
-                if isinstance(v, (int, float)))
+    assert base["value"] == round(suite, 3)
     print(f"merged {merged} lower readings; suite floor now {suite:.1f}s "
           f"over {len(base['queries'])} rows")
     return 0
