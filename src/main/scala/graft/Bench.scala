@@ -328,7 +328,18 @@ object Bench {
     // multiplies by 10, the hot-key worst case the min-struct keeper
     // aggregate exists for (one candidate per map split, never a
     // per-chunk window sort); the cut scan itself must scale linearly
-    "sf1_dedup_cdc_chunks" -> "dedup_cdc_chunks")
+    "sf1_dedup_cdc_chunks" -> "dedup_cdc_chunks",
+    // round-18 row (VERDICT r17 item 3): the CDC MATERIALIZATION at 10×
+    // identical replicas — the heavier CDC path (doc-grain rebuild with
+    // the order-preserving array_sort concat) where replicas make every
+    // keeper aggregate key 10-hot and fully-duplicated docs must VANISH
+    // rather than rebuild; `chunks` had a canary, `keep` didn't
+    "sf1_dedup_cdc_keep" -> "dedup_cdc_keep",
+    // round-18 row: the dense-retrieval funnel at 10× chunks — Lloyd
+    // passes stay map-only + k×dim-bounded exchanges, the probe filter
+    // must cut the scored set before the TakeOrdered, and the packing
+    // join-back stays K-row broadcast regardless of corpus size
+    "sf1_pipeline_rag_dense" -> "pipeline_rag_dense")
 
   /** Always-run sf1 points — the ACCEPTANCE PHASE set, measured before
     * anything else in the fresh JVM: the BASELINE.md-comparable headliners

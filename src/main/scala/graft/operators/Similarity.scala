@@ -1029,6 +1029,193 @@ object Similarity {
     semdedupFunnel(lshCorpus(s, d))
   }
 
+  // -- dense-retrieval RAG serving funnel (pipeline_rag_dense) -------------
+
+  /** Chunks kept by [[pipelineRagDense]]'s exact re-rank stage. */
+  private val DenseK = 10
+
+  /** Coarse cells probed (of [[KmK]]) — the IVF-bounded candidate rule. */
+  private[graft] val DenseNProbe = 2
+
+  /** The serving query — a deterministic literal, normalized by the same
+    * rule as the corpus before embedding. Deliberately a FULL-CHUNK-length
+    * sentence (≈[[TextAnalysis.ChunkSize]] words): letter-count profiles
+    * scale with text length, so a short query would rank short tail
+    * chunks first and the budget cut would never engage — a chunk-sized
+    * query makes full windows win the re-rank and the packing stage cut
+    * mid-list (the gate covers the cut, not just the ranking).
+    */
+  private[graft] val DenseQuery =
+    "merge the filter and spark stream over each partition window while " +
+    "the query plans sort vector batches into the table scan and the " +
+    "join order stays stable under load across every node"
+
+  /** Embedding dimensions: the 16 letters a–p. A letter-count profile is
+    * the langid-style character-frequency embedding — deterministic,
+    * integer-exact in both engines (counts, no rounding anywhere), and
+    * honestly a stand-in for a model encoder the same way the multimodal
+    * tier stubs its decoders: the pipeline under test is the RETRIEVAL
+    * funnel (coarse quantize → probe → re-rank → pack), which is encoder-
+    * agnostic by construction.
+    */
+  private val DenseLetters: Seq[String] = ('a' to 'p').map(_.toString)
+
+  /** Letter-count profile of a normalized text column → ARRAY<BIGINT>
+    * (one `length − length(replace(...))` pair per dimension, all inside
+    * whole-stage codegen; the oracle replays the identical arithmetic).
+    */
+  private def letterProfile(norm: Column): Column =
+    array(DenseLetters.map(ch =>
+      (length(norm) - length(replace(norm, lit(ch), lit("")))).cast("long")): _*)
+
+  /** [[letterProfile]]'s DuckDB spelling over a column named `src`. */
+  private def denseQSql(src: String): String =
+    DenseLetters.map(ch =>
+      s"CAST(length($src) - length(replace($src, '$ch', '')) AS BIGINT)")
+      .mkString("[", ",\n               ", "]")
+
+  /** Dense-retrieval RAG serving funnel — the ninth composition row and
+    * the missing tier link (VERDICT r17 item 2: the IVF machinery never
+    * fed a composed pipeline; [[graft.operators.TextAnalysis]]'s
+    * `pipeline_rag` ranks with BM25 only). The chain a dense-retrieval
+    * serving path actually runs:
+    *
+    *  1. chunk every document into the RAG tier's overlapping windows
+    *     ([[TextAnalysis.ragChunkCorpus]] — same packing key, same
+    *     guards);
+    *  2. embed each chunk deterministically ([[letterProfile]] over the
+    *     normalized chunk text — quantized-integer by construction, the
+    *     [[clusterKmeans]] convention);
+    *  3. learn the coarse quantizer with the ENGINE-EXACT quantized
+    *     Lloyd kernel ([[kmFit]] — centroids are k×dim driver metadata,
+    *     the IVF precedent) and assign chunks map-only ([[kmAssign]],
+    *     no join, no shuffle on the corpus path);
+    *  4. IVF-bounded candidate probe: the query embeds through the SAME
+    *     engine path (one literal row), its [[DenseNProbe]] nearest
+    *     cells are a driver-side k-sized integer argmin, and candidates
+    *     are a cell-membership FILTER — the corpus outside the probed
+    *     cells is never scored (the whole point of IVF serving);
+    *  5. exact re-rank: integer distance to the query, ascending,
+    *     vec_id tie-break, top [[DenseK]] via orderBy+limit
+    *     (TakeOrdered — never a global window over the candidates);
+    *  6. token-budget context packing: the `pipeline_rag` cumulative
+    *     cut at [[TextAnalysis.RagBudget]], over ≤ [[DenseK]] rows, with
+    *     the K-row ranked side BROADCAST back onto the chunk corpus for
+    *     token counts.
+    *
+    * Scale shape: two map-only corpus passes per Lloyd round plus one
+    * partitions×k×dim update exchange (the [[kmFit]] contract), one
+    * map-only assignment + filter pass for candidates, a TakeOrdered of
+    * the probed subset, and a broadcast join whose build side is K rows.
+    * No crossJoin, no corpus-grain window, no driver collect beyond
+    * k×dim centroids and the 1-row query embedding. The DuckDB oracle
+    * replays every stage — chunking, letter profiles, both Lloyd rounds,
+    * the probe argmin, the re-rank, the budget cut — from the same
+    * integer arithmetic, so the verdict hash-matches.
+    *
+    * The chunk frame is cached (feeds kmFit's driver iterations, the
+    * assignment pass, and the token-count join-back) and released by the
+    * session owner via Caches.releaseAll, the substringDups contract.
+    */
+  private[graft] def pipelineRagDense(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import graft.functions.{TextFunctions => TF}
+    val chunks = TextAnalysis.ragChunkCorpus(s, d)
+      .select(col("doc_id").as("vec_id"),
+        TF.normText(col("text")).as("norm"))
+      .cache()
+    val qv = chunks.select(col("vec_id"), letterProfile(col("norm")).as("q"))
+    val cents = kmFit(qv)
+    // the query embeds THROUGH the engine (one literal row): the same
+    // normText + letterProfile codegen path the corpus takes, so the
+    // query vector can never drift from the corpus convention
+    val queryVec: Seq[Long] = s.range(1)
+      .select(letterProfile(TF.normText(lit(DenseQuery))).as("q"))
+      .head().getSeq[Long](0).toSeq
+    // coarse probe: k integer distances on the driver (centroids are
+    // driver metadata by construction), nprobe nearest, ties to the
+    // smaller cell — the oracle's ORDER BY d2, c LIMIT nprobe
+    val probed: Seq[Int] = cents.zipWithIndex.map { case (cv, c) =>
+      (cv.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+    }.sorted.take(DenseNProbe).map(_._2)
+    val cand = kmAssign(qv, cents)
+      .filter(col("cluster").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id"), col("cluster").cast("int").as("cell"),
+        kmDist2(col("q"), queryVec).as("d2"))
+    val topK = cand.orderBy(col("d2"), col("vec_id")).limit(DenseK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("d2"), col("vec_id")))
+          .cast("int"))
+    val ntok = chunks.select(col("vec_id"),
+      size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+    val wc = Window.orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ntok.join(broadcast(topK), Seq("vec_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wc).cast("long"))
+      .filter(col("cum_tokens") <= TextAnalysis.RagBudget)
+      .select(col("rnk"),
+        expr(s"vec_id div ${TextAnalysis.RagKeyMult}").as("src_doc"),
+        (col("vec_id") % TextAnalysis.RagKeyMult).cast("int").as("chunk_id"),
+        col("cell"), col("d2"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("rnk"))
+  }
+
+  // -- k-NN graph build (graph_knn) -----------------------------------------
+
+  /** Neighbors kept per vector in [[graphKnn]]. */
+  private val KnnK = 5
+
+  /** k-NN GRAPH build over the embedding corpus — the missing primitive
+    * between the ANN tier and the graph tier (VERDICT r17 item 8), and
+    * the input SemDeDup-style curation variants and graph-based
+    * retrieval (HNSW construction, connectivity-based dedup) consume:
+    * one row per (vector, rank) with its k nearest neighbors.
+    *
+    * Candidate bounding is the IVF idea applied corpus-to-corpus: learn
+    * the engine-exact quantized coarse quantizer ([[kmFit]], the
+    * [[clusterKmeans]] kernel, so the DuckDB oracle replays the cells
+    * relationally), assign map-only ([[kmAssign]]), and pair ONLY within
+    * a cell — an EQUI join on the cell id, never corpus². Σ|cell|² is
+    * the same bound [[pipelineSemdedup]] rides; at production scale k
+    * grows as n/⟨target cell size⟩ so cells stay ~constant and the build
+    * is linear in n (above [[AssignLiteralMaxK]] the assignment
+    * dispatches to the broadcast-join argmax unchanged). Cell-bounded
+    * kNN trades boundary recall for that bound — the standard IVF-graph
+    * construction trade, stated here rather than hidden (a multi-probe
+    * variant unions [[DenseNProbe]] assignments per side; same plan
+    * shape, nprobe× the candidate mass).
+    *
+    * Ranking is exact within candidates: the proven cosine kernel at the
+    * brute tier's 6-decimal rounding, neighbor-id tie-break, and the
+    * per-vector top-k rides the row_number ≤ k rank filter that plans as
+    * WindowGroupLimit (each map partition keeps only its own top-k per
+    * vector BEFORE the exchange — the [[TextAnalysis.pipelineRagBatch]]
+    * precedent).
+    */
+  private[graft] def graphKnn(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = emb(s, d).cache()
+    val qv = base.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
+    val cents = kmFit(qv)
+    val assigned = kmAssign(qv, cents).select(col("vec_id"), col("cluster"))
+    val sides = base.join(assigned, Seq("vec_id"))
+    val lhs = sides.select(col("cluster"), col("vec_id"), col("v"))
+    val rhs = sides.select(col("cluster"), col("vec_id").as("nbr_id"),
+      col("v").as("nv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    lhs.join(rhs, Seq("cluster"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(GraftFunctions.cosine_sim(col("v"), col("nv")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select(col("vec_id"), col("rnk").cast("int").as("rnk"),
+        col("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   /** Scalar int8 quantization of the embedding corpus — the storage
     * compression step every 100 TB vector store runs before ANN (4× over
     * float32; FAISS `SQ8` / ScaNN's scalar path): per-vector symmetric
@@ -1229,7 +1416,9 @@ object Similarity {
     "dedup_embedding_threshold" -> embeddingThreshold _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _,
     "dedup_semantic" -> dedupSemantic _,
-    "pipeline_semdedup" -> (pipelineSemdedup _)
+    "pipeline_semdedup" -> (pipelineSemdedup _),
+    "pipeline_rag_dense" -> (pipelineRagDense _),
+    "graph_knn" -> (graphKnn _)
   )
 
   /** Exact cosine top-k in DuckDB — the oracle for the brute row AND for
@@ -1370,8 +1559,124 @@ object Similarity {
                abs(v2) AS maxabs
         FROM v2 ORDER BY abs(v2) DESC, pi LIMIT 1)"""
 
+  /** Full relational replay of [[pipelineRagDense]]: the RAG tier's
+    * chunk corpus (same packing), letter-profile embeddings, the SAME
+    * quantized Lloyd replay as cluster_kmeans fitted over the chunks,
+    * the query's letter profile from the same literal, probe argmin,
+    * exact re-rank, and the cumulative budget cut. Every stage is
+    * integer-exact, so the verdict hash-matches.
+    */
+  private def ragDenseOracleSql: String = {
+    val (cs, st, m) = (TextAnalysis.ChunkSize, TextAnalysis.ChunkStride,
+      TextAnalysis.RagKeyMult)
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+               1 + CAST((greatest(len(string_split_regex(trim(text), '\\s+'))
+                                    - $cs, 0)
+                         + ${st - 1}) // $st AS INT) AS nchunks
+        FROM documents),
+      chk AS (
+        SELECT doc_id, unnest(generate_series(0, nchunks - 1)) AS chunk_id, w
+        FROM toks),
+      cdocs AS (
+        SELECT doc_id * $m + chunk_id AS vec_id,
+               array_to_string(
+                 list_slice(w, chunk_id * $st + 1,
+                            chunk_id * $st + $cs), ' ') AS text
+        FROM chk),
+      nrm AS (SELECT vec_id, ${TextAnalysis.NormSql} AS norm FROM cdocs),
+      qv AS (SELECT vec_id, ${denseQSql("norm")} AS q FROM nrm),
+      e AS (
+        SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS x
+        FROM qv),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q
+        FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $KmK)),
+      s0 AS (
+        SELECT c, generate_subscripts(q, 1) AS pos, unnest(q) AS cx
+        FROM seeds),
+      ${kmRoundSql(1, "s0")},
+      ${kmUpdateSql(1, 1, "s0")},
+      ${kmRoundSql(2, "s1")},
+      ${kmUpdateSql(2, 2, "s1")},
+      ${kmRoundSql(3, "s2")},
+      qtext AS (SELECT ${TextAnalysis.NormSql} AS norm
+                FROM (SELECT '$DenseQuery' AS text)),
+      qvec AS (SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS x
+               FROM (SELECT ${denseQSql("norm")} AS q FROM qtext)),
+      pq AS (SELECT s.c, CAST(SUM((q.x - s.cx)*(q.x - s.cx)) AS BIGINT) AS d2
+             FROM qvec q JOIN s2 s ON q.pos = s.pos GROUP BY s.c),
+      probes AS (SELECT c FROM pq ORDER BY d2, c LIMIT $DenseNProbe),
+      qd AS (SELECT e.vec_id, CAST(SUM((e.x - q.x)*(e.x - q.x)) AS BIGINT) AS d2
+             FROM e JOIN qvec q ON e.pos = q.pos GROUP BY e.vec_id),
+      top AS (
+        SELECT CAST(row_number() OVER (ORDER BY d2, vec_id) AS INT) AS rnk,
+               vec_id, cell, d2
+        FROM (SELECT a3.vec_id, CAST(a3.cluster AS INT) AS cell, qd.d2
+              FROM a3 JOIN probes p ON a3.cluster = p.c
+                      JOIN qd USING (vec_id)
+              ORDER BY qd.d2, a3.vec_id LIMIT $DenseK)),
+      nt AS (SELECT vec_id,
+                    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+             FROM nrm),
+      cum AS (
+        SELECT top.rnk, top.vec_id, top.cell, top.d2, nt.n_tokens,
+               CAST(SUM(nt.n_tokens) OVER (ORDER BY top.rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM top JOIN nt USING (vec_id))
+      SELECT rnk, vec_id // $m AS src_doc,
+             CAST(vec_id % $m AS INT) AS chunk_id,
+             cell, d2, n_tokens, cum_tokens
+      FROM cum WHERE cum_tokens <= ${TextAnalysis.RagBudget} ORDER BY rnk"""
+  }
+
+  /** Relational replay of [[graphKnn]]: the cluster_kmeans Lloyd CTEs
+    * give the cells, then exact within-cell cosine ranking at the brute
+    * tier's rounding. The pair set is Σ|cell|² — cell-bounded by
+    * construction, the same bound the engine side rides.
+    */
+  private val KnnOracleSql = s"""
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS q
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS x
+        FROM qv),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q
+        FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $KmK)),
+      s0 AS (
+        SELECT c, generate_subscripts(q, 1) AS pos, unnest(q) AS cx
+        FROM seeds),
+      ${kmRoundSql(1, "s0")},
+      ${kmUpdateSql(1, 1, "s0")},
+      ${kmRoundSql(2, "s1")},
+      ${kmUpdateSql(2, 2, "s1")},
+      ${kmRoundSql(3, "s2")},
+      vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+      ranked AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(av.v, bv.v), 6) AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(av.v, bv.v), 6) DESC,
+                          b.vec_id) AS rnk
+        FROM a3 a JOIN a3 b ON a.cluster = b.cluster
+                           AND a.vec_id <> b.vec_id
+                  JOIN vv av ON av.vec_id = a.vec_id
+                  JOIN vv bv ON bv.vec_id = b.vec_id)
+      SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id, cos
+      FROM ranked WHERE rnk <= $KnnK
+      ORDER BY vec_id, rnk"""
+
   val oracles: Map[String, String] = Map(
     "cluster_kmeans" -> KmOracleSql,
+    "pipeline_rag_dense" -> ragDenseOracleSql,
+    "graph_knn" -> KnnOracleSql,
     // the planted corpus rebuilt, the SAME quantized Lloyd replay as
     // cluster_kmeans fitted over it, then the UNCOLLAPSED greedy
     // within-cluster drop rule (b drops iff any a < b in its cluster has

@@ -41,8 +41,8 @@ object TextAnalysis {
     * definition the [[textTokens]] oracle pins; the oracle replays the
     * window arithmetic with `generate_series` + `list_slice`.
     */
-  private val ChunkSize = 32
-  private val ChunkStride = 24
+  private[graft] val ChunkSize = 32
+  private[graft] val ChunkStride = 24
 
   /** (doc_id, chunk_id, chunk: Array[String]) — the window derivation
     * shared by [[textChunk]] (the chunking row itself) and
@@ -70,14 +70,14 @@ object TextAnalysis {
 
   private val RagTerms = Seq("merge", "filter", "spark")
   private val RagK = 20
-  private val RagBudget = 128
+  private[graft] val RagBudget = 128
   /** Chunk-key packing multiplier: supports docs up to 10⁶ chunks
     * (≈24M whitespace tokens at the 24-token stride) before doc_id
     * collision; the Spark side raises on violation rather than silently
     * colliding (the oracle replays the same packing, so a collision
     * would otherwise agree across engines and pass the gate).
     */
-  private val RagKeyMult = 1000000L
+  private[graft] val RagKeyMult = 1000000L
 
   /** RAG retrieval + context assembly — the seventh composition row,
     * chaining the chunking tier into the retrieval stack the way a
@@ -110,7 +110,7 @@ object TextAnalysis {
     * product + chunk_id can still exceed Long.MaxValue): the max packed
     * key is then (Max/M - 1)*M + (M - 1) = (Max/M)*M - 1 <= Max.
     */
-  private def ragChunkCorpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def ragChunkCorpus(s: SparkSession, d: String): DataFrame =
     chunkedDocs(s, d).select(
       when(col("chunk_id") < RagKeyMult &&
            col("doc_id") < lit(Long.MaxValue / RagKeyMult),

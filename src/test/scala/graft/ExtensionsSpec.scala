@@ -1853,6 +1853,66 @@ class TextPipelineSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$p")
   }
 
+  test("graph_knn: cell-bounded equi pairing, WindowGroupLimit, k rows per vector") {
+    val df = SparkEntry.queries("graph_knn")(spark, sfDir)
+    val rows = df.collect()
+    try {
+      assert(rows.nonEmpty)
+      // exactly one rank sequence 1..m (m <= 5) per vector, cosine
+      // non-increasing within each vector's list
+      val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+      assert(byVec.values.forall { rs =>
+        val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+        sorted.map(_.getAs[Int]("rnk")).sameElements(1 to rs.length) &&
+          rs.length <= 5 &&
+          sorted.map(_.getAs[Double]("cos")).sliding(2)
+            .forall(p => p.length < 2 || p(0) >= p(1))
+      })
+      // no self-edges
+      assert(rows.forall(r =>
+        r.getAs[Long]("vec_id") != r.getAs[Long]("nbr_id")))
+      // scale shape: the pairing is an equi join on the cell id (never
+      // corpus x corpus) and the per-vector top-k partial-limits before
+      // the exchange
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"non-equi pairing:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"rank filter not group-limited:\n$p")
+    } finally Caches.releaseAll(spark)
+  }
+
+  test("pipeline_rag_dense: probe-bounded, cartesian-free, budget cut engages") {
+    val df = SparkEntry.queries("pipeline_rag_dense")(spark, sfDir)
+    val rows = df.collect()
+    try {
+      assert(rows.nonEmpty, "dense funnel returned nothing")
+      // the packing stage must be LOAD-BEARING: fewer rows than the
+      // re-rank's top-10 means the budget cut actually dropped some
+      assert(rows.length < 10,
+        s"budget cut vacuous: all ${rows.length} re-ranked rows survived")
+      // rank order = ascending exact distance; cumulative tokens monotone
+      // and within the 128-token budget
+      val d2s = rows.map(_.getAs[Long]("d2"))
+      assert(d2s.sameElements(d2s.sorted), "re-rank not distance-ascending")
+      val cums = rows.map(_.getAs[Long]("cum_tokens"))
+      assert(cums.sameElements(cums.sorted) && cums.last <= 128)
+      assert(cums.zip(rows.map(_.getAs[Long]("n_tokens"))).zipWithIndex
+        .forall { case ((c, n), i) => c == (if (i == 0) n else cums(i - 1) + n) })
+      // IVF bounding: every surviving chunk sits in one of the <= nprobe
+      // probed cells
+      assert(rows.map(_.getAs[Int]("cell")).distinct.length <=
+        operators.Similarity.DenseNProbe)
+      // scale shape: no cartesian/nested-loop anywhere; the packing
+      // join-back broadcasts the K-row ranked side; the re-rank is a
+      // TakeOrdered, never a corpus-grain global sort or window
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$p")
+      assert(p.contains("BroadcastExchange"), s"ranked side not broadcast:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"re-rank not TakeOrdered:\n$p")
+    } finally Caches.releaseAll(spark)
+  }
+
   test("sample_importance equals a local DSIR-shape recompute; profile broadcasts") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
