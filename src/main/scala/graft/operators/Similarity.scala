@@ -1120,11 +1120,19 @@ object Similarity {
   private[graft] def pipelineRagDense(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     import graft.functions.{TextFunctions => TF}
+    // the cache holds the COMPUTED 16-int profiles + token counts, not
+    // the norm strings: kmFit's five passes (seeds, 2× assign+update,
+    // final assign) re-read the cache, and caching upstream of the
+    // profile made every pass re-run the 16 length/replace scans per
+    // chunk (measured ~2.8× the cluster_kmeans kernel cost at sf0.1;
+    // with profiles cached the passes touch 17 small columns)
     val chunks = TextAnalysis.ragChunkCorpus(s, d)
       .select(col("doc_id").as("vec_id"),
         TF.normText(col("text")).as("norm"))
+      .select(col("vec_id"), letterProfile(col("norm")).as("q"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
       .cache()
-    val qv = chunks.select(col("vec_id"), letterProfile(col("norm")).as("q"))
+    val qv = chunks.select(col("vec_id"), col("q"))
     val cents = kmFit(qv)
     // the query embeds THROUGH the engine (one literal row): the same
     // normText + letterProfile codegen path the corpus takes, so the
@@ -1146,8 +1154,7 @@ object Similarity {
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("d2"), col("vec_id")))
           .cast("int"))
-    val ntok = chunks.select(col("vec_id"),
-      size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+    val ntok = chunks.select(col("vec_id"), col("n_tokens"))
     val wc = Window.orderBy(col("rnk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ntok.join(broadcast(topK), Seq("vec_id"))
