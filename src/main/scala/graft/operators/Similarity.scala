@@ -1199,7 +1199,13 @@ object Similarity {
     * vector BEFORE the exchange — the [[TextAnalysis.pipelineRagBatch]]
     * precedent).
     */
-  private[graft] def graphKnn(s: SparkSession, d: String): DataFrame = {
+  /** The (vec_id, rnk, nbr_id, cos) top-k lists before output shaping —
+    * shared by the [[graphKnn]] row itself and the [[graphKnnComponents]]
+    * composition. Caches the embedding corpus (kmFit's driver rounds +
+    * the pairing read it; released by the session owner via
+    * Caches.releaseAll).
+    */
+  private def knnRanked(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val base = emb(s, d).cache()
     val qv = base.select(col("vec_id"),
@@ -1218,9 +1224,50 @@ object Similarity {
         round(GraftFunctions.cosine_sim(col("v"), col("nv")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= KnnK)
+  }
+
+  private[graft] def graphKnn(s: SparkSession, d: String): DataFrame =
+    knnRanked(s, d)
       .select(col("vec_id"), col("rnk").cast("int").as("rnk"),
         col("nbr_id"), col("cos"))
       .orderBy(col("vec_id"), col("rnk"))
+
+  /** Cosine floor for [[graphKnnComponents]]' edge carve — the
+    * embedding-threshold tier's fixture-scaled value (see
+    * [[CosThreshold]] for why 0.4 on this unstructured corpus).
+    */
+  private val KnnEdgeT = CosThreshold
+
+  /** Connected components of the thresholded k-NN graph — the
+    * graph-side curation composition the k-NN primitive exists to feed
+    * (mutual-neighborhood duplicate grouping: SemDeDup-style variants
+    * and entity-resolution pipelines cluster exactly this graph):
+    * [[knnRanked]]'s lists carved at cos ≥ [[KnnEdgeT]] become
+    * undirected edges, and the proven pointer-jumping label propagation
+    * ([[graft.operators.Dedup.connectedComponents]] — O(log D) rounds,
+    * exact Σlabel fixpoint) yields one row per duplicate group with its
+    * member count. Edge mass is bounded twice over: ≤ k per vector by
+    * the top-k carve and by the cell bound underneath it — never a
+    * corpus² pair set at any scale. The oracle replays the k-NN lists
+    * relationally, then closes the same edge set with a recursive CTE
+    * (the dedup_clusters convention).
+    */
+  private[graft] def graphKnnComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = knnRanked(s, d)
+      .filter(col("cos") >= KnnEdgeT)
+      .select(least(col("vec_id"), col("nbr_id")).as("doc_a"),
+              greatest(col("vec_id"), col("nbr_id")).as("doc_b"))
+      .distinct()
+      .cache()
+    // the component loop drives actions internally (one per round), so
+    // the edge cache is fully consumed when it returns — same contract
+    // as dedupClusters
+    try {
+      Dedup.connectedComponents(edges, maxRounds = 20)
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster"))
+    } finally { edges.unpersist(blocking = true); () }
   }
 
   /** Scalar int8 quantization of the embedding corpus — the storage
@@ -1425,7 +1472,8 @@ object Similarity {
     "dedup_semantic" -> dedupSemantic _,
     "pipeline_semdedup" -> (pipelineSemdedup _),
     "pipeline_rag_dense" -> (pipelineRagDense _),
-    "graph_knn" -> (graphKnn _)
+    "graph_knn" -> (graphKnn _),
+    "graph_knn_components" -> (graphKnnComponents _)
   )
 
   /** Exact cosine top-k in DuckDB — the oracle for the brute row AND for
@@ -1639,13 +1687,14 @@ object Similarity {
       FROM cum WHERE cum_tokens <= ${TextAnalysis.RagBudget} ORDER BY rnk"""
   }
 
-  /** Relational replay of [[graphKnn]]: the cluster_kmeans Lloyd CTEs
+  /** Relational replay of [[knnRanked]] as a CTE chain ending in
+    * `ranked` (vec_id, nbr_id, cos, rnk): the cluster_kmeans Lloyd CTEs
     * give the cells, then exact within-cell cosine ranking at the brute
     * tier's rounding. The pair set is Σ|cell|² — cell-bounded by
-    * construction, the same bound the engine side rides.
+    * construction, the same bound the engine side rides. Shared by the
+    * graph_knn row and the graph_knn_components closure.
     */
-  private val KnnOracleSql = s"""
-      WITH qv AS (
+  private val KnnCteSql = s"""qv AS (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS q
@@ -1675,15 +1724,48 @@ object Similarity {
         FROM a3 a JOIN a3 b ON a.cluster = b.cluster
                            AND a.vec_id <> b.vec_id
                   JOIN vv av ON av.vec_id = a.vec_id
-                  JOIN vv bv ON bv.vec_id = b.vec_id)
+                  JOIN vv bv ON bv.vec_id = b.vec_id)"""
+
+  private val KnnOracleSql = s"""
+      WITH $KnnCteSql
       SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id, cos
       FROM ranked WHERE rnk <= $KnnK
       ORDER BY vec_id, rnk"""
+
+  /** Replay of [[graphKnnComponents]]: the k-NN CTEs, the cos-floor edge
+    * carve, then transitive closure by recursive CTE (the dedup_clusters
+    * convention — tiny at oracle SF; the Spark side is the distributed
+    * pointer-jumping form).
+    */
+  private val KnnComponentsOracleSql = s"""
+      WITH RECURSIVE $KnnCteSql,
+      pairs AS (
+        SELECT LEAST(vec_id, nbr_id) AS pa, GREATEST(vec_id, nbr_id) AS pb
+        FROM ranked WHERE rnk <= $KnnK AND cos >= $KnnEdgeT),
+      -- MATERIALIZED is load-bearing (the pagerank-oracle lesson): DuckDB
+      -- inlines CTEs per reference, and the recursive reach would
+      -- re-instantiate the whole k-NN chain on every closure layer
+      -- (measured 33.5 s -> ~4 s at sf0.1)
+      edges AS MATERIALIZED (SELECT DISTINCT pa AS u, pb AS v FROM pairs
+                UNION SELECT DISTINCT pb, pa FROM pairs),
+      reach(node, r) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+      labels AS (
+        SELECT node, MIN(r) AS cluster FROM (
+          SELECT node, r FROM reach
+          UNION ALL
+          SELECT DISTINCT u, u FROM edges) t
+        GROUP BY node)
+      SELECT cluster, COUNT(*) AS n_members
+      FROM labels GROUP BY cluster ORDER BY cluster"""
 
   val oracles: Map[String, String] = Map(
     "cluster_kmeans" -> KmOracleSql,
     "pipeline_rag_dense" -> ragDenseOracleSql,
     "graph_knn" -> KnnOracleSql,
+    "graph_knn_components" -> KnnComponentsOracleSql,
     // the planted corpus rebuilt, the SAME quantized Lloyd replay as
     // cluster_kmeans fitted over it, then the UNCOLLAPSED greedy
     // within-cluster drop rule (b drops iff any a < b in its cluster has

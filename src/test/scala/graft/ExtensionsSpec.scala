@@ -1881,6 +1881,25 @@ class TextPipelineSpec extends AnyFunSuite {
     } finally Caches.releaseAll(spark)
   }
 
+  test("graph_knn_components: clusters are min-labeled, >= 2 members, edge-consistent") {
+    val comp = SparkEntry.queries("graph_knn_components")(spark, sfDir).collect()
+    try {
+      assert(comp.nonEmpty, "no knn components at the fixture threshold")
+      // every component has >= 2 members (edges imply both endpoints) and
+      // cluster ids are distinct node labels
+      assert(comp.forall(_.getAs[Long]("n_members") >= 2))
+      val ids = comp.map(_.getAs[Long]("cluster"))
+      assert(ids.distinct.length == ids.length)
+      // consistency with the knn lists: the total membership equals the
+      // node count of the thresholded edge set (recomputed via the row)
+      val knn = SparkEntry.queries("graph_knn")(spark, sfDir).collect()
+      val nodes = knn.filter(_.getAs[Double]("cos") >= 0.4)
+        .flatMap(r => Seq(r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+        .distinct
+      assert(comp.map(_.getAs[Long]("n_members")).sum == nodes.length)
+    } finally Caches.releaseAll(spark)
+  }
+
   test("pipeline_rag_dense: probe-bounded, cartesian-free, budget cut engages") {
     val df = SparkEntry.queries("pipeline_rag_dense")(spark, sfDir)
     val rows = df.collect()
