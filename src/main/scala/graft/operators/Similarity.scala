@@ -1232,6 +1232,109 @@ object Similarity {
         col("nbr_id"), col("cos"))
       .orderBy(col("vec_id"), col("rnk"))
 
+  /** MULTI-PROBE k-NN build — the boundary-recall variant the
+    * [[knnRanked]] scaladoc names: each vector contributes candidates
+    * from its [[DenseNProbe]] nearest cells (not just the argmin cell),
+    * so a true neighbor sitting just across a Voronoi boundary is only
+    * missed when NEITHER side probes a shared cell. Same plan shape as
+    * the single-probe build — the probe table is 2 rows per vector, the
+    * pairing stays an EQUI join on the cell id with ≤ nprobe²× the
+    * candidate mass, and the per-vector top-k still partial-limits
+    * before the exchange. The probe ranking is the same integer
+    * arithmetic as the assignment (distances to the k driver-metadata
+    * centroids, ties to the smaller cell), so the oracle replays it from
+    * the d3 distance table it already materializes.
+    */
+  private def knnMultiprobeRanked(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = emb(s, d).cache()
+    val qv = base.select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
+    val cents = kmFit(qv)
+    val scored = explode(array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(kmDist2(col("q"), cv).as("d2"), lit(i).as("cell")) }: _*))
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pc.d2"), col("pc.cell"))
+    val probes = qv.select(col("vec_id"), scored.as("pc"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= DenseNProbe)
+      .select(col("vec_id"), col("pc.cell").as("cell"))
+    // pair on any SHARED probed cell; a pair sharing both cells would
+    // count twice, so the id set is distinct-ed before the vectors join
+    // back (ids only — never dragging the vectors through the distinct).
+    // EXPLICIT-width repartition before the distinct (the dedup_edit_qgram
+    // lesson verbatim): the candidate set is millions of rows but tiny in
+    // BYTES (two longs), so AQE's byte-based coalescing funnels the fused
+    // cosine stage on top onto ~2 threads (measured 11.4 s at sf0.1;
+    // ~3 s spread) — row count is this stage's cost model, each row a
+    // 64-dim cosine
+    val cand = probes.join(
+        probes.select(col("vec_id").as("nbr_id"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("vec_id"), col("nbr_id"))
+      .distinct()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cand
+      .join(base, Seq("vec_id"))
+      .join(base.select(col("vec_id").as("nbr_id"), col("v").as("nv")),
+        Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(GraftFunctions.cosine_sim(col("v"), col("nv")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+  }
+
+  private[graft] def graphKnnMultiprobe(s: SparkSession, d: String): DataFrame =
+    knnMultiprobeRanked(s, d)
+      .select(col("vec_id"), col("rnk").cast("int").as("rnk"),
+        col("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rnk"))
+
+  /** Recall floors for [[graphKnnRecall]]. Measured recall@5 against the
+    * brute ranking on the deterministic fixtures: single-probe 0.54 /
+    * 0.64 / 0.70 and multi-probe 0.94 / 0.94 / 1.00 across
+    * sf0.01/0.001/0.1 — the floors sit far enough below every operating
+    * point not to flake and far enough above chance to catch a broken
+    * index (the [[IvfRecallFloor]] discipline). Multi ≥ single holds BY
+    * CONSTRUCTION (the multi-probe candidate set is a superset: probe
+    * rank 1 with the (d2, cell) tie-break IS the assignment cell), so
+    * the spec asserts the improvement while this row gates the absolute
+    * contracts.
+    */
+  private val KnnRecallFloorSingle = 0.4
+  private val KnnRecallFloorMulti = 0.85
+
+  /** Recall@k of BOTH k-NN builds against the exact brute ranking over
+    * the query slice — the quality contract beside the exact-list gates:
+    * cell-bounded kNN trades boundary recall for the Σ|cell|² bound, and
+    * this row MEASURES the trade (and multi-probe's recovery of it)
+    * instead of asserting it in prose. Unlike the IVF/PQ recall gates
+    * (boolean-only), the recall VALUE itself is hash-gated: every
+    * ingredient — brute lists, both candidate sets, the hit join, the
+    * n/50 division — is deterministic in both engines, so the oracle
+    * recomputes the same number bit for bit.
+    */
+  private[graft] def graphKnnRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteTopK(s, d).select(col("qid"), col("vec_id").as("nbr_id"))
+    def tierRecall(name: String, lists: DataFrame, floor: Double): DataFrame = {
+      val hits = lists.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("nbr_id"), lit(1).as("hit"))
+      brute.join(hits, Seq("qid", "nbr_id"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          round(sum(coalesce(col("hit"), lit(0))) * lit(1.0) / count(lit(1)), 6)
+            .as("recall"))
+        .select(lit(name).as("tier"), col("n_queries"),
+          lit(KnnK).as("k"), col("recall"),
+          (col("recall") >= lit(floor)).as("recall_ok"))
+    }
+    tierRecall("multiprobe", knnMultiprobeRanked(s, d), KnnRecallFloorMulti)
+      .unionByName(tierRecall("single", knnRanked(s, d), KnnRecallFloorSingle))
+      .orderBy(col("tier"))
+  }
+
   /** Cosine floor for [[graphKnnComponents]]' edge carve — the
     * embedding-threshold tier's fixture-scaled value (see
     * [[CosThreshold]] for why 0.4 on this unstructured corpus).
@@ -1473,6 +1576,8 @@ object Similarity {
     "pipeline_semdedup" -> (pipelineSemdedup _),
     "pipeline_rag_dense" -> (pipelineRagDense _),
     "graph_knn" -> (graphKnn _),
+    "graph_knn_multiprobe" -> (graphKnnMultiprobe _),
+    "graph_knn_recall" -> (graphKnnRecall _),
     "graph_knn_components" -> (graphKnnComponents _)
   )
 
@@ -1732,6 +1837,71 @@ object Similarity {
       FROM ranked WHERE rnk <= $KnnK
       ORDER BY vec_id, rnk"""
 
+  /** Replay of [[graphKnnMultiprobe]]: the same Lloyd CTE chain, each
+    * vector's top-[[DenseNProbe]] cells ranked straight off the d3
+    * distance table the chain already materializes (same (d2, cell)
+    * tie-break), shared-cell pairing, exact ranking. The single-probe
+    * `ranked` CTE in the shared prefix is simply unreferenced here.
+    */
+  private val KnnMpCteSql = s"""pr AS (
+        SELECT vec_id, c AS cell FROM (
+          SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d2, c) AS prnk
+          FROM d3)
+        WHERE prnk <= $DenseNProbe),
+      cand AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+        FROM pr a JOIN pr b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      mranked AS (
+        SELECT c.vec_id, c.nbr_id,
+               round(list_cosine_similarity(av.v, bv.v), 6) AS cos,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(av.v, bv.v), 6) DESC,
+                          c.nbr_id) AS rnk
+        FROM cand c JOIN vv av ON av.vec_id = c.vec_id
+                    JOIN vv bv ON bv.vec_id = c.nbr_id)"""
+
+  private val KnnMultiprobeOracleSql = s"""
+      WITH $KnnCteSql,
+      $KnnMpCteSql
+      SELECT vec_id, CAST(rnk AS INT) AS rnk, nbr_id, cos
+      FROM mranked WHERE rnk <= $KnnK
+      ORDER BY vec_id, rnk"""
+
+  /** Replay of [[graphKnnRecall]]: brute lists as a CTE, both k-NN
+    * chains, hit joins, the same n/50 division — the recall VALUE
+    * hash-matches, not just the boolean.
+    */
+  private val KnnRecallOracleSql = s"""
+      WITH $KnnCteSql,
+      $KnnMpCteSql,
+      brute AS ($BruteOracleSql),
+      kn AS (SELECT vec_id AS qid, nbr_id FROM ranked
+             WHERE rnk <= $KnnK AND vec_id < $NQueries),
+      mp AS (SELECT vec_id AS qid, nbr_id FROM mranked
+             WHERE rnk <= $KnnK AND vec_id < $NQueries),
+      rs AS (
+        SELECT CAST(COUNT(DISTINCT b.qid) AS BIGINT) AS n_queries,
+               round(1.0 * SUM(CASE WHEN k.nbr_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) / COUNT(*), 6)
+                 AS recall
+        FROM brute b LEFT JOIN kn k
+          ON b.qid = k.qid AND b.vec_id = k.nbr_id),
+      rm AS (
+        SELECT CAST(COUNT(DISTINCT b.qid) AS BIGINT) AS n_queries,
+               round(1.0 * SUM(CASE WHEN m.nbr_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) / COUNT(*), 6)
+                 AS recall
+        FROM brute b LEFT JOIN mp m
+          ON b.qid = m.qid AND b.vec_id = m.nbr_id)
+      SELECT 'multiprobe' AS tier, n_queries, CAST($KnnK AS INT) AS k,
+             recall, recall >= $KnnRecallFloorMulti AS recall_ok FROM rm
+      UNION ALL
+      SELECT 'single' AS tier, n_queries, CAST($KnnK AS INT) AS k,
+             recall, recall >= $KnnRecallFloorSingle AS recall_ok FROM rs
+      ORDER BY tier"""
+
   /** Replay of [[graphKnnComponents]]: the k-NN CTEs, the cos-floor edge
     * carve, then transitive closure by recursive CTE (the dedup_clusters
     * convention — tiny at oracle SF; the Spark side is the distributed
@@ -1765,6 +1935,8 @@ object Similarity {
     "cluster_kmeans" -> KmOracleSql,
     "pipeline_rag_dense" -> ragDenseOracleSql,
     "graph_knn" -> KnnOracleSql,
+    "graph_knn_multiprobe" -> KnnMultiprobeOracleSql,
+    "graph_knn_recall" -> KnnRecallOracleSql,
     "graph_knn_components" -> KnnComponentsOracleSql,
     // the planted corpus rebuilt, the SAME quantized Lloyd replay as
     // cluster_kmeans fitted over it, then the UNCOLLAPSED greedy

@@ -1900,6 +1900,18 @@ class TextPipelineSpec extends AnyFunSuite {
     } finally Caches.releaseAll(spark)
   }
 
+  test("graph_knn_recall: multiprobe recovers boundary recall, superset property holds") {
+    val r = SparkEntry.queries("graph_knn_recall")(spark, sfDir).collect()
+    try {
+      assert(r.length == 2 && r.forall(_.getAs[Boolean]("recall_ok")))
+      val m = r.find(_.getString(0) == "multiprobe").get.getAs[Double]("recall")
+      val s0 = r.find(_.getString(0) == "single").get.getAs[Double]("recall")
+      // multi-probe candidates are a SUPERSET of single-probe (probe
+      // rank 1 IS the assignment cell), so recall can never decrease
+      assert(m >= s0, s"multiprobe $m < single $s0 — superset property violated")
+    } finally Caches.releaseAll(spark)
+  }
+
   test("pipeline_rag_dense: probe-bounded, cartesian-free, budget cut engages") {
     val df = SparkEntry.queries("pipeline_rag_dense")(spark, sfDir)
     val rows = df.collect()
