@@ -1883,15 +1883,17 @@ object Similarity {
              WHERE rnk <= $KnnK AND vec_id < $NQueries),
       rs AS (
         SELECT CAST(COUNT(DISTINCT b.qid) AS BIGINT) AS n_queries,
-               round(1.0 * SUM(CASE WHEN k.nbr_id IS NOT NULL
-                                    THEN 1 ELSE 0 END) / COUNT(*), 6)
+               round(1.0 * CAST(SUM(CASE WHEN k.nbr_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                     / COUNT(*), 6)
                  AS recall
         FROM brute b LEFT JOIN kn k
           ON b.qid = k.qid AND b.vec_id = k.nbr_id),
       rm AS (
         SELECT CAST(COUNT(DISTINCT b.qid) AS BIGINT) AS n_queries,
-               round(1.0 * SUM(CASE WHEN m.nbr_id IS NOT NULL
-                                    THEN 1 ELSE 0 END) / COUNT(*), 6)
+               round(1.0 * CAST(SUM(CASE WHEN m.nbr_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                     / COUNT(*), 6)
                  AS recall
         FROM brute b LEFT JOIN mp m
           ON b.qid = m.qid AND b.vec_id = m.nbr_id)
