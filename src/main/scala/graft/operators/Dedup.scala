@@ -169,6 +169,71 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // -- fuzzy join (two-relation similarity join) -------------------------
+
+  /** Fuzzy JOIN between two DISTINCT relations — the set-similarity join
+    * R ⋈_{J≥t} S (Chaudhuri et al., ICDE 2006), as opposed to the dedup
+    * tier's self-joins: match records of one table to similar records of
+    * another (catalog reconciliation, submitted-vs-canonical titles,
+    * cross-vendor entity matching). Relations here are the even- vs
+    * odd-numbered document sources — disjoint by construction, and the
+    * fixture's near-dup structure is overwhelmingly cross-source.
+    *
+    * The cross-relation prefix filter needs ONE global rarest-first
+    * shingle order spanning BOTH sides (document frequency computed over
+    * the union) — per-side orders would void the guarantee that a J ≥ t
+    * pair shares a prefix shingle. Candidates additionally pass the
+    * standard length-ratio companion prune (J ≥ t ⟹ t·max(|x|,|y|) ≤
+    * min(|x|,|y|), exact in integers as 4·sz ≤ 5·sz' both ways for
+    * t = 0.8) before the distinct — pure pruning ahead of verification,
+    * so the result is still the exact J ≥ t pair set. At 100 TB the
+    * shapes are the dedup tier's: 8-byte hashed shingles through the
+    * index shuffles, candidates keyed on the shingle so hot postings
+    * split, exact verification only on survivors.
+    */
+  private def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val par = pmod(regexp_replace(col("source"), "^src", "")
+      .cast("int"), lit(2))
+    val base = docs(s, d)
+      .select(col("doc_id"), par.as("par"),
+        GraftFunctions.word_shingles(TF.words(col("text")), ShingleN)
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val inv = base
+      .select(col("par"), col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s0"))
+      .select(col("par"), col("doc_id"), col("sz"),
+        xxhash64(col("s0")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("par"), col("doc_id"))
+      .orderBy(col("df").asc, col("s"))
+    val prefix = inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        expr(s"sz div ${prefixDivisor(JaccardThreshold)}") + 1)
+    val candidates = prefix.filter(col("par") === 0)
+        .select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("s"))
+      .join(prefix.filter(col("par") === 1)
+        .select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("s")),
+        Seq("s"))
+      .filter(col("sza") * 4 <= col("szb") * 5 &&
+              col("szb") * 4 <= col("sza") * 5)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    candidates
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", lit(1.0) * col("common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -- MinHash + LSH -----------------------------------------------------
 
   private val MinhashK = 64
@@ -1385,6 +1450,7 @@ object Dedup {
     "dedup_substring_exact" -> dedupSubstringExact _,
     "dedup_substring_keep" -> dedupSubstringKeep _,
     "dedup_ngram_jaccard" -> jaccardPairs _,
+    "join_fuzzy" -> joinFuzzy _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_edit_distance" -> dedupEditDistance _,
     "dedup_edit_qgram" -> dedupEditQgram _,
@@ -1423,6 +1489,33 @@ object Dedup {
              COUNT(*) AS c, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
       FROM ex a JOIN ex b USING (s)
       WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, 1.0*c/(na + nb - c) AS jaccard
+    FROM cand
+    WHERE 1.0*c/(na + nb - c) >= 0.8
+    ORDER BY doc_a, doc_b"""
+
+  /** [[joinFuzzy]]'s oracle: the same inverted-index formulation as
+    * [[JaccardOracle]], with the two relations split by source parity —
+    * disjoint sides, so every qualifying (even, odd) pair appears exactly
+    * once and needs no doc_id ordering.
+    */
+  private val FuzzyJoinOracle = s"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(substr(source, 4) AS INT) % 2 AS par,
+             string_split(${TextAnalysis.NormSql}, ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id, par, list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        for i in range(1, len(w)-1) ]) AS sh
+      FROM w WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, par, len(sh) AS n, unnest(sh) AS s FROM sh),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS c, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM (SELECT * FROM ex WHERE par = 0) a
+      JOIN (SELECT * FROM ex WHERE par = 1) b USING (s)
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, 1.0*c/(na + nb - c) AS jaccard
     FROM cand
@@ -1625,6 +1718,7 @@ object Dedup {
       FROM r WHERE rn = 1
       GROUP BY doc_id ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> JaccardOracle,
+    "join_fuzzy" -> FuzzyJoinOracle,
     // CDC replayed bit-identically: same md5-window cut rule, chunks via
     // zipped parallel unnests (the dedup_segment oracle's pattern),
     // keeper = first (doc, chunk_idx) occurrence per distinct chunk

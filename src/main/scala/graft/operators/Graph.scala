@@ -354,6 +354,61 @@ object Graph {
     (edges, () => { sup.unpersist(blocking = true); () })
   }
 
+  private[graft] val LpRounds = 4
+
+  /** Weighted synchronous label propagation (Raghavan et al. 2007, the
+    * semi-synchronous deterministic variant) — community detection by
+    * plurality vote, the cheap alternative to modularity methods and the
+    * refinement step between [[components]]' connectivity clusters and
+    * [[pagerank]]'s global scores. Each round every node adopts the label
+    * with the largest incident edge-weight sum among its neighbours
+    * (weight = pair trade support, so the vote is flow-weighted, not
+    * degree-weighted); ties break to the smallest label, making the
+    * whole fixed-round schedule deterministic and therefore exactly
+    * oracle-checkable — the DuckDB side unrolls the same [[LpRounds]]
+    * vote→argmax layers as materialized CTEs.
+    *
+    * Scale shape: the corpus-heavy stage is the one 4-table edge
+    * derivation, checkpointed once; each round is a broadcast-sized
+    * join + a TWO-PHASE (sum, then max_by) aggregate — the same
+    * skew-immune argmax idiom as [[Dedup.dedupKeepLatest]], never a
+    * per-node sort. On a billion-node graph the per-round cost is two
+    * shuffles of node-cardinality frames; label frames never exceed one
+    * row per node. The argmax `max_by(lbl, (wsum, −lbl))` is total
+    * because lbl is distinct within a node's vote group.
+    */
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val und = tradeFlows(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .withColumn("avg_s", avg(col("support")).over())
+      .filter(col("support") > col("avg_s"))
+      .select(col("a"), col("b"), col("support"))
+      .localCheckpoint(true) // nation²-bounded; read 2·LpRounds times
+    val edges = und
+      .select(col("a").as("u"), col("b").as("v"), col("support").as("w"))
+      .unionAll(und
+        .select(col("b").as("u"), col("a").as("v"), col("support").as("w")))
+    // every node in the thresholded graph has ≥1 neighbour, so each
+    // round's vote covers every node — no keep-own-label fallback needed
+    var lbl = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").cast("long").as("lbl"))
+    for (_ <- 1 to LpRounds) {
+      lbl = edges
+        .join(lbl.select(col("node").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(sum(col("w")).as("wsum"))
+        .groupBy(col("v"))
+        .agg(max_by(col("lbl"),
+          struct(col("wsum"), (-col("lbl")).as("neg"))).as("lbl"))
+        .select(col("v").as("node"), col("lbl"))
+    }
+    lbl.join(Tables.load(s, d, "nation"),
+        col("n_nationkey") === col("node"))
+      .select(col("n_name").as("nation"), col("lbl").as("community"))
+      .orderBy(col("nation"))
+  }
+
   private def components(s: SparkSession, d: String): DataFrame = {
     // the edges are consumed entirely inside connectedComponents (its
     // convergence loop checkpoints eagerly), so the support cache can be
@@ -372,8 +427,57 @@ object Graph {
     "graph_pagerank_converged" -> pagerankConverged _,
     "graph_triangles" -> triangles _,
     "graph_components" -> components _,
-    "graph_bfs" -> bfs _
+    "graph_bfs" -> bfs _,
+    "graph_label_prop" -> labelProp _
   )
+
+  /** The label-propagation oracle: [[LpRounds]] vote→argmax layers
+    * unrolled as materialized CTEs (the [[convOracleSql]] technique);
+    * every layer is |nations|-sized. ROW_NUMBER's (wsum DESC, lbl ASC)
+    * order is the same total argmax the Spark side's max_by struct
+    * encodes.
+    */
+  private def labelPropOracleSql: String = {
+    val layers = (1 to LpRounds).map { i =>
+      s"""
+    v$i AS MATERIALIZED (
+            SELECT e.v AS node, l.lbl, SUM(e.w) AS wsum
+            FROM e JOIN l${i - 1} l ON l.node = e.u
+            GROUP BY 1, 2),
+    l$i AS MATERIALIZED (
+            SELECT node, lbl FROM (
+              SELECT node, lbl,
+                     ROW_NUMBER() OVER (PARTITION BY node
+                                        ORDER BY wsum DESC, lbl ASC) AS rn
+              FROM v$i)
+            WHERE rn = 1)"""
+    }.mkString(",")
+    s"""
+      WITH flows AS MATERIALIZED (
+                     SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+                     FROM customer c
+                     JOIN orders o ON o.o_custkey = c.c_custkey
+                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                     JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     WHERE c.c_nationkey <> s.s_nationkey),
+           sup AS MATERIALIZED (
+                   SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                          COUNT(*) AS support
+                   FROM flows GROUP BY 1, 2),
+           und AS MATERIALIZED (
+                   SELECT a, b, support FROM sup
+                   WHERE support > (SELECT AVG(support) FROM sup)),
+           e AS MATERIALIZED (
+                  SELECT a AS u, b AS v, support AS w FROM und
+                  UNION ALL SELECT b, a, support FROM und),
+           l0 AS MATERIALIZED (
+                  SELECT DISTINCT u AS node, CAST(u AS BIGINT) AS lbl
+                  FROM e),
+           $layers
+      SELECT n.n_name AS nation, l.lbl AS community
+      FROM l$LpRounds l JOIN nation n ON n.n_nationkey = l.node
+      ORDER BY nation"""
+  }
 
   private def iterCte(prev: String, name: String): String = s"""
     $name AS (SELECT nd.node,
@@ -461,6 +565,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank_converged" -> convOracleSql,
+    "graph_label_prop" -> labelPropOracleSql,
     "graph_pagerank" -> s"""
       WITH edges AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
                      FROM customer c

@@ -214,6 +214,32 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
   }
 
+  test("join_fuzzy equals the brute cross-relation J>=0.8 pair set") {
+    graft.functions.GraftFunctions.register(spark)
+    val par = pmod(regexp_replace(col("source"), "^src", "").cast("int"),
+      lit(2))
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), par.as("par"),
+        graft.functions.GraftFunctions.word_shingles(
+          graft.functions.TextFunctions.words(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // brute side: full cross join of the two relations with the same
+    // exact Jaccard predicate — any prefix-filter miss is a set diff
+    val brute = sh.filter(col("par") === 0)
+        .select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      .crossJoin(sh.filter(col("par") === 1)
+        .select(col("doc_id").as("doc_b"), col("sh").as("sb")))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .filter(lit(1.0) * col("c") /
+        (size(col("sa")) + size(col("sb")) - col("c")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = operators.Dedup.queries("join_fuzzy")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain cross-source near-dups")
+    assert(got == brute, s"fuzzy=${got.size} brute=${brute.size}")
+  }
+
   test("edit-distance banding finds exactly the brute-force lev<=10 pairs") {
     // brute side: length-screened cross join with the same levenshtein
     // predicate — any banding miss shows up as a set difference

@@ -1779,4 +1779,44 @@ class PlanSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
     assert(got == want, s"components diverge from union-find:\n$got\n$want")
   }
+
+  test("graph_label_prop equals a driver-side replay of the weighted vote") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("graph_label_prop")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue).toSeq.sorted
+    assert(got.nonEmpty, "significant-trade graph empty at this SF")
+    // same weighted edge derivation, then LpRounds synchronous plurality
+    // votes replayed locally with the identical (wsum desc, lbl asc) argmax
+    val cust = Tables.load(spark, sfDir, "customer")
+    val flows = cust
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+              greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+                           r.getAs[Number](1).longValue, r.getLong(2)))
+    val mean = flows.map(_._3).sum.toDouble / flows.length
+    val und = flows.filter(_._3 > mean)
+    val edges = und.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    var lbl: Map[Long, Long] =
+      edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to operators.Graph.LpRounds) {
+      lbl = edges.groupBy(_._2).map { case (v, in) =>
+        val votes = in.groupBy(e => lbl(e._1))
+          .map { case (l, es) => (l, es.map(_._3).sum) }
+        v -> votes.toSeq.maxBy { case (l, w) => (w, -l) }._1
+      }
+    }
+    val nations = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val want = lbl.toSeq.map { case (n, l) => nations(n) -> l }.sorted
+    assert(got == want, s"label propagation diverges from replay:\n$got\n$want")
+  }
 }
