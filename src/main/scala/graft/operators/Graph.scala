@@ -409,6 +409,77 @@ object Graph {
       .orderBy(col("nation"))
   }
 
+  /** Bellman–Ford round cap for [[sssp]]: positive weights mean every
+    * shortest path is simple (≤ |V|−1 = 24 edges on the 25-nation
+    * graph), so 24 relaxation rounds provably reach the fixpoint; the
+    * oracle unrolls exactly this many layers and the Spark loop may
+    * exit early at the measured fixpoint (further rounds are no-ops by
+    * the same argument).
+    */
+  private[graft] val SsspMaxRounds = 24
+
+  /** Weighted single-source shortest paths — [[bfs]]'s hop counter
+    * upgraded to real edge costs, the primitive under routing,
+    * influence-radius, and weighted-closeness queries. Edge cost is the
+    * "affinity distance" max(support)+1−support: the heaviest-traded
+    * pair costs 1, the rarest the most — all exact integers, so both
+    * engines relax identical values. The iteration is textbook
+    * Bellman–Ford written relationally: each round joins the
+    * node-sized distance frame to the edge list and takes the
+    * TWO-PHASE min over (incoming relaxations ∪ current), with the
+    * fixpoint detected by one scalar count per round (did any node
+    * improve?) — the same node-frame-only driver contract as
+    * [[pagerankConverged]]. The corpus-scale stage is the one edge
+    * derivation, checkpointed once; per-round frames never exceed one
+    * row per node, so at a billion nodes each round is two
+    * node-cardinality shuffles and the round count is the graph
+    * diameter, not |V|.
+    */
+  private def sssp(s: SparkSession, d: String): DataFrame = {
+    val und = tradeFlows(s, d).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      .withColumn("avg_s", avg(col("support")).over())
+      .filter(col("support") > col("avg_s"))
+      .withColumn("w",
+        max(col("support")).over() + lit(1L) - col("support"))
+      .select(col("a"), col("b"), col("w"))
+      .localCheckpoint(true) // nation²-bounded; read every round
+    val edges = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+    val nodes = edges.select(col("u").as("node")).distinct()
+      .localCheckpoint(true)
+    val srcRow = nodes.agg(min(col("node")).cast("long")).head()
+    require(!srcRow.isNullAt(0),
+      "significant-trade graph is empty at this scale factor; sssp has no source")
+    val srcNode = srcRow.getLong(0)
+    var dist = nodes.select(col("node"),
+        when(col("node") === srcNode, lit(0L)).as("dist"))
+      .localCheckpoint(true) // null dist = unreached
+    var round = 0
+    var active = true
+    while (active && round < SsspMaxRounds) {
+      val relaxed = edges
+        .join(dist.select(col("node").as("u"), col("dist").as("du")), "u")
+        .filter(col("du").isNotNull)
+        .select(col("v").as("node"), (col("du") + col("w")).as("cand"))
+        .unionByName(dist.select(col("node"), col("dist").as("cand")))
+        .groupBy(col("node")).agg(min(col("cand")).as("dist"))
+        .localCheckpoint(true)
+      val improved = relaxed
+        .join(dist.withColumnRenamed("dist", "old"), Seq("node"))
+        .filter((col("old").isNull && col("dist").isNotNull) ||
+                col("dist") < col("old"))
+        .count()
+      dist = relaxed
+      round += 1
+      if (improved == 0) active = false
+    }
+    dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("node"))
+  }
+
   private def components(s: SparkSession, d: String): DataFrame = {
     // the edges are consumed entirely inside connectedComponents (its
     // convergence loop checkpoints eagerly), so the support cache can be
@@ -428,8 +499,61 @@ object Graph {
     "graph_triangles" -> triangles _,
     "graph_components" -> components _,
     "graph_bfs" -> bfs _,
-    "graph_label_prop" -> labelProp _
+    "graph_label_prop" -> labelProp _,
+    "graph_sssp" -> sssp _
   )
+
+  /** The SSSP oracle: [[SsspMaxRounds]] Bellman–Ford layers unrolled as
+    * materialized CTEs — each layer min-merges the previous layer's
+    * distances with every one-edge relaxation (NULL = unreached; MIN
+    * ignores the NULL candidates a NULL source distance produces). 24
+    * rounds provably reach the fixpoint the Spark loop early-exits at.
+    */
+  private def ssspOracleSql: String = {
+    val layers = (1 to SsspMaxRounds).map { i =>
+      s"""
+    d$i AS MATERIALIZED (
+            SELECT node, MIN(cand) AS dist FROM (
+              SELECT e.v AS node, d.dist + e.w AS cand
+              FROM e JOIN d${i - 1} d ON d.node = e.u
+              UNION ALL
+              SELECT node, dist FROM d${i - 1})
+            GROUP BY node)"""
+    }.mkString(",")
+    s"""
+      WITH flows AS MATERIALIZED (
+                     SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+                     FROM customer c
+                     JOIN orders o ON o.o_custkey = c.c_custkey
+                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                     JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     WHERE c.c_nationkey <> s.s_nationkey),
+           sup AS MATERIALIZED (
+                   SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                          COUNT(*) AS support
+                   FROM flows GROUP BY 1, 2),
+           und AS MATERIALIZED (
+                   SELECT a, b,
+                          (SELECT MAX(support) FROM sup
+                           WHERE support > (SELECT AVG(support) FROM sup))
+                            + 1 - support AS w
+                   FROM sup
+                   WHERE support > (SELECT AVG(support) FROM sup)),
+           e AS MATERIALIZED (
+                  SELECT a AS u, b AS v, w FROM und
+                  UNION ALL SELECT b, a, w FROM und),
+           nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+           d0 AS MATERIALIZED (
+                  SELECT node,
+                         CASE WHEN node = (SELECT MIN(node) FROM nodes)
+                              THEN CAST(0 AS BIGINT) END AS dist
+                  FROM nodes),
+           $layers
+      SELECT CAST(node AS INT) AS node,
+             COALESCE(dist, -1) AS dist
+      FROM d$SsspMaxRounds
+      ORDER BY node"""
+  }
 
   /** The label-propagation oracle: [[LpRounds]] vote→argmax layers
     * unrolled as materialized CTEs (the [[convOracleSql]] technique);
@@ -566,6 +690,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "graph_pagerank_converged" -> convOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
+    "graph_sssp" -> ssspOracleSql,
     "graph_pagerank" -> s"""
       WITH edges AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
                      FROM customer c

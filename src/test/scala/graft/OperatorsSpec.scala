@@ -1780,6 +1780,51 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want, s"components diverge from union-find:\n$got\n$want")
   }
 
+  test("graph_sssp equals a driver-side Dijkstra on the weighted graph") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("graph_sssp")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toSeq.sorted
+    assert(got.nonEmpty, "significant-trade graph empty at this SF")
+    // same edge/weight derivation, shortest paths by a different
+    // algorithm entirely (Dijkstra vs relational Bellman–Ford)
+    val cust = Tables.load(spark, sfDir, "customer")
+    val flows = cust
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+              greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("s"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+                           r.getAs[Number](1).longValue, r.getLong(2)))
+    val mean = flows.map(_._3).sum.toDouble / flows.length
+    val und = flows.filter(_._3 > mean)
+    val maxSup = und.map(_._3).max
+    val adj = und.flatMap { case (a, b, sup) =>
+      val w = maxSup + 1 - sup
+      Seq(a -> (b, w), b -> (a, w))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val src = adj.keys.min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, src))(
+      Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (du, u) = pq.dequeue()
+      if (du == dist(u)) for ((v, w) <- adj.getOrElse(u, Nil)) {
+        if (dist.get(v).forall(_ > du + w)) {
+          dist(v) = du + w; pq.enqueue((du + w, v))
+        }
+      }
+    }
+    val want = adj.keys.toSeq.map(n => n -> dist.getOrElse(n, -1L)).sorted
+    assert(got == want, s"sssp diverges from Dijkstra:\n$got\n$want")
+  }
+
   test("graph_label_prop equals a driver-side replay of the weighted vote") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("graph_label_prop")(spark, sfDir).collect()
