@@ -838,6 +838,39 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Per-document n-gram NOVELTY — the fraction of a document's distinct
+    * word 3-grams whose corpus-wide first occurrence (min doc_id) is this
+    * document. The curation signal behind "how much does the tail of my
+    * corpus still add?": near-zero novelty marks boilerplate and
+    * template mass that dedup thresholds miss, and the corpus-order
+    * novelty curve is the standard diminishing-returns diagnostic for
+    * data acquisition. Shapes at 100 TB: one explode feeds a TWO-PHASE
+    * min per gram (map-side partial min, one shuffle on the hashed
+    * gram), first-owners join back on the same gram key (hot grams
+    * colocate but each matches exactly one first-owner row), and the
+    * per-doc ratio is a second two-phase aggregate — no windows, no
+    * driver state. Grams travel as xxhash64 longs (the [[Dedup]] index
+    * convention): a cross-gram collision only merges two first-owner
+    * entries (~2^-64 per pair), and the 8-byte key halves both shuffles.
+    */
+  private def textNovelty(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val ex = docs(s, d)
+      .select(col("doc_id"),
+        explode(GraftFunctions.word_shingles(TF.words(col("text")), 3))
+          .as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    val first = ex.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(lit(1.0) * col("n_novel") / col("n_grams"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary extraction: global term and document frequencies,
     * most-frequent-first — the input to tokenizer training and idf
     * weighting. Map-side explode feeds a two-phase count aggregation
@@ -2768,6 +2801,7 @@ object TextAnalysis {
     "text_vocab" -> textVocab _,
     "text_pii_redact" -> textPiiRedact _,
     "text_ngram_stats" -> textNgramStats _,
+    "text_novelty" -> textNovelty _,
     "text_tokens" -> textTokens _,
     "text_chunk" -> textChunk _,
     "text_quality" -> textQuality _,
@@ -4168,6 +4202,26 @@ object TextAnalysis {
         FROM w)
       SELECT bigram, COUNT(*) AS n_occ
       FROM bg GROUP BY bigram ORDER BY n_occ DESC, bigram LIMIT 50""",
+    "text_novelty" -> s"""
+      WITH sh AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents)
+        WHERE len(w) >= 3),
+      ex AS (
+        SELECT doc_id,
+               unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, len(w)-1) ])) AS g
+        FROM sh),
+      fst AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g)
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             round(1.0 * CAST(SUM(CASE WHEN f.first_doc = e.doc_id
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                   / COUNT(*), 6) AS novelty
+      FROM ex e JOIN fst f USING (g)
+      GROUP BY e.doc_id ORDER BY e.doc_id""",
     "text_tokens" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,

@@ -1616,6 +1616,31 @@ class TextPipelineSpec extends AnyFunSuite {
   private def mkNorm(t: String): Array[String] =
     t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
 
+  test("text_novelty equals a local first-occurrence replay") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val grams = corpus.map { case (id, t) =>
+      val w = mkNorm(t)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val first = grams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val want = grams.map { case (id, gs) =>
+      val novel = gs.count(g => first(g) == id)
+      (id, gs.size.toLong, novel.toLong,
+        BigDecimal(1.0 * novel / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = operators.TextAnalysis.queries("text_novelty")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(want.nonEmpty, "no >=3-word documents at this SF")
+    assert(got == want, s"novelty diverges from replay (got ${got.size}, " +
+      s"want ${want.size})")
+  }
+
   test("bm25TopK equals the local mirror on randomized corpora (zero-tf, ties, tiny N)") {
     // seeded random corpora over a tiny vocab force the edge cases the
     // fixture can't: docs with zero query-term hits (score exactly 0),
