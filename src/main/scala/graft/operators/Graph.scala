@@ -565,7 +565,7 @@ object Graph {
     val layers = (1 to LpRounds).map { i =>
       s"""
     v$i AS MATERIALIZED (
-            SELECT e.v AS node, l.lbl, SUM(e.w) AS wsum
+            SELECT e.v AS node, l.lbl, CAST(SUM(e.w) AS BIGINT) AS wsum
             FROM e JOIN l${i - 1} l ON l.node = e.u
             GROUP BY 1, 2),
     l$i AS MATERIALIZED (

@@ -22,7 +22,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # oracle length-bucket + char-histogram blocked (328 s -> 8.7 s), the
 # streaming-ingest accept chain's NOT EXISTS layers count-joined, and
 # the remaining ten rows (embedding/ANN/decontaminate) measured
-# sub-3 s at sf0.1 as they stood. The FULL row set (271 as of r17; see
+# sub-3 s at sf0.1 as they stood. The FULL row set (280 as of r18; see
 # README's gate history for the current count) gates at sf0.1 with 0
 # skipped. --skip-n2 is kept as a no-op flag so documented invocations
 # keep working.
