@@ -339,7 +339,14 @@ object Bench {
     // passes stay map-only + k×dim-bounded exchanges, the probe filter
     // must cut the scored set before the TakeOrdered, and the packing
     // join-back stays K-row broadcast regardless of corpus size
-    "sf1_pipeline_rag_dense" -> "pipeline_rag_dense")
+    "sf1_pipeline_rag_dense" -> "pipeline_rag_dense",
+    // round-18 row: the cross-relation fuzzy join at 10× identical
+    // replicas — replicas keep their source (both sides grow 10-hot
+    // postings), so without the per-side exact-dup collapse the
+    // candidate join's Σ df_L·df_R term is replica²; with it the index
+    // runs on distinct texts and only the member re-expansion (the
+    // join's required 100×-pair output) scales with replication
+    "sf1_join_fuzzy" -> "join_fuzzy")
 
   /** Always-run sf1 points — the ACCEPTANCE PHASE set, measured before
     * anything else in the fresh JVM: the BASELINE.md-comparable headliners

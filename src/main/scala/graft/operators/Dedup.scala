@@ -195,11 +195,25 @@ object Dedup {
     GraftFunctions.register(s)
     val par = pmod(regexp_replace(col("source"), "^src", "")
       .cast("int"), lit(2))
+    // exact-duplicate pre-collapse PER SIDE (the [[jaccardPairs]]
+    // ordering made cross-relational): on a replica-heavy corpus every
+    // identical copy multiplies both sides' posting lists, so the
+    // candidate join's Σ df_L·df_R term grows replica² without it; with
+    // it the index machinery runs on distinct texts and only the final
+    // member re-expansion — the join's semantically required output —
+    // scales with replication
+    val keyed = docs(s, d).select(col("doc_id"), par.as("par"),
+      md5(TF.normText(col("text"))).as("gk"))
+    val groups = keyed.groupBy(col("par"), col("gk"))
+      .agg(min(col("doc_id")).as("rep"))
+    val members = keyed.join(groups, Seq("par", "gk"))
     val base = docs(s, d)
       .select(col("doc_id"), par.as("par"),
         GraftFunctions.word_shingles(TF.words(col("text")), ShingleN)
           .as("sh"))
       .filter(size(col("sh")) > 0)
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"),
+        "left_semi")
       .cache()
     val inv = base
       .select(col("par"), col("doc_id"), size(col("sh")).as("sz"),
@@ -214,22 +228,33 @@ object Dedup {
       .filter(col("rk") <=
         expr(s"sz div ${prefixDivisor(JaccardThreshold)}") + 1)
     val candidates = prefix.filter(col("par") === 0)
-        .select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("s"))
+        .select(col("doc_id").as("rep_a"), col("sz").as("sza"), col("s"))
       .join(prefix.filter(col("par") === 1)
-        .select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("s")),
+        .select(col("doc_id").as("rep_b"), col("sz").as("szb"), col("s")),
         Seq("s"))
       .filter(col("sza") * 4 <= col("szb") * 5 &&
               col("szb") * 4 <= col("sza") * 5)
-      .select(col("doc_a"), col("doc_b")).distinct()
-    candidates
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    val repPairs = candidates
+      .join(base.select(col("doc_id").as("rep_a"), col("sh").as("sh_a")),
+        Seq("rep_a"))
+      .join(base.select(col("doc_id").as("rep_b"), col("sh").as("sh_b")),
+        Seq("rep_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", lit(1.0) * col("common") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("rep_a"), col("rep_b"), col("jaccard"))
+    // re-expand representative pairs to member pairs on BOTH sides —
+    // output-bound: exactly the rows the exact cross-relation pair set
+    // contains
+    repPairs
+      .join(members.filter(col("par") === 0)
+        .select(col("rep").as("rep_a"), col("doc_id").as("doc_a")),
+        Seq("rep_a"))
+      .join(members.filter(col("par") === 1)
+        .select(col("rep").as("rep_b"), col("doc_id").as("doc_b")),
+        Seq("rep_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
