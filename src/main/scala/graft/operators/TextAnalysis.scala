@@ -871,6 +871,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The corpus-order NOVELTY CURVE — [[textNovelty]] aggregated into
+    * acquisition deciles: bucket documents by ingestion order (doc_id
+    * range deciles), and report each decile's marginal new-gram fraction
+    * (grams whose corpus-wide FIRST owner falls in that decile, over the
+    * decile's total distinct-per-doc gram mass). The curve's slope is
+    * the data-acquisition stopping diagnostic proper: when the marginal
+    * decile's novelty flattens, new data is re-buying existing grams.
+    * Decile assignment is closed-form integer arithmetic off a 1-row
+    * broadcast max frame (min(9, 10·doc_id div (max+1))) — no ntile
+    * window funneling the corpus through one partition. Same two-shuffle
+    * shape as [[textNovelty]]; the output is always exactly the
+    * occupied deciles (10 rows).
+    */
+  private def textNoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val ex0 = docs(s, d)
+      .select(col("doc_id"),
+        explode(GraftFunctions.word_shingles(TF.words(col("text")), 3))
+          .as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+    val mx = docs(s, d).agg((max(col("doc_id")) + 1).as("n"))
+    val ex = ex0.crossJoin(broadcast(mx))
+      .select(col("g"),
+        least(lit(9), expr("(doc_id * 10) div n").cast("int"))
+          .as("decile"))
+    val first = ex.groupBy(col("g")).agg(min(col("decile")).as("first_dec"))
+    // marginal novelty = DISTINCT grams debuting in the decile over the
+    // decile's total (distinct-per-doc) gram occurrences
+    val occ = ex.groupBy(col("decile")).agg(count(lit(1)).as("n_grams"))
+    val nw = first.groupBy(col("first_dec").as("decile"))
+      .agg(count(lit(1)).as("n_new"))
+    occ.join(nw, Seq("decile"), "left")
+      .select(col("decile"), col("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(lit(1.0) * coalesce(col("n_new"), lit(0L)) / col("n_grams"), 6)
+          .as("novelty"))
+      .orderBy(col("decile"))
+  }
+
   /** Corpus vocabulary extraction: global term and document frequencies,
     * most-frequent-first — the input to tokenizer training and idf
     * weighting. Map-side explode feeds a two-phase count aggregation
@@ -2802,6 +2841,7 @@ object TextAnalysis {
     "text_pii_redact" -> textPiiRedact _,
     "text_ngram_stats" -> textNgramStats _,
     "text_novelty" -> textNovelty _,
+    "text_novelty_curve" -> textNoveltyCurve _,
     "text_tokens" -> textTokens _,
     "text_chunk" -> textChunk _,
     "text_quality" -> textQuality _,
@@ -4222,6 +4262,27 @@ object TextAnalysis {
                    / COUNT(*), 6) AS novelty
       FROM ex e JOIN fst f USING (g)
       GROUP BY e.doc_id ORDER BY e.doc_id""",
+    "text_novelty_curve" -> s"""
+      WITH sh AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents)
+        WHERE len(w) >= 3),
+      mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+      ex AS (
+        SELECT LEAST(9, CAST(doc_id * 10 // (SELECT n FROM mx) AS INT))
+                 AS decile,
+               unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, len(w)-1) ])) AS g
+        FROM sh),
+      fst AS (SELECT g, MIN(decile) AS first_dec FROM ex GROUP BY g),
+      occ AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM ex GROUP BY decile),
+      nw AS (SELECT first_dec AS decile, CAST(COUNT(*) AS BIGINT) AS n_new
+             FROM fst GROUP BY first_dec)
+      SELECT o.decile, o.n_grams, COALESCE(w.n_new, 0) AS n_new,
+             round(1.0 * COALESCE(w.n_new, 0) / o.n_grams, 6) AS novelty
+      FROM occ o LEFT JOIN nw w USING (decile)
+      ORDER BY o.decile""",
     "text_tokens" -> """
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS tok_ws,

@@ -1641,6 +1641,49 @@ class TextPipelineSpec extends AnyFunSuite {
       s"want ${want.size})")
   }
 
+  test("text_novelty_curve equals a local decile replay") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = corpus.map(_._1).max + 1
+    val grams = corpus.map { case (id, t) =>
+      val dec = math.min(9L, id * 10 / n).toInt
+      dec -> mkNorm(t).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val firstDec = grams.flatMap { case (dec, gs) => gs.map(_ -> dec) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val occ = grams.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(_._2.size.toLong).sum }
+    val nw = firstDec.values.groupBy(identity)
+      .map { case (d, xs) => d -> xs.size.toLong }
+    val want = occ.toSeq.map { case (d, o) =>
+      val w = nw.getOrElse(d, 0L)
+      (d, o, w, BigDecimal(1.0 * w / o)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = operators.TextAnalysis.queries("text_novelty_curve")(spark, sfDir)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"novelty curve diverges:\n$got\n$want")
+  }
+
+  test("join_fuzzy_best reduces the pair set to the per-left best match") {
+    import org.apache.spark.sql.functions.col
+    val pairs = operators.Dedup.queries("join_fuzzy")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pairs.groupBy(_._1).map { case (a, xs) =>
+      val best = xs.maxBy(x => (x._3, -x._2))
+      (a, best._2, best._3, xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Dedup.queries("join_fuzzy_best")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(want.nonEmpty, "no fuzzy pairs at this SF")
+    assert(got == want, s"best-match diverges:\n$got\n$want")
+  }
+
   test("bm25TopK equals the local mirror on randomized corpora (zero-tf, ties, tiny N)") {
     // seeded random corpora over a tiny vocab force the edge cases the
     // fixture can't: docs with zero query-term hits (score exactly 0),
