@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * codegen spans can be eyeballed after every operator change.
   *
   * Usage: `sbt "runMain graft.PlanAudit <sfDir> <row> [<row>...]"`.
+  *
+  * With `SPARK_GRAFT_PLAN_OUT=<dir>` set, additionally writes each row's
+  * FULL `explain("formatted")` output to `<dir>/<row>_<suffix>.txt`
+  * (suffix from `SPARK_GRAFT_PLAN_SUFFIX`, default `plan`) — the
+  * committed before/after evidence format for optimization rounds.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -19,10 +24,20 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .appName("plan-audit").getOrCreate()
+    val outDir = sys.env.get("SPARK_GRAFT_PLAN_OUT")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "plan")
+    outDir.foreach(d => new java.io.File(d).mkdirs(): Unit)
     try for (q <- args.drop(1)) {
       println(s"===== $q =====")
-      println(SparkEntry.queries(q)(spark, args(0))
-        .queryExecution.executedPlan.toString.take(12000))
+      val df = SparkEntry.queries(q)(spark, args(0))
+      println(df.queryExecution.executedPlan.toString.take(12000))
+      outDir.foreach { d =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$d/${q}_$suffix.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)): Unit
+      }
+      Caches.releaseAll(spark)
     } finally spark.stop()
   }
 }
