@@ -124,10 +124,22 @@ object Dedup {
       // |x| − ⌈t·|x|⌉ + 1 in EXACT integer form via [[prefixDivisor]]
       // (sz div 5 for t = 0.8); see its scaladoc for the float trap
       .filter(col("rk") <= expr(s"sz div ${prefixDivisor(JaccardThreshold)}") + 1)
-      .select(col("doc_id"), col("s"))
-    val candidates = prefix.select(col("doc_id").as("doc_a"), col("s"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("sz"), col("s"))
+    // length-ratio companion prune (the joinFuzzy filter, r18 back-ported
+    // to the self-join): J ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|), exact in
+    // integers as 4·sz ≤ 5·sz' both ways for t = 0.8. Pure pruning BEFORE
+    // the distinct and the verify joins — the exact pair set is unchanged,
+    // but candidates that could never verify stop paying the distinct
+    // exchange and the per-pair array_intersect (the row's dominant
+    // per-task cost: ~116 task-seconds at sf0.1 before the prune).
+    val candidates = prefix
+        .select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("s"))
+      .join(prefix
+        .select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("s")),
+        Seq("s"))
+      .filter(col("doc_a") < col("doc_b") &&
+              col("sza") * 4 <= col("szb") * 5 &&
+              col("szb") * 4 <= col("sza") * 5)
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact verification on the (cached) shingle sets. Measured alternative
     // (sf0.1, 8 cores, median of 3): carrying sh_a as a payload through the

@@ -815,12 +815,17 @@ object Similarity {
   /** Map-only nearest-centroid assignment against k literal centroids:
     * per-cluster integer distances in one projection, argmin via a `<=`
     * CASE chain (ties break to the smaller cluster id, same chain in the
-    * oracle). Returns (vec_id, q, cluster, d2).
+    * oracle). Returns every input column plus (cluster, d2) — carrying
+    * payload columns (e.g. the raw vector) through the map-only pass
+    * costs nothing and saves the caller a re-attach JOIN of assignment
+    * back onto the corpus (r18: the k-NN build paid two exchanges +
+    * a SortMergeJoin for exactly that re-attach).
     */
   private[graft] def kmAssign(qv: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
     val dists = cents.zipWithIndex.map { case (c, i) => kmDist2(col("q"), c).as(s"d$i") }
     val k = cents.size
-    val withD = qv.select(col("vec_id") +: col("q") +: dists: _*)
+    val carry = qv.columns.toSeq
+    val withD = qv.select(carry.map(col) ++ dists: _*)
     val cluster = (0 until k - 1).foldRight(lit(k - 1)) { (i, els) =>
       val leqAll = ((i + 1) until k)
         .map(j => col(s"d$i") <= col(s"d$j"))
@@ -832,7 +837,7 @@ object Similarity {
     }
     withD.withColumn("cluster", cluster)
       .withColumn("d2", d2)
-      .select(col("vec_id"), col("q"), col("cluster"), col("d2"))
+      .select(carry.map(col) :+ col("cluster") :+ col("d2"): _*)
   }
 
   /** K-means clustering with ENGINE-EXACT Lloyd iterations — the
@@ -1208,20 +1213,37 @@ object Similarity {
   private def knnRanked(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val base = emb(s, d).cache()
-    val qv = base.select(col("vec_id"),
+    // assignment carries the raw vector THROUGH the map-only pass
+    // (kmAssign preserves input columns since r18) instead of joining it
+    // back on: the old base⋈assigned re-attach cost two exchanges + a
+    // SortMergeJoin per side for a column the pass never had to drop
+    val qv = base.select(col("vec_id"), col("v"),
       transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
-    val cents = kmFit(qv)
-    val assigned = kmAssign(qv, cents).select(col("vec_id"), col("cluster"))
-    val sides = base.join(assigned, Seq("vec_id"))
-    val lhs = sides.select(col("cluster"), col("vec_id"), col("v"))
+    val cents = kmFit(qv.select(col("vec_id"), col("q")))
+    val sides = kmAssign(qv, cents).select(col("cluster"), col("vec_id"),
+      col("v"))
+    val lhs = sides
     val rhs = sides.select(col("cluster"), col("vec_id").as("nbr_id"),
       col("v").as("nv"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
+    // cosine is SYMMETRIC and bit-identical in both directions (dot
+    // terms pair index-by-index, the two norms multiply commutatively),
+    // so score each unordered pair ONCE (vec_id < nbr_id halves the
+    // candidate mass — the dominant per-task cost, a 64-dim cosine per
+    // row) and mirror the scored row map-side with a 2-struct explode;
+    // the per-vector top-k below sees exactly the directed rows the
+    // full self-join produced
     lhs.join(rhs, Seq("cluster"))
-      .filter(col("vec_id") =!= col("nbr_id"))
+      .filter(col("vec_id") < col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         round(GraftFunctions.cosine_sim(col("v"), col("nv")), 6).as("cos"))
+      .select(explode(array(
+        struct(col("vec_id"), col("nbr_id"), col("cos")),
+        struct(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"),
+          col("cos")))).as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
+        col("e.cos").as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= KnnK)
   }
@@ -1268,9 +1290,16 @@ object Similarity {
     // cosine stage on top onto ~2 threads (measured 11.4 s at sf0.1;
     // ~3 s spread) — row count is this stage's cost model, each row a
     // 64-dim cosine
+    // the shared-cell candidate set is symmetric by construction (both
+    // sides draw from the same probe table), and cosine is bit-identical
+    // in both directions — so keep only vec_id < nbr_id through the
+    // distinct and the two vector attaches, score once per unordered
+    // pair, and mirror map-side with a 2-struct explode (the knnRanked
+    // r18 halving, applied before the distinct so the exchange and the
+    // dedup hash set also carry half the rows)
     val cand = probes.join(
         probes.select(col("vec_id").as("nbr_id"), col("cell")), Seq("cell"))
-      .filter(col("vec_id") =!= col("nbr_id"))
+      .filter(col("vec_id") < col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"))
       .repartition(s.sessionState.conf.numShufflePartitions,
         col("vec_id"), col("nbr_id"))
@@ -1283,6 +1312,12 @@ object Similarity {
         Seq("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         round(GraftFunctions.cosine_sim(col("v"), col("nv")), 6).as("cos"))
+      .select(explode(array(
+        struct(col("vec_id"), col("nbr_id"), col("cos")),
+        struct(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"),
+          col("cos")))).as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.nbr_id").as("nbr_id"),
+        col("e.cos").as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= KnnK)
   }
