@@ -147,29 +147,61 @@ object Graph {
     // all of it task-scheduling overhead. (A lazy G-round batch variant
     // measured WORSE — 17.8 s — because each un-checkpointed round
     // re-plans its predecessors' shuffles G²/2-fold and exchange reuse
-    // does not collapse them across the probe union.) deg is derived
+    // does not collapse them across the probe union; an r18 retry that
+    // folded G rounds into one wide checkpointed frame re-measured the
+    // same trap from the other side, 241→71 jobs but 8.0→10.3 s wall,
+    // because the accumulator frame embeds its own predecessor twice
+    // per round and the PLAN grows exponentially.) deg is derived
     // once from the checkpointed edges and checkpointed itself for the
     // same reason: uncheckpointed it re-runs its shuffle every round.
-    while (delta >= ConvEps && iter < ConvMaxIters) {
-      iter += 1
-      val contrib = edges.join(deg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      val (next, nextBlocks) = tracked(
-        nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(Teleport / n) +
-              lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-          .coalesce(1))
-      delta = next
-        .join(ranks.select(col("node"), col("rank").as("prev")), "node")
-        .agg(sum(abs(col("rank") - col("prev"))).as("d"))
-        .head().getDouble(0)
-      drop(blocks)
-      ranks = next
-      blocks = nextBlocks
-    }
+    //
+    // Two r18 changes cut the measured per-round floor without touching
+    // the arithmetic: (a) the PREVIOUS rank travels as a column of the
+    // checkpointed round frame, so the L1-delta probe is one map-side
+    // aggregate over 25 local rows instead of a join of two checkpoints
+    // (the join cost a broadcast build + an extra stage per round); (b)
+    // AQE is scoped OFF for the loop — every frame here is node-sized
+    // metadata, so adaptive re-planning buys nothing and each of its
+    // per-stage mini-jobs pays the full scheduling round-trip (measured
+    // ~11 AQE jobs/round, 241 total; static planning runs the same
+    // round as 2 actions with in-flight broadcasts). The conf is
+    // restored in the finally — corpus-scale rows keep AQE.
+    // Both confs are loop-scoped and restored below. shuffle.partitions=1
+    // is NOT a local[32] tuning: every exchange inside the loop carries a
+    // ≤|nations| frame by construction (the corpus-scale work — the edge
+    // derivation — is checkpointed BEFORE the loop under the session's
+    // normal width), so one reduce task per round is the right width at
+    // ANY scale, and without it the static plan schedules 32 empty tasks
+    // per round (measured 628 tasks / 13.6 task-seconds for 22 rounds).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    val partWas = s.conf.get(partKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partKey, "1")
+    try {
+      while (delta >= ConvEps && iter < ConvMaxIters) {
+        iter += 1
+        val contrib = edges.join(deg, "src")
+          .join(ranks.select(col("node").as("src"), col("rank")), "src")
+          .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val (next, nextBlocks) = tracked(
+          ranks.select(col("node"), col("rank").as("prev"))
+            .join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(Teleport / n) +
+                lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("rank"),
+              col("prev"))
+            .coalesce(1))
+        delta = next
+          .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+          .head().getDouble(0)
+        drop(blocks)
+        ranks = next.select(col("node"), col("rank"))
+        blocks = nextBlocks
+      }
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partKey, partWas) }
     require(delta < ConvEps,
       s"pagerank did not converge within $ConvMaxIters iterations " +
         s"(last delta $delta)")
@@ -266,24 +298,41 @@ object Graph {
       "significant-trade graph is empty at this scale factor; bfs has no source")
     val srcNode = srcRow.getLong(0)
     var dist = nodes.filter(col("node") === srcNode)
-      .select(col("node"), lit(0).as("dist")).localCheckpoint(true)
+      .select(col("node"), lit(0).as("dist")).coalesce(1)
+      .localCheckpoint(true)
     var frontier = dist
     var level = 1
     var active = true
-    while (active && level <= 30) {
-      val next = frontier.join(edges, col("node") === col("u"))
-        .select(col("v").as("node")).distinct()
-        .join(dist.select(col("node").as("seen")),
-          col("node") === col("seen"), "left_anti")
-        .select(col("node"), lit(level).as("dist"))
-        .localCheckpoint(true)
-      if (next.isEmpty) active = false
-      else {
-        dist = dist.unionAll(next).localCheckpoint(true)
-        frontier = next
-        level += 1
+    // Loop-scoped static 1-wide planning (the pagerankConverged r18
+    // treatment): frontier and distance frames are node-sized by
+    // construction — the corpus-scale edge derivation is checkpointed
+    // above at the session's normal width. The accumulated distance
+    // table is kept as a LAZY union of the per-level checkpoints (each
+    // leaf is already-materialized local blocks, so the plan is a flat
+    // N-leaf scan) instead of re-checkpointing the whole union every
+    // level — one driver action per level instead of two.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    val partWas = s.conf.get(partKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partKey, "1")
+    try {
+      while (active && level <= 30) {
+        val next = frontier.join(edges, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+          .join(dist.select(col("node").as("seen")),
+            col("node") === col("seen"), "left_anti")
+          .select(col("node"), lit(level).as("dist"))
+          .coalesce(1).localCheckpoint(true)
+        if (next.isEmpty) active = false
+        else {
+          dist = dist.unionAll(next)
+          frontier = next
+          level += 1
+        }
       }
-    }
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partKey, partWas) }
     nodes.join(dist, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("dist"), lit(-1)).as("dist"))
@@ -456,26 +505,46 @@ object Graph {
     val srcNode = srcRow.getLong(0)
     var dist = nodes.select(col("node"),
         when(col("node") === srcNode, lit(0L)).as("dist"))
-      .localCheckpoint(true) // null dist = unreached
+      .coalesce(1).localCheckpoint(true) // null dist = unreached
     var round = 0
     var active = true
-    while (active && round < SsspMaxRounds) {
-      val relaxed = edges
-        .join(dist.select(col("node").as("u"), col("dist").as("du")), "u")
-        .filter(col("du").isNotNull)
-        .select(col("v").as("node"), (col("du") + col("w")).as("cand"))
-        .unionByName(dist.select(col("node"), col("dist").as("cand")))
-        .groupBy(col("node")).agg(min(col("cand")).as("dist"))
-        .localCheckpoint(true)
-      val improved = relaxed
-        .join(dist.withColumnRenamed("dist", "old"), Seq("node"))
-        .filter((col("old").isNull && col("dist").isNotNull) ||
-                col("dist") < col("old"))
-        .count()
-      dist = relaxed
-      round += 1
-      if (improved == 0) active = false
-    }
+    // Loop-scoped static 1-wide planning (the pagerankConverged r18
+    // treatment, same justification): every frame in the relaxation loop
+    // is node-sized by construction — the corpus-scale edge derivation
+    // is checkpointed above under the session's normal width — so AQE's
+    // per-stage mini-jobs and 32-way shuffles of 25 rows are pure
+    // scheduling overhead. The PREVIOUS distance rides the relaxed frame
+    // as a column (the dist side of the union contributes exactly one
+    // row per node, so max(prev) over the group recovers it exactly),
+    // making the did-anything-improve probe one map-side aggregate over
+    // the checkpointed frame instead of a per-round join + count.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    val partWas = s.conf.get(partKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partKey, "1")
+    try {
+      while (active && round < SsspMaxRounds) {
+        val relaxed = edges
+          .join(dist.select(col("node").as("u"), col("dist").as("du")), "u")
+          .filter(col("du").isNotNull)
+          .select(col("v").as("node"), (col("du") + col("w")).as("cand"),
+            lit(null).cast("long").as("prev"))
+          .unionByName(dist.select(col("node"), col("dist").as("cand"),
+            col("dist").as("prev")))
+          .groupBy(col("node")).agg(min(col("cand")).as("dist"),
+            max(col("prev")).as("prev"))
+          .coalesce(1).localCheckpoint(true)
+        val improved = relaxed
+          .agg(sum(when((col("prev").isNull && col("dist").isNotNull) ||
+                        col("dist") < col("prev"), 1L).otherwise(0L)))
+          .head().getLong(0)
+        dist = relaxed.select(col("node"), col("dist"))
+        round += 1
+        if (improved == 0) active = false
+      }
+    } finally { s.conf.set(aqeKey, aqeWas); s.conf.set(partKey, partWas) }
     dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
       .orderBy(col("node"))
   }
