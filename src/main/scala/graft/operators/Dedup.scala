@@ -35,6 +35,16 @@ object Dedup {
 
   private[graft] val JaccardThreshold = 0.8
   private[graft] val ShingleN = 3
+
+  /** Target rows per reduce task for driver-orchestrated ITERATION loops
+    * ([[connectedComponents]]): loop frames are edge/node-sized skinny
+    * rows (two longs), so 4M rows ≈ 64–128 MB of shuffle per task —
+    * the guide's 100 MB–1 GB partition band. Overridable per session via
+    * `spark.graft.loop.rowsPerTask` (a deployment knob, not a local[32]
+    * tuning: the loop width is nEdges/this, clamped to the session's
+    * shuffle width, so it scales with the data on any cluster).
+    */
+  private[graft] val LoopRowsPerTaskDefault = 4L * 1000 * 1000
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
   /** Exact-integer ppjoin prefix divisor for a similarity threshold t:
@@ -203,7 +213,15 @@ object Dedup {
     * index shuffles, candidates keyed on the shingle so hot postings
     * split, exact verification only on survivors.
     */
-  private def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+  private def joinFuzzy(s: SparkSession, d: String): DataFrame =
+    joinFuzzyCore(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unsorted pair set behind [[joinFuzzy]] — split out (r18) so that
+    * [[joinFuzzyBest]]'s groupBy does not consume the presentation sort:
+    * an orderBy feeding an aggregate is a full range exchange + sort the
+    * aggregate's own hash exchange immediately discards.
+    */
+  private def joinFuzzyCore(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val par = pmod(regexp_replace(col("source"), "^src", "")
       .cast("int"), lit(2))
@@ -268,7 +286,6 @@ object Dedup {
         .select(col("rep").as("rep_b"), col("doc_id").as("doc_b")),
         Seq("rep_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Best-match variant of [[joinFuzzy]] — the ENTITY-LINKING shape: for
@@ -280,7 +297,7 @@ object Dedup {
     * within a group because doc_b is unique there.
     */
   private def joinFuzzyBest(s: SparkSession, d: String): DataFrame =
-    joinFuzzy(s, d)
+    joinFuzzyCore(s, d)
       .groupBy(col("doc_a"))
       .agg(
         max_by(struct(col("doc_b"), col("jaccard")),
@@ -633,6 +650,14 @@ object Dedup {
     // the gram width (they have no invAll rows at all)
     val small = n.join(bigIds, Seq("doc_id"), "left_anti")
     val smallPairs = lenBlockedPairs(small, n, K)
+    // r18 measured dead end, recorded so it is not retried: folding the
+    // big-stratum membership into the prefix window (count(*) OVER the
+    // doc partition instead of this semi-join) removes a join but feeds
+    // the dfreq join + window exchange ALL docs' gram rows — the small
+    // stratum's rows are numerous enough that the window exchange grew
+    // 28.3 → 44.7 MB and task time 56 → 79 s at sf0.1. The semi-join
+    // (broadcast-converted at runtime) prunes them before the heavy
+    // exchanges; keeping it is the cheaper shape.
     val inv = invAll.join(bigIds, Seq("doc_id"), "left_semi")
     val dfreq = invAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s"))
@@ -784,6 +809,34 @@ object Dedup {
     val edges = pairs.toDF("a", "b")
       .union(pairs.toDF("b2", "a2").select(col("a2"), col("b2")))
       .toDF("u", "v").cache()
+    val s = pairs.sparkSession
+    // Loop-scoped SCALE-ADAPTIVE width (r18, the pagerankConverged
+    // treatment generalized to unbounded graphs): every frame inside the
+    // loop is edge/node-sized — tiny against the corpus that derived the
+    // pairs, but NOT constant-bounded like the nation graph, so the
+    // width is derived from the measured edge count (the count also
+    // eagerly materializes the edge cache the first round would pay
+    // anyway) at [[LoopRowsPerTask]] rows per reduce task instead of
+    // being pinned to 1 or left at the session's corpus-scale setting.
+    // At fixture SFs this plans 1-wide rounds (the measured 32-empty-
+    // task scheduling floor is gone); at a billion edges the same
+    // arithmetic plans thousands of tasks. AQE is scoped off for the
+    // loop for the measured reason documented at
+    // [[graft.operators.Graph]]: with the width already right, each AQE
+    // stage is its own mini-job and the per-round job count multiplies.
+    // Both confs restore in the finally; the caller's downstream frames
+    // plan under the session's normal settings.
+    val nEdges = edges.count()
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    val partWas = s.conf.get(partKey)
+    val rowsPerTask = s.conf.get("spark.graft.loop.rowsPerTask",
+      LoopRowsPerTaskDefault.toString).toLong
+    val width = math.min(s.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, nEdges / rowsPerTask + 1L)).toString
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partKey, width)
     try {
       // init = min(self, neighbors): one propagation folded into the
       // node-set groupBy that the old `distinct()` init paid anyway. On
@@ -832,7 +885,10 @@ object Dedup {
             s"connectedComponents: label propagation not converged after $iter rounds")
         labels
       } catch { case e: Throwable => drop(labelIds); throw e }
-    } finally edges.unpersist(blocking = true)
+    } finally {
+      s.conf.set(aqeKey, aqeWas); s.conf.set(partKey, partWas)
+      edges.unpersist(blocking = true)
+    }
   }
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {

@@ -1891,8 +1891,16 @@ object TextAnalysis {
     * which collects k-sized to the driver like the kmeans centroids /
     * BPE merge rows. The E-step is a map-only fold over the dict.
     */
-  private[graft] def unigramTrainFromWords(words: DataFrame)
-      : Seq[(String, Long)] = {
+  /** @param releaseWords hand the word-frequency cache back released
+    *        (the train row's shape). [[textUnigramApply]] passes false:
+    *        its LAZY result re-reads the same frame for the per-word
+    *        segmentation join, so the cache must outlive this call and
+    *        falls under the session owner's [[graft.Caches.releaseAll]]
+    *        contract instead — without it the apply path re-ran the
+    *        corpus scan + word explode + groupBy a second time (r18).
+    */
+  private[graft] def unigramTrainFromWords(words: DataFrame,
+      releaseWords: Boolean = true): Seq[(String, Long)] = {
     val w = words.cache()
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
@@ -1928,7 +1936,7 @@ object TextAnalysis {
         .sortBy { case (t, c) => (-c, t) }.toSeq
     } finally {
       cached.foreach(_.unpersist(blocking = false))
-      w.unpersist(blocking = false): Unit
+      if (releaseWords) w.unpersist(blocking = false): Unit
     }
   }
 
@@ -1972,7 +1980,8 @@ object TextAnalysis {
       .select(explode(TF.words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val vocab = unigramTrainFromWords(words)
+      .cache() // reused by perWord below; released by the session owner
+    val vocab = unigramTrainFromWords(words, releaseWords = false)
     import s.implicits._
     val vm = vocab.toDF("tok", "cnt")
       .agg(map_from_entries(
