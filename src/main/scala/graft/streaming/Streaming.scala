@@ -233,10 +233,21 @@ object Streaming {
   /** [[windowAgg]] executed BY the streaming engine (complete mode,
     * 1-minute watermark) — same oracle as the batch twin.
     */
+  /** r18: every stateful exec row now sizes its state-store count to the
+    * row's ACTUAL state volume (`statePartitions = 8`, the r7
+    * interval-join remedy applied uniformly — see the cost audit on
+    * [[streamExecIntervalJoin]]: per-micro-batch wall time is store
+    * commits × partitions, not data volume, and every one of these rows
+    * holds well under 10 MB of state). Results are partitioning-
+    * independent (each row is oracle-gated); at 100 TB the same knob is
+    * RAISED for state capacity. Measured on the defaulted rows before
+    * the change (32 stores, sf0.1): 99–134 tasks / 18–58 task-seconds
+    * per row — commit machinery, not computation.
+    */
   private def streamExecWindowAgg(s: SparkSession, d: String): DataFrame =
     runToMemory(s, "graft_exec_win",
       windowAgg(readEventStream(s, d).withWatermark("ts", "1 minute")),
-      "complete")
+      "complete", statePartitions = Some(8))
       .orderBy(col("window_start"), col("event_type"))
 
   /** The sliding-window aggregate executed BY the streaming engine
@@ -253,7 +264,7 @@ object Streaming {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(col("w.start").as("window_start"), col("n"),
           col("sum_value")),
-      "complete")
+      "complete", statePartitions = Some(8))
       .orderBy(col("window_start"))
 
   /** Watermarked stream-stream interval join (the streaming form of
@@ -417,7 +428,7 @@ object Streaming {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type")),
-      "append")
+      "append", statePartitions = Some(8))
       .orderBy(col("user_id"), col("event_type"))
 
   /** [[streamSessionAgg]] executed BY the streaming engine: session
@@ -437,7 +448,7 @@ object Streaming {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n"), col("sum_value")),
-      "complete")
+      "complete", statePartitions = Some(8))
       .orderBy(col("user_id"), col("session_start"))
 
   /** Typed event row for the custom-state machine: `ts` (timestamp) rides
@@ -659,7 +670,8 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(sessionFn)
     sessionRows(
-      runToMemory(s, "graft_exec_custom", sessions.toDF(), "append"),
+      runToMemory(s, "graft_exec_custom", sessions.toDF(), "append",
+        statePartitions = Some(8)),
       cutoffUs)
   }
 
@@ -681,7 +693,8 @@ object Streaming {
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val sink =
-      try runToMemory(s, "graft_exec_tws", sessions.toDF(), "append")
+      try runToMemory(s, "graft_exec_tws", sessions.toDF(), "append",
+        statePartitions = Some(8))
       finally saved match {
         case Some(v) => s.conf.set(provKey, v)
         case None    => s.conf.unset(provKey)
@@ -715,7 +728,8 @@ object Streaming {
     val flags = typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(anomalyFn)
-    runToMemory(s, "graft_exec_anomaly", flags.toDF(), "append")
+    runToMemory(s, "graft_exec_anomaly", flags.toDF(), "append",
+        statePartitions = Some(8))
       .filter(col("ts_us") <= lit(cutoffUs))
       .select(col("event_id"), col("user_id"), col("n_hist"),
         col("is_anomaly"))
@@ -737,7 +751,8 @@ object Streaming {
       readEventStream(s, d).filter(col("user_id") >= lo && col("user_id") < hi)
         .withWatermark("ts", "1 minute")
     val unioned = branch(0L, 25L).unionAll(branch(25L, Long.MaxValue))
-    runToMemory(s, "graft_exec_union", windowAgg(unioned), "complete")
+    runToMemory(s, "graft_exec_union", windowAgg(unioned), "complete",
+        statePartitions = Some(8))
       .orderBy(col("window_start"), col("event_type"))
   }
 
