@@ -1210,7 +1210,15 @@ object Similarity {
     * the pairing read it; released by the session owner via
     * Caches.releaseAll).
     */
-  private def knnRanked(s: SparkSession, d: String): DataFrame = {
+  /** @param sharedCents pass precomputed coarse-quantizer centroids to
+    *        skip this build's own [[kmFit]] — [[graphKnnRecall]] builds
+    *        BOTH tiers over the same corpus and the fit is deterministic
+    *        (seeds = smallest vec_ids, integer-exact rounds), so the two
+    *        fits were identical driver work: 3 eager collect jobs each
+    *        (r18).
+    */
+  private def knnRanked(s: SparkSession, d: String,
+      sharedCents: Option[Seq[Seq[Long]]] = None): DataFrame = {
     GraftFunctions.register(s)
     val base = emb(s, d).cache()
     // assignment carries the raw vector THROUGH the map-only pass
@@ -1219,7 +1227,8 @@ object Similarity {
     // SortMergeJoin per side for a column the pass never had to drop
     val qv = base.select(col("vec_id"), col("v"),
       transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
-    val cents = kmFit(qv.select(col("vec_id"), col("q")))
+    val cents = sharedCents.getOrElse(
+      kmFit(qv.select(col("vec_id"), col("q"))))
     val sides = kmAssign(qv, cents).select(col("cluster"), col("vec_id"),
       col("v"))
     val lhs = sides
@@ -1267,12 +1276,13 @@ object Similarity {
     * centroids, ties to the smaller cell), so the oracle replays it from
     * the d3 distance table it already materializes.
     */
-  private def knnMultiprobeRanked(s: SparkSession, d: String): DataFrame = {
+  private def knnMultiprobeRanked(s: SparkSession, d: String,
+      sharedCents: Option[Seq[Seq[Long]]] = None): DataFrame = {
     GraftFunctions.register(s)
     val base = emb(s, d).cache()
     val qv = base.select(col("vec_id"),
       transform(col("v"), x => floor(x * lit(KmScale))).as("q"))
-    val cents = kmFit(qv)
+    val cents = sharedCents.getOrElse(kmFit(qv))
     val scored = explode(array(cents.zipWithIndex.map { case (cv, i) =>
       struct(kmDist2(col("q"), cv).as("d2"), lit(i).as("cell")) }: _*))
     val wp = Window.partitionBy(col("vec_id"))
@@ -1365,8 +1375,16 @@ object Similarity {
           lit(KnnK).as("k"), col("recall"),
           (col("recall") >= lit(floor)).as("recall_ok"))
     }
-    tierRecall("multiprobe", knnMultiprobeRanked(s, d), KnnRecallFloorMulti)
-      .unionByName(tierRecall("single", knnRanked(s, d), KnnRecallFloorSingle))
+    // one deterministic coarse-quantizer fit shared by both tiers (the
+    // builds over the same corpus fit identical centroids; each fit is 3
+    // eager collect jobs over the corpus — r18)
+    GraftFunctions.register(s)
+    val cents = kmFit(emb(s, d).cache().select(col("vec_id"),
+      transform(col("v"), x => floor(x * lit(KmScale))).as("q")))
+    tierRecall("multiprobe", knnMultiprobeRanked(s, d, Some(cents)),
+        KnnRecallFloorMulti)
+      .unionByName(tierRecall("single", knnRanked(s, d, Some(cents)),
+        KnnRecallFloorSingle))
       .orderBy(col("tier"))
   }
 
