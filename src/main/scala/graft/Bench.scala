@@ -436,6 +436,44 @@ object Bench {
   private def markPhase(name: String): Unit =
     phaseMarks += ((name, osLoadAvg, speedProbe))
 
+  /** Compact stdout line, fixed core split around the "queries" map
+    * (VERDICT r18 item 1: the r17 AND r18 compact lines shipped
+    * "queries":{} because the fixed core — full minima block, 8 phase
+    * quads, 14+ sf1 keys, two spill objects, four gate records — had
+    * crept to 1809 chars against the 1750 budget, leaving the driver
+    * per-query-blind for two rounds). The detail now rides ONLY the full
+    * artifact (referenced by "full"); the compact core carries each
+    * evidence class in its smallest sufficient form, and
+    * `BenchCompactSpec` asserts the worst-case core leaves ≥600 chars of
+    * budget for the slowest-row entries.
+    */
+  private[graft] def compactParts(headline: String, adaptive: String,
+      cpus: String, queriesTotal: Int, fullPath: String, failed: String,
+      requeried: String, acceptRecheck: String, sf1MinMergedN: Int,
+      floor: String, streamRotatedN: Int, sf1: String, spill: String,
+      load: String, budget: String, sfDir: String): (String, String) = (
+    s"""{"metric":"total",$headline,"unit":"sec",$adaptive,""" +
+      s""""cpus":"$cpus","queries":""",
+    s""","queries_total":$queriesTotal,"full":"$fullPath",""" +
+      s""""failed":$failed,"requeried":$requeried,$acceptRecheck,""" +
+      s""""sf1_min_merged_n":$sf1MinMergedN,$floor,""" +
+      s""""stream_rotated_n":$streamRotatedN,$sf1,$spill,$load,$budget,""" +
+      s""""sf":"$sfDir"}""")
+
+  /** Largest top-N prefix of `slowest` whose line fits `budget`; always
+    * returns SOMETHING parseable (the zero-entry line as last resort).
+    */
+  private[graft] def fitCompact(prefix: String, suffix: String,
+      slowest: Seq[(String, Double)], budget: Int): String = {
+    def assemble(n: Int) = prefix + slowest.take(n)
+      .map { case (k, t) => s""""$k":${math.rint(t * 1000) / 1000}""" }
+      .mkString("{", ",", "}") + suffix
+    (slowest.indices.reverse.iterator.map(_ + 1) ++ Iterator(0))
+      .map(assemble)
+      .find(_.length <= budget)
+      .getOrElse(assemble(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = osLoadAvg
     val probeStart = speedProbe
@@ -757,6 +795,9 @@ object Bench {
     // "the aggregate completes via spill instead of OOM" on real
     // machinery, not by assertion.
     markPhase("spill_start")
+    // per-point disk-spill bytes for the compact line (the full objects —
+    // wall seconds, memory bytes, errors — ride only the full artifact)
+    val spillDisk = scala.collection.mutable.Map.empty[String, Long]
     val spillJson: String = (if (only.exists(!_.contains("sf1_spill_segment_keep")))
       None
     else if (timeLeft < 60) {
@@ -833,11 +874,13 @@ object Bench {
         }
         res match {
           case Right(t) =>
+            spillDisk(key) = cur._2
             s""""$key":{"query":"$query","sec":${r3(t)},""" +
               s""""memory_spilled_bytes":${cur._1},""" +
               s""""disk_spilled_bytes":${cur._2},""" +
               s""""spilled":${cur._2 > 0}}"""
           case Left(e) =>
+            spillDisk(key) = -1L
             s""""$key":{"query":"$query","sec":null,""" +
               s""""error":"${Json.escape(e)}"}"""
         }
@@ -1314,16 +1357,6 @@ object Bench {
     val budgetJson =
       s""""deadline_s":$DeadlineS,"elapsed_s":${r3(elapsedS)},""" +
       s""""deadline_skipped":$skippedJson,"sf1_rotation":$sf1Rotation"""
-    // compact: a deadline-truncated SUITE can skip hundreds of names —
-    // the stdout line carries the count and first few, the full artifact
-    // the complete list
-    val budgetCompact =
-      s""""deadline_s":$DeadlineS,"elapsed_s":${r3(elapsedS)},""" +
-      s""""deadline_skipped_n":${deadlineSkipped.size},""" +
-      s""""deadline_skipped":${deadlineSkipped.take(4)
-        .map(s => s""""$s"""").mkString("[", ",", "]")},""" +
-      s""""sf1_rotation":$sf1Rotation"""
-
     // FULL artifact → file (committed by the end-of-round snapshot):
     // every per-query median at full precision. Overwrites the partial
     // flushes — a completed artifact has "partial":false.
@@ -1355,51 +1388,75 @@ object Bench {
     // stray WARN line already clips the head (the r10/r11 tails both
     // start mid-JSON).
     val CompactBudget = 1750
-    // requeried: suite+quiesced only — baseline and both load stamps live
-    // in the full artifact, referenced by path
-    val requeriedCompact = allRequeried.toSeq.sortBy(-_._2._1).take(6).map {
+    // Every compact fragment below is CAPPED (count and/or length) so the
+    // fixed core can never again squeeze the queries map to {} by
+    // accretion (the r17/r18 failure); BenchCompactSpec asserts the
+    // worst-case core leaves ≥600 chars for per-query entries. The
+    // uncapped detail all rides the full artifact, referenced by "full".
+    // requeried: suite+quiesced only, worst 2 — baseline and both load
+    // stamps live in the full artifact
+    val requeriedCompact = allRequeried.toSeq.sortBy(-_._2._1).take(2).map {
       case (k, (s, q, _, _)) =>
         s""""$k":{"suite":${r3(s)},"quiesced":${r3(q)}}"""
     }.mkString("{", ",", "}")
-    // compact: only the points that RAN — with rotation, most rounds skip
-    // ~2/3 of the canaries, and 17 `"sf1_x":null` entries are ~450 chars
-    // of budget that the full artifact already records
-    val sf1Compact = sf1.collect {
-      case (k, Some(Right(t))) => s""""$k":${r3(t)}"""
-      case (k, Some(Left(_))) => s""""$k":null"""
-    }.mkString(",") match {
-      case "" => s""""sf1_ran":0"""
-      case s => s
-    }
-    // phases as compact quads [name, load, probe_s, contended 0/1] — keys
-    // dropped, gate verdict as an int to spare the char budget
-    val phasesCompact = phaseMarks.map { case (n, l, p) =>
-      s"""["$n",$l,$p,${if (phaseContended(l, p)) 1 else 0}]"""
-    }.mkString("[", ",", "]")
+    // failures: first 2, messages clipped to 40 chars, plus the full count
+    // (a mass-failure round is red regardless; the evidence is the count
+    // and the full artifact's complete map)
+    val failedAll = (results.collect { case (k, Left(e)) => k -> e } ++
+      sf1.collect { case (k, Some(Left(e))) => k -> e })
+    val failedCompact = failedAll.take(2).map { case (k, e) =>
+      s""""$k":"${Json.escape(e.take(40))}""""
+    }.mkString("{", ",", s"""},"failed_n":${failedAll.size}""")
+    // sf1: ONLY the 3 acceptance headliners plus a ran-count — the full
+    // rotation set (14+ keys, ~450 chars in r18) is what pushed the core
+    // past budget; every point still rides the full artifact
+    val sf1Compact = (sf1.collect {
+      case (k, Some(Right(t))) if Sf1Headline(k) => s""""$k":${r3(t)}"""
+      case (k, Some(Left(_))) if Sf1Headline(k) => s""""$k":null"""
+    } :+ s""""sf1_ran":${sf1.count(_._2.isDefined)}""").mkString(",")
+    // committed acceptance floors, minimal form (the r16 lesson: a
+    // contended window's artifact must carry the quiet floor with it) —
+    // the full minima block now rides only the full artifact
+    val floorCompact =
+      if (baseline.isEmpty) """"floor":null"""
+      else s""""floor":${(baselineSuiteFloor.map(t => s""""suite":$t""").toSeq
+        ++ baseline.get("sf1_q1").map(v => s""""sf1_q1":${r3(v)}"""))
+        .mkString("{", ",", "}")}"""
+    // phases: contended-count summary; the per-phase quads are full-only
     val loadCompact =
       s""""load_avg":{"start":$loadStart,"end":$loadEnd},""" +
       s""""suite_vs_floor":$suiteVsFloor,""" +
-      s""""phases":$phasesCompact,$gateJson"""
+      s""""phases_contended":"${phaseMarks.count { case (_, l, p) =>
+        phaseContended(l, p) }}/${phaseMarks.size}",""" +
+      s""""pre_quiesce_s":${preQuiesce.map(_._1).getOrElse(0)}"""
     val adaptiveCompact =
       s""""adaptive":{"single_run":$singleRunRows,""" +
       s""""full_iters":$fullIterRows},"contended":$contended"""
-    def assemble(topQs: String): String =
-      s"""{"metric":"total",$headlineJson,"unit":"sec",$adaptiveCompact,""" +
-      s""""cpus":"$cpus","queries":$topQs,"queries_total":${names.size},""" +
-      s""""full":"$outPathStr","failed":$failed,""" +
-      s""""requeried":$requeriedCompact,$acceptRecheckJson,""" +
-      s"""$sf1MinMergedJson,$minimaJson,""" +
-      s""""stream_rotated_n":${streamRotatedOut.size},$sf1Compact,""" +
-      s"""$spillJson,$loadCompact,$budgetCompact,"sf":"$sfDir"}"""
+    // spill evidence compresses to the disk-byte counters (>0 = the spill
+    // path completed and was counted; -1 = the point errored)
+    val spillCompact =
+      s""""spill_disk":${spillDisk.get("spill").getOrElse("null")},""" +
+      s""""spill_agg_disk":${spillDisk.get("spill_agg").getOrElse("null")}"""
+    val budgetCompactSlim =
+      s""""elapsed_s":${r3(elapsedS)},""" +
+      s""""deadline_skipped_n":${deadlineSkipped.size},""" +
+      s""""deadline_skipped":${deadlineSkipped.take(1)
+        .map(s => s""""$s"""").mkString("[", ",", "]")},""" +
+      s""""sf1_rotation":$sf1Rotation"""
+    val headlineCompact =
+      s""""value":${if (total == "null") "null" else r3(total.toDouble)},""" +
+      s""""timed_total":$timedTotal,"timed_n":$timedN,""" +
+      s""""partial":$truncatedSuite"""
+    val (cPrefix, cSuffix) = compactParts(
+      headlineCompact, adaptiveCompact, cpus, names.size, outPathStr,
+      failedCompact, requeriedCompact, acceptRecheckJson,
+      sf1Tagged.count(_._3), floorCompact, streamRotatedOut.size,
+      sf1Compact, spillCompact, loadCompact, budgetCompactSlim, sfDir)
     val slowest = names.filter(measured)
       .flatMap(k => finalTime(k).toOption.map(k -> _))
       .sortBy(-_._2)
-      .map { case (k, t) => s""""$k":${r3(t)}""" }
     // largest top-N of slowest rows that keeps the line under budget
-    val compact = (slowest.indices.reverse.iterator ++ Iterator(-1))
-      .map(i => assemble(slowest.take(i + 1).mkString("{", ",", "}")))
-      .find(_.length <= CompactBudget)
-      .getOrElse(assemble("{}"))
+    val compact = fitCompact(cPrefix, cSuffix, slowest, CompactBudget)
     if (compact.length > CompactBudget)
       System.err.println(
         s"WARN: compact bench line ${compact.length} chars exceeds " +

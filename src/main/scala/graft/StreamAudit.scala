@@ -19,6 +19,32 @@ object StreamAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-JOB wall + task-time breakdown: micro-batch durationMs says
+    // addBatch dominates but not which of the funnel's jobs inside it
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val taskMs = new java.util.concurrent.atomic.AtomicLong
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobStart.put(e.jobId, (System.nanoTime(),
+            String.valueOf(e.properties.getProperty(
+              "spark.job.description", "?")).take(90)))
+          taskMs.set(0): Unit
+        }
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            taskMs.addAndGet(e.taskMetrics.executorRunTime): Unit
+          }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = jobStart.getOrDefault(e.jobId, (0L, "?"))
+          println(f"[audit] job=${e.jobId}%4d wall=${
+            (System.nanoTime() - t0) / 1e6}%7.1fms task=${
+            taskMs.get}%6dms  $desc")
+        }
+      })
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._

@@ -339,7 +339,7 @@ object Multimodal {
     import s.implicits._
     val path = ensureMediaTable(s, d)
     val decoded: Dataset[DecodedMedia] =
-      s.read.parquet(path).as[MediaAsset].mapPartitions { it =>
+      Tables.loadPath(s, path).as[MediaAsset].mapPartitions { it =>
         // one decoder per partition; iterator stays lazy (no materialization)
         it.map(JdkCodecs.decode)
       }
@@ -369,7 +369,7 @@ object Multimodal {
   private def mmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = ensureMediaTable(s, d)
-    s.read.parquet(path).select(col("doc_id"), col("png_grad"))
+    Tables.loadPath(s, path).select(col("doc_id"), col("png_grad"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, png) =>
         val (w2, h2, sum) = JdkCodecs.decodeResize2x(id, png)
@@ -409,7 +409,7 @@ object Multimodal {
     // without the cache each side re-runs the ImageIO decode + hash pass —
     // the dominant cost here. Released by the session owner
     // (Caches.releaseAll), the lazy-builder contract on graft.Caches.
-    val sigs = s.read.parquet(path).select(col("doc_id"), col("png_grad"))
+    val sigs = Tables.loadPath(s, path).select(col("doc_id"), col("png_grad"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, png) =>
         (id, JdkCodecs.averageHash64(png, id))
@@ -448,7 +448,7 @@ object Multimodal {
   private def mmAudioResample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val path = ensureMediaTable(s, d)
-    s.read.parquet(path).select(col("doc_id"), col("wav"))
+    Tables.loadPath(s, path).select(col("doc_id"), col("wav"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, wav) =>
         val (nOut, sum) = JdkCodecs.decodeResampleWav2x(id, wav)
@@ -487,7 +487,7 @@ object Multimodal {
     // one decode per image: dims + perceptual hash (cache: feeds the
     // blocking join twice + two funnel stages; released by the session
     // owner via Caches.releaseAll)
-    val sigs = s.read.parquet(path)
+    val sigs = Tables.loadPath(s, path)
       .select(col("doc_id"), col("source"), col("png_grad"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, src, png) =>
@@ -516,7 +516,7 @@ object Multimodal {
     val kept = sigs.join(droppedIds, Seq("doc_id"), "left_anti")
     // real resize pass over the SURVIVORS only (id-keyed semi join back
     // to the binary column, then the partition-local decode boundary)
-    val resized = s.read.parquet(path).select(col("doc_id"), col("png_grad"))
+    val resized = Tables.loadPath(s, path).select(col("doc_id"), col("png_grad"))
       .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("png_grad"))
       .as[(Long, String, Array[Byte])]
@@ -597,7 +597,7 @@ object Multimodal {
     val captions = Tables.load(s, d, "documents")
       .filter(col("doc_id") % 11 =!= 3)
       .select(col("doc_id"), col("n_chars"))
-    val assets = s.read.parquet(ensureMediaTable(s, d))
+    val assets = Tables.loadPath(s, ensureMediaTable(s, d))
       .filter(col("doc_id") % 13 =!= 5)
       .select(col("doc_id"), col("png")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, png) =>
