@@ -16,6 +16,8 @@ object StreamAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.stream.statePartitions",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

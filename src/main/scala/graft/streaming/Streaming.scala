@@ -234,11 +234,15 @@ object Streaming {
           "ckpt_restart run did not self-terminate")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }
+    // each half coalesced to the state width (r19: session-width writes
+    // made 32 tiny files per half — 64 files for ~100k rows — paying
+    // file-commit, listing, and per-file scan-task overhead in both
+    // streaming runs; ~1 MB of source wants a handful of files)
     ev.filter(unix_micros(col("ts")) < splitUs)
-      .write.mode("append").parquet(src)
+      .coalesce(stateParts(s)).write.mode("append").parquet(src)
     runOnce() // run 1: first half of the timeline, then planned shutdown
     ev.filter(unix_micros(col("ts")) >= splitUs)
-      .write.mode("append").parquet(src)
+      .coalesce(stateParts(s)).write.mode("append").parquet(src)
     runOnce() // run 2: recovery — offsets, window state, watermark
     val cutoffUs = maxUs - (10 * 60 + 61) * 1000000L
     s.read.parquet(out) // reads via the sink's _spark_metadata commit log
@@ -911,7 +915,28 @@ object Streaming {
     graft.functions.GraftFunctions.register(s)
     import graft.operators.{Dedup, TextAnalysis}
     import graft.functions.{GraftFunctions, TextFunctions => TF}
-    val batch = df.select(col("doc_id"), col("source"),
+    // spread the drop across the session's cores BEFORE the extract
+    // (r19 audit, guide §2.5 input skew: maxFilesPerTrigger=1 means each
+    // micro-batch arrives as ONE file = one partition, so the dominant
+    // per-batch compute — extract + quality + shingles, ~400 ms of task
+    // time — ran on a single core). The shuffle moves only the raw drop
+    // (KBs/doc) once; the explicit partition count keeps AQE from
+    // coalescing the small exchange back to one partition, and it is
+    // cluster-width-adaptive, not a tuned constant.
+    // AQE scoped OFF for the whole batch fn (the Graph/Dedup loop
+    // pattern, restored in finally): each micro-batch runs ~5 tiny
+    // queries over a ≤drop-sized frame, and AQE's per-exchange
+    // re-optimization turns every one into extra job rounds + driver
+    // planning passes (r19 audit: 6 jobs for the probe alone, ~500 ms
+    // of between-job driver gap per batch). The exchanges here are
+    // drop-sized by construction — there is nothing for AQE to adapt.
+    // Same single-threaded-session caveat as the graph loops.
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val batch = df
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"),
         GraftFunctions.html_extract(TextAnalysis.htmlPageExpr)
           .getField("text_clean").as("text"),
         GraftFunctions.word_shingles(
@@ -934,14 +959,30 @@ object Streaming {
       require(bs.length == 1 && bs.head == batchId,
         s"ingest batch $batchId carried crawl drops ${bs.mkString(",")} — " +
           "file-source ordering broke the one-drop-per-batch contract")
+      def label(stage: String): Unit =
+        s.sparkContext.setJobDescription(s"ingest b$batchId: $stage")
       try {
         val newBands = Dedup.bandKeys(batch.filter(size(col("sh")) > 0))
-        val dropped = (
-          if (batchId == 0L) batch.select(col("doc_id")).limit(0)
+        // per-batch corpus reads carry EXPLICIT schemas (r19 audit: each
+        // schema-less read re-inferred the same schema per micro-batch —
+        // a handful of listing/footer jobs inside every addBatch). Both
+        // schemas are statically the write side's frame plus the
+        // ingest_batch partition column the batchId-keyed dirs encode.
+        val accSchema = batch.schema.add("ingest_batch", "int")
+        val bandsSchema = newBands.schema.add("ingest_batch", "int")
+        // dup ids are REPORT-SIZED (bounded by the arriving batch), so
+        // one driver collect replaces the r18 shape's cached frame + TWO
+        // broadcast-hash builds (each a separate job + driver setup per
+        // write) — the id set then prunes both writes as a codegen'd
+        // InSet, map-side, zero extra jobs (r19 audit: ~15 jobs per
+        // addBatch, wall dominated by per-job driver latency). Same
+        // driver-side footprint as the broadcasts it replaces.
+        val droppedIds: Array[Long] =
+          if (batchId == 0L) Array.empty
           else {
-            val corpusBands = s.read.parquet(bandsDir)
+            val corpusBands = s.read.schema(bandsSchema).parquet(bandsDir)
               .filter(col("ingest_batch") < batchId)
-            val corpusSh = s.read.parquet(acceptedDir)
+            val corpusSh = s.read.schema(accSchema).parquet(acceptedDir)
               .filter(col("ingest_batch") < batchId)
               .filter(size(col("sh")) > 0)
               .select(col("doc_id").as("dup_of"), col("sh").as("sh_b"))
@@ -957,6 +998,7 @@ object Streaming {
                 col("band"), col("h1"), col("h2")),
                 Seq("band", "h1", "h2"))
               .select(col("new_doc"), col("dup_of")).distinct()
+            label("near-dup probe")
             broadcast(cands
               .join(batch.select(col("doc_id").as("new_doc"),
                 col("sh").as("sh_a")), Seq("new_doc")))
@@ -967,17 +1009,25 @@ object Streaming {
                 (size(col("sh_a")) + size(col("sh_b")) - col("common"))
                 >= Dedup.JaccardThreshold)
               .select(col("new_doc").as("doc_id")).distinct()
-          }).cache()
-        try {
-          batch.join(broadcast(dropped), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite")
-            .parquet(s"$acceptedDir/ingest_batch=$batchId")
-          newBands.join(broadcast(dropped), Seq("doc_id"), "left_anti")
-            .write.mode("overwrite")
-            .parquet(s"$bandsDir/ingest_batch=$batchId")
-        } finally { dropped.unpersist(blocking = false); () }
+              .collect().map(_.getLong(0))
+          }
+        def keepOnly(df: DataFrame): DataFrame =
+          if (droppedIds.isEmpty) df
+          else df.filter(!col("doc_id").isin(droppedIds.toIndexedSeq: _*))
+        // coalesce(1): keep the pre-repartition on-disk layout (one file
+        // per batch dir — the corpus reads re-list these dirs every
+        // micro-batch); the single write task just drains the cached
+        // post-funnel blocks
+        label("accept write")
+        keepOnly(batch).coalesce(1).write.mode("overwrite")
+          .parquet(s"$acceptedDir/ingest_batch=$batchId")
+        label("bands write")
+        keepOnly(newBands).coalesce(1).write.mode("overwrite")
+          .parquet(s"$bandsDir/ingest_batch=$batchId")
+        s.sparkContext.setJobDescription(null)
       } finally { batch.unpersist(blocking = false); () }
     }
+    } finally s.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
 
   /** The END-TO-END STREAMING INGEST pipeline — the composition a 100 TB
