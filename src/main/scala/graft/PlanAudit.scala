@@ -32,8 +32,10 @@ object PlanAudit {
       val df = SparkEntry.queries(q)(spark, args(0))
       println(df.queryExecution.executedPlan.toString.take(12000))
       outDir.foreach { d =>
+        // ADVICE r18: two-arg Paths.get so a suffix with a path
+        // separator cannot escape the output directory
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$d/${q}_$suffix.txt"),
+          java.nio.file.Paths.get(d, s"${q}_$suffix.txt"),
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)): Unit
       }

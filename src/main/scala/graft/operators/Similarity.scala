@@ -825,6 +825,13 @@ object Similarity {
     val dists = cents.zipWithIndex.map { case (c, i) => kmDist2(col("q"), c).as(s"d$i") }
     val k = cents.size
     val carry = qv.columns.toSeq
+    // ADVICE r18: the carried projection would silently overwrite an
+    // input column named like the outputs or the internal distance
+    // aliases — reserve them loudly for future call sites
+    val reserved = Set("cluster", "d2") ++ (0 until k).map(i => s"d$i")
+    require(!carry.exists(reserved),
+      s"kmAssign reserves ${reserved.mkString(",")}; input carries " +
+        carry.filter(reserved).mkString(","))
     val withD = qv.select(carry.map(col) ++ dists: _*)
     val cluster = (0 until k - 1).foldRight(lit(k - 1)) { (i, els) =>
       val leqAll = ((i + 1) until k)

@@ -234,15 +234,18 @@ object Streaming {
           "ckpt_restart run did not self-terminate")
       } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }
-    // each half coalesced to the state width (r19: session-width writes
-    // made 32 tiny files per half — 64 files for ~100k rows — paying
-    // file-commit, listing, and per-file scan-task overhead in both
-    // streaming runs; ~1 MB of source wants a handful of files)
+    // DEAD END (r19, do not retry): coalescing each half to the state
+    // width (8 files instead of 32) to save file-commit/listing overhead
+    // measured WORSE — a control-gated BENCH_ONLY run read 4.57 s vs the
+    // 3.08 s committed floor (sf1_q1 control 1.08× floor, so not window
+    // noise): the data micro-batch SCANS the source at file granularity,
+    // and 8 files serialize the 50k-row scan+watermark pass onto 8 tasks
+    // while the session has 32 cores. Source stays session-width.
     ev.filter(unix_micros(col("ts")) < splitUs)
-      .coalesce(stateParts(s)).write.mode("append").parquet(src)
+      .write.mode("append").parquet(src)
     runOnce() // run 1: first half of the timeline, then planned shutdown
     ev.filter(unix_micros(col("ts")) >= splitUs)
-      .coalesce(stateParts(s)).write.mode("append").parquet(src)
+      .write.mode("append").parquet(src)
     runOnce() // run 2: recovery — offsets, window state, watermark
     val cutoffUs = maxUs - (10 * 60 + 61) * 1000000L
     s.read.parquet(out) // reads via the sink's _spark_metadata commit log
